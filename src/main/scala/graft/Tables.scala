@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed star-schema catalog.
+  *
+  * The reference reads two Elasticsearch types (`person` parent,
+  * `encounter` child — reference HouseholdRetentionProcessing.scala:399,
+  * :464) with hand-built query-DSL pushdown. Here every table is a
+  * columnar parquet scan and Catalyst does pushdown/pruning natively
+  * (SURVEY.md §4): filters land in `PushedFilters`, projections in
+  * `ReadSchema`, so a scan at 100 TB touches only the row groups and
+  * columns a query needs.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** Register every table as a temp view so `spark.sql` parity queries and
+    * user SQL resolve the same names the DuckDB oracle uses. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,195 @@
+package graft.retention
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GapsAndIslands, MonthSpine}
+
+/** Retention-pipeline configuration — the reference's fixed constants
+  * (reference HouseholdRetentionProcessing.scala:486-489 window, :513
+  * lookback, :361 scan, :752-760 phase-2 bounds) lifted into a config so
+  * the engine is a library, not a one-off job.
+  *
+  * `asOf` replaces the reference's wall-clock `now` anchors (:486, :556,
+  * :753) with an injected date so results are deterministic and
+  * oracle-checkable (SURVEY.md §7.4).
+  */
+case class RetentionConfig(
+    asOf: LocalDate,
+    windowMonths: Int = 48,
+    lookbackDays: Int = 365, // date_add(admit, -365.25) truncates to 365 (:513)
+    scanYears: Int = 5,      // encounter scan lookback (:361)
+    notRetainedPastYears: Int = 4,   // phase-2 range start (:753)
+    notRetainedFutureYears: Int = 10 // phase-2 range end (:755)
+)
+
+/** Household retention engine — the reference's flagship capability
+  * rebuilt Spark-first.
+  *
+  * Inputs are two relational tables (SURVEY.md §1.3):
+  *   persons(person_id, household_id)        — household_id nullable
+  *   encounters(person_id, admit_date DATE)
+  *
+  * Semantics (reference HouseholdRetentionProcessing.scala:525-534): a
+  * household is retained in calendar month M iff it had an encounter in
+  * M with another, strictly earlier encounter within the preceding
+  * `lookbackDays`. Months with no such pair are not-retained via a
+  * household×month scaffold (:517-524). Consecutive same-state months
+  * collapse into ranges (:557-590). Households with no encounters at
+  * all get one not-retained range [asOf-4y, asOf+10y) (phase 2,
+  * :762-784).
+  *
+  * Scale shape: after the person⋈encounter join, EVERYTHING is keyed by
+  * household_id — the distinct, the predecessor window, the month
+  * scaffold join, the islands collapse, and the person fan-out all
+  * cluster on household, so Catalyst reuses one hash-partitioning end
+  * to end (subset-satisfies-clustering). The month spine is a 49-row
+  * local relation (broadcast nested loop for the scaffold). Skewed
+  * households are handled by AQE skew-join splitting on the single big
+  * join.
+  */
+object Retention {
+
+  private def monthStart(asOf: LocalDate): LocalDate = asOf.withDayOfMonth(1)
+
+  /** Distinct (household_id, admit_date) pairs inside the scan window.
+    * The reference's A1 dedup (:515) — admit_date at DATE grain, so
+    * same-day repeat encounters never count as "another, earlier"
+    * encounter (strict `>` at :530).
+    */
+  private[retention] def householdAdmitDates(persons: DataFrame, encounters: DataFrame,
+                                             cfg: RetentionConfig): DataFrame = {
+    val scanStart = java.sql.Date.valueOf(cfg.asOf.minusYears(cfg.scanYears.toLong))
+    val asOfDate = java.sql.Date.valueOf(cfg.asOf)
+    val p = persons.filter(col("household_id").isNotNull)
+      .select("person_id", "household_id")
+    val e = encounters
+      .filter(col("admit_date").between(lit(scanStart), lit(asOfDate)))
+      .select("person_id", "admit_date")
+    // person⋈encounter (J1) then household-keyed for the rest of the DAG.
+    e.join(p, "person_id")
+      .select("household_id", "admit_date")
+      .distinct()
+  }
+
+  /** Months in which a household is retained: the reference's self
+    * band-join J3 (:529-532) replaced by a per-household `lag` — with
+    * distinct dates, "exists a strictly earlier admit within N days" is
+    * exactly "the nearest earlier admit is within N days". One window
+    * pass, zero extra shuffles, instead of a self-join that at 100 TB
+    * would re-shuffle and explode on dense households.
+    */
+  private[retention] def retainedMonths(admits: DataFrame, cfg: RetentionConfig): DataFrame = {
+    val w = Window.partitionBy("household_id").orderBy("admit_date")
+    admits
+      .withColumn("_prev", lag(col("admit_date"), 1).over(w))
+      .filter(col("_prev") >= date_add(col("admit_date"), -cfg.lookbackDays))
+      .select(col("household_id"),
+              trunc(col("admit_date"), "MM").as("start_of_month"))
+      .distinct()
+  }
+
+  /** household × month scaffold (J2/A2, :517-524) with retained flag
+    * left-joined in (J4, :541), defaulting false (P10 coalesce, :539).
+    */
+  private[retention] def monthStates(persons: DataFrame, encounters: DataFrame,
+                                     cfg: RetentionConfig): DataFrame = {
+    val spark = persons.sparkSession
+    val admits = householdAdmitDates(persons, encounters, cfg)
+    val retained = retainedMonths(admits, cfg)
+    val households = admits.select("household_id").distinct()
+    val spine = MonthSpine.spine(spark, cfg.asOf, cfg.windowMonths)
+    households
+      .crossJoin(broadcast(spine))
+      .join(retained.withColumn("is_retained", lit(true)),
+            Seq("household_id", "start_of_month"), "left")
+      .withColumn("is_retained", coalesce(col("is_retained"), lit(false)))
+  }
+
+  /** Phase-1 collapsed ranges per household. Range formatting follows
+    * the reference exactly (:567-574): start = first second of the
+    * first month, end = LAST second of the last month
+    * (`unix_timestamp(add_months(m,1)) - 1`), epochs in millis,
+    * alt-strings 'yyyy-MM-dd' / 'yyyy-MM-dd HH:mm:ss'.
+    */
+  def householdRanges(persons: DataFrame, encounters: DataFrame,
+                      cfg: RetentionConfig): DataFrame = {
+    val states = monthStates(persons, encounters, cfg)
+    val collapsed = GapsAndIslands.collapse(
+      states, Seq("household_id"), "start_of_month", "is_retained")
+    formatRanges(collapsed)
+  }
+
+  private def formatRanges(collapsed: DataFrame): DataFrame = {
+    val startTs = col("range_start").cast("timestamp")
+    val endSec = unix_timestamp(add_months(col("range_end"), 1).cast("timestamp")) - 1
+    collapsed.select(
+      col("household_id"),
+      col("is_retained").as("retained"),
+      (unix_timestamp(startTs) * 1000).as("gte"),
+      (endSec * 1000).as("lte"),
+      date_format(startTs, "yyyy-MM-dd").as("start_date"),
+      from_unixtime(endSec, "yyyy-MM-dd HH:mm:ss").as("end_date"))
+  }
+
+  /** Phase 1 complete: ranges fanned out to persons (J7, :617). */
+  def personRanges(persons: DataFrame, encounters: DataFrame,
+                   cfg: RetentionConfig): DataFrame = {
+    val p = persons.filter(col("household_id").isNotNull)
+      .select("person_id", "household_id")
+    householdRanges(persons, encounters, cfg).join(p, "household_id")
+  }
+
+  /** Phase 2 (:762-784): persons with a household but NO qualifying
+    * encounters in the window get a single retained=false range
+    * [asOf-4y, asOf+10y). Anti-join replaces the reference's
+    * "still lacks history after phase 1" ES predicate (P8/J10).
+    */
+  def phase2Ranges(persons: DataFrame, encounters: DataFrame,
+                   cfg: RetentionConfig): DataFrame = {
+    val covered = householdAdmitDates(persons, encounters, cfg)
+      .select("household_id").distinct()
+    val gteMs = cfg.asOf.withDayOfMonth(1).minusYears(cfg.notRetainedPastYears.toLong)
+    val lteMs = cfg.asOf.withDayOfMonth(1).plusYears(cfg.notRetainedFutureYears.toLong)
+    persons.filter(col("household_id").isNotNull)
+      .select("person_id", "household_id")
+      .join(covered, Seq("household_id"), "left_anti")
+      .select(
+        col("household_id"),
+        lit(false).as("retained"),
+        lit(java.sql.Date.valueOf(gteMs)).cast("timestamp").cast("long").*(1000).as("gte"),
+        lit(java.sql.Date.valueOf(lteMs)).cast("timestamp").cast("long").*(1000).as("lte"),
+        date_format(lit(java.sql.Date.valueOf(gteMs)), "yyyy-MM-dd").as("start_date"),
+        date_format(lit(java.sql.Date.valueOf(lteMs)).cast("timestamp"),
+                    "yyyy-MM-dd HH:mm:ss").as("end_date"),
+        col("person_id"))
+  }
+
+  /** Both phases unioned — one row per (person, range): the complete
+    * retention history the reference upserts back into ES (S7).
+    */
+  def fullHistory(persons: DataFrame, encounters: DataFrame,
+                  cfg: RetentionConfig): DataFrame = {
+    val cols = Seq("person_id", "household_id", "retained",
+                   "gte", "lte", "start_date", "end_date").map(col)
+    personRanges(persons, encounters, cfg).select(cols: _*)
+      .unionByName(phase2Ranges(persons, encounters, cfg).select(cols: _*))
+  }
+
+  /** The reference's output shape (S7/A7, :281-295): one row per person
+    * with the history as a sorted ARRAY<STRUCT>. `collect_list` over
+    * the household-clustered ranges (bounded: ≤ windowMonths+1 entries
+    * per person), sorted in-array for determinism.
+    */
+  def nestedHistory(persons: DataFrame, encounters: DataFrame,
+                    cfg: RetentionConfig): DataFrame = {
+    fullHistory(persons, encounters, cfg)
+      .groupBy("person_id")
+      .agg(array_sort(collect_list(struct(
+        col("gte"), col("lte"), col("start_date"), col("end_date"),
+        col("retained")))).as("household_retention_history"))
+  }
+}
