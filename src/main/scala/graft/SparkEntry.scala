@@ -152,10 +152,34 @@ object SparkEntry {
 
     // ---- dedup: exact (additive) ----
     "q_dedup_exact" -> ((s, dir) =>
+      graft.functions.Dedup.exactGroups(
+        Tables.load(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- text analysis (additive) ----
+    "q_text_stats" -> ((s, dir) => {
+      val cols = graft.functions.TextAnalysis.qualityColumns(col("text"))
+        .map { case (n, c) => c.as(n) }
+      Tables.load(s, dir, "documents").select(col("doc_id") +: cols: _*)
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      val scores = graft.functions.TextAnalysis.langScores(col("text"))
+        .map { case (l, c) => c.cast("long").as(s"s_$l") }
       Tables.load(s, dir, "documents")
-        .groupBy(md5(col("text")).as("text_hash"))
-        .agg(min(col("doc_id")).as("keep_id"),
-             count(lit(1)).as("n_copies"))),
+        .select((col("doc_id") +: scores) :+
+          graft.functions.TextAnalysis.langId(col("text")).as("lang_pred"): _*)
+    }),
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))),
+
+    // ---- dedup: n-gram Jaccard + MinHash LSH (additive) ----
+    "q_dedup_ngram" -> ((s, dir) =>
+      graft.functions.Dedup.ngramJaccardPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 3, 0.8)),
+    "q_dedup_minhash_lsh" -> ((s, dir) =>
+      graft.functions.Dedup.lshCandidatePairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 3, 16, 4)),
   )
 
   /** DuckDB-dialect oracles. Shared retention CTE prefix below. */
@@ -339,5 +363,98 @@ object SparkEntry {
              count(*) AS n_copies
       FROM documents GROUP BY md5(text)
     """,
+    "q_text_stats" -> s"""
+      SELECT doc_id, n_chars_measured, n_tokens,
+             round(alpha / nullif(len, 0), 6) AS alpha_ratio,
+             round(punct / nullif(len, 0), 6) AS punct_ratio,
+             round(stop_hits / nullif(n_tokens * 1.0, 0), 6) AS stopword_ratio,
+             round(alpha / nullif(n_tokens * 1.0, 0), 6) AS mean_token_len
+      FROM (
+        SELECT doc_id,
+               length(text)::BIGINT AS n_chars_measured,
+               length(text) * 1.0 AS len,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS n_tokens,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 AS alpha,
+               length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 AS punct,
+               len(list_filter($duckToks,
+                   t -> list_contains([$allStopwordsSql], t))) * 1.0 AS stop_hits
+        FROM documents)
+    """,
+    "q_lang_id" -> s"""
+      SELECT doc_id, s_en, s_de, s_fr, s_es,
+             CASE WHEN m > 0 AND s_en = m THEN 'en'
+                  WHEN m > 0 AND s_de = m THEN 'de'
+                  WHEN m > 0 AND s_fr = m THEN 'fr'
+                  WHEN m > 0 AND s_es = m THEN 'es'
+                  ELSE 'und' END AS lang_pred
+      FROM (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS m FROM (
+        SELECT doc_id,
+               ${langHitSql("en")} AS s_en, ${langHitSql("de")} AS s_de,
+               ${langHitSql("fr")} AS s_fr, ${langHitSql("es")} AS s_es
+        FROM (SELECT doc_id, $duckToks AS toks FROM documents)))
+    """,
+    "q_fingerprint" -> """
+      SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+             min(doc_id) AS keep_id, count(*) AS n_docs
+      FROM documents GROUP BY 1
+    """,
+    "q_dedup_ngram" -> s"""
+      WITH ex AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM (SELECT doc_id, $duckToks AS t FROM documents)
+        WHERE len(t) >= 3
+      ),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b,
+               round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id)
+      WHERE jaccard >= 0.8
+    """,
+    "q_dedup_minhash_lsh" -> s"""
+      WITH ex AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM (SELECT doc_id, $duckToks AS t FROM documents)
+        WHERE len(t) >= 3
+      ),
+      hx AS (SELECT doc_id,
+                    (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS x
+             FROM ex),
+      pj AS (SELECT j, (1103515245 * j + 12345) % 2147483647 AS a,
+                    (69069 * j + 1) % 2147483647 AS b
+             FROM range(16) t(j)),
+      sig AS (SELECT doc_id, j, min((a * x + b) % 2147483647) AS mh
+              FROM hx CROSS JOIN pj GROUP BY doc_id, j),
+      band AS (SELECT doc_id, j // 4 AS band,
+                      string_agg(mh::VARCHAR, ',' ORDER BY j) AS sig
+               FROM sig GROUP BY doc_id, j // 4)
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM band a JOIN band b ON a.band = b.band AND a.sig = b.sig
+                             AND a.doc_id < b.doc_id
+    """,
   )
+
+  /** DuckDB snippet: normalized whitespace tokens of `text`. */
+  private val duckToks =
+    "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  private val allStopwordsSql: String =
+    sqlList(graft.functions.TextAnalysis.stopwords.flatMap(_._2))
+
+  private def langHitSql(lang: String): String = {
+    val words = graft.functions.TextAnalysis.stopwords.toMap.apply(lang)
+    s"len(list_filter(toks, t -> list_contains([${sqlList(words)}], t)))"
+  }
 }
