@@ -180,6 +180,62 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       graft.functions.Dedup.lshCandidatePairs(
         Tables.load(s, dir, "documents"), "doc_id", "text", 3, 16, 4)),
+    "q_dedup_simhash" -> ((s, dir) =>
+      graft.functions.Dedup.simhashPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 12)),
+
+    // ---- embedding similarity (additive) ----
+    "q_sim_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.functions.Similarity.cosineTopK(
+        emb.filter(col("vec_id") < 5), emb, 10)
+    }),
+    "q_dedup_embedding" -> ((s, dir) =>
+      graft.functions.Similarity.labelBlockedNearDup(
+        Tables.load(s, dir, "embeddings"), 0.4)),
+    "q_sim_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.functions.Similarity.annIvf(
+        emb.filter(col("vec_id") < 5), emb, 2, 5)
+    }),
+
+    // ---- events: windowed agg + sessionization ----
+    "q_events_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             round(sum(col("value")), 6).as("sum_value"))),
+    "q_events_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      val gapNs = 30L * 60 * 1000 * 1000 * 1000
+      Tables.events(s, dir)
+        .withColumn("prev", lag(col("ts_ns"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("ts_ns") - col("prev") > gapNs, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts_ns")).as("start_ns"), max(col("ts_ns")).as("end_ns"))
+    }),
+
+    // ---- month spine standalone (S6) + reference band join (J3) ----
+    "q_month_spine" -> ((s, dir) =>
+      graft.operators.MonthSpine.spine(
+        s, StarAdapter.asOf(s, dir), 48)),
+    "q_band_join" -> ((s, dir) => {
+      val admits = Retention.householdAdmitDates(
+        StarAdapter.persons(s, dir), StarAdapter.encounters(s, dir),
+        StarAdapter.config(s, dir))
+      admits.as("cur").join(admits.as("prv"),
+          col("cur.household_id") === col("prv.household_id") &&
+          col("prv.admit_date") < col("cur.admit_date") &&
+          col("prv.admit_date") >= date_add(col("cur.admit_date"), -365))
+        .groupBy(col("cur.household_id").as("household_id"),
+                 col("cur.admit_date").as("admit_date"))
+        .agg(count(lit(1)).as("n_prior"))
+    }),
   )
 
   /** DuckDB-dialect oracles. Shared retention CTE prefix below. */
@@ -441,7 +497,129 @@ object SparkEntry {
       FROM band a JOIN band b ON a.band = b.band AND a.sig = b.sig
                              AND a.doc_id < b.doc_id
     """,
+    "q_dedup_simhash" -> s"""
+      WITH toksd AS (SELECT doc_id, $duckToks AS t FROM documents),
+      hs AS (SELECT doc_id, list_transform(t,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hl FROM toksd),
+      sims AS (SELECT doc_id,
+        list_sum(list_transform(range(60), i ->
+          CASE WHEN list_sum(list_transform(hl,
+                 h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS sim
+        FROM hs),
+      bands AS (SELECT doc_id, sim, b, (sim >> (b * 15)) & 32767 AS bv
+                FROM sims, range(4) t(b))
+      SELECT doc_a, doc_b, hamming FROM (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.sim, b.sim))::INT AS hamming
+        FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+                                 AND a.doc_id < b.doc_id)
+      WHERE hamming <= 12
+    """,
+    "q_sim_cosine_topk" -> s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               ${duckCos("qe", "e.embedding")} AS cos
+        FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id)
+      SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 10
+    """,
+    "q_dedup_embedding" -> s"""
+      SELECT vec_a, vec_b, cos FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ${duckCos("a.embedding", "b.embedding")} AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id)
+      WHERE cos >= 0.4
+    """,
+    "q_sim_ann_ivf" -> s"""
+      WITH cent AS (
+        SELECT label, list(c ORDER BY i) AS centroid FROM (
+          SELECT label, i, round(avg(embedding[i]::DOUBLE), 9) AS c
+          FROM embeddings, range(1, 65) t(i) GROUP BY label, i)
+        GROUP BY label),
+      q AS (SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < 5),
+      probe AS (
+        SELECT query_id, qe, label FROM (
+          SELECT query_id, qe, label,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY ccos DESC, label) AS crank
+          FROM (SELECT query_id, qe, c.label,
+                       ${duckCos("qe", "centroid")} AS ccos
+                FROM q CROSS JOIN cent c))
+        WHERE crank <= 2),
+      scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               ${duckCos("qe", "e.embedding")} AS cos
+        FROM probe p JOIN embeddings e ON e.label = p.label
+        WHERE e.vec_id <> p.query_id)
+      SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 5
+    """,
+    "q_events_window" -> """
+      SELECT user_id, ts::DATE AS day, event_type, count(*) AS n_events,
+             round(sum(value), 6) AS sum_value
+      FROM events GROUP BY 1, 2, 3
+    """,
+    "q_events_sessionize" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns FROM events),
+      x AS (SELECT user_id, event_id, ts_ns,
+                   CASE WHEN prev IS NULL OR ts_ns - prev > 1800000000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM (SELECT user_id, event_id, ts_ns,
+                         lag(ts_ns) OVER (PARTITION BY user_id
+                           ORDER BY ts_ns, event_id) AS prev FROM e)),
+      y AS (SELECT user_id, ts_ns,
+                   sum(new_s) OVER (PARTITION BY user_id
+                     ORDER BY ts_ns, event_id
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+            FROM x)
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(ts_ns) AS start_ns, max(ts_ns) AS end_ns
+      FROM y GROUP BY 1, 2
+    """,
+    "q_month_spine" -> """
+      WITH anchor AS (SELECT date_trunc('month', max(o_orderdate))::DATE AS m
+                      FROM orders)
+      SELECT unnest(generate_series((m - INTERVAL 48 MONTH)::TIMESTAMP,
+                                    m::TIMESTAMP, INTERVAL 1 MONTH))::DATE
+               AS start_of_month
+      FROM anchor
+    """,
+    "q_band_join" -> """
+      WITH persons AS (SELECT c_custkey AS person_id,
+                              (c_custkey // 2) AS household_id FROM customer),
+      anchor AS (SELECT max(o_orderdate)::DATE AS d FROM orders),
+      admits AS (SELECT DISTINCT p.household_id, o.o_orderdate::DATE AS admit_date
+                 FROM orders o JOIN persons p ON o.o_custkey = p.person_id, anchor a
+                 WHERE o.o_orderdate::DATE
+                       BETWEEN (a.d - INTERVAL 5 YEAR)::DATE AND a.d)
+      SELECT cur.household_id AS household_id, cur.admit_date AS admit_date,
+             count(*) AS n_prior
+      FROM admits cur JOIN admits prv
+        ON cur.household_id = prv.household_id
+       AND prv.admit_date < cur.admit_date
+       AND prv.admit_date >= cur.admit_date - 365
+      GROUP BY 1, 2
+    """,
   )
+
+  /** DuckDB snippet: rounded cosine between two 64-dim list exprs,
+    * folding left-to-right in double like Spark's aggregate∘zip_with. */
+  private def duckCos(a: String, b: String): String = {
+    def d(x: String, y: String) =
+      s"list_sum(list_transform(range(1, 65), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
+    s"round(${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)})), 6)"
+  }
 
   /** DuckDB snippet: normalized whitespace tokens of `text`. */
   private val duckToks =

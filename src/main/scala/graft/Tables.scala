@@ -23,5 +23,21 @@ object Tables {
   /** Register every table as a temp view so `spark.sql` parity queries and
     * user SQL resolve the same names the DuckDB oracle uses. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
+
+  /** The events table is written with TIMESTAMP(NANOS) — Spark's parquet
+    * reader rejects that outright (PARQUET_TYPE_ILLEGAL) unless
+    * `spark.sql.legacy.parquet.nanosAsLong` is set, which surfaces `ts`
+    * as a nanos-since-epoch LongType. Expose both the raw nanos
+    * (`ts_ns`) and a micros-truncated proper TimestampType (`ts`). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts_ns div 1000)"))
+  }
 }

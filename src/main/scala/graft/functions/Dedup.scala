@@ -108,4 +108,40 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** Register graft's custom Catalyst expressions for SQL use. */
+  def registerExpressions(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash60", exprs => expressions.SimHash60(exprs.head), "scala_udf")
+
+  /** 60-bit SimHash per document over normalized whitespace tokens,
+    * via the custom codegen-resident expression (one pass per row — no
+    * tokens×bits explosion). */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    registerExpressions(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+                split(TextAnalysis.normalized(col(textCol)), " ").as("toks"))
+      .select(col("doc_id"), expr("simhash60(toks)").as("sim"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming,
+    * candidate-generated by banding the 60 bits into 4×15-bit chunks
+    * (any pair within distance 3 must agree on ≥1 chunk; wider
+    * distances trade recall, the standard Hamming-LSH shape). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol)
+    val bands = sigs.select(col("doc_id"), col("sim"),
+        explode(sequence(lit(0), lit(3))).as("bnd"))
+      .withColumn("bv", expr("shiftright(sim, bnd * 15) & 32767"))
+    bands.as("a").join(bands.as("b"),
+        col("a.bnd") === col("b.bnd") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              expr("bit_count(a.sim ^ b.sim)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

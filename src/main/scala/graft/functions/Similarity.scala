@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (additive): brute-force cosine top-k as
+  * the exact baseline, label-blocked near-dup, and an IVF-style
+  * coarse-quantized ANN as the scale path.
+  *
+  * Scale design: the brute-force path is only ever applied to a
+  * bounded query set × corpus (its cost is |Q|·N — linear in corpus,
+  * embarrassingly parallel, no shuffle beyond the broadcast of Q). The
+  * IVF path prunes the corpus to `nprobe` coarse cells before scoring
+  * — at 100 TB the cell assignment is the partition key, so each probe
+  * touches only its cells' partitions. All arithmetic is
+  * `zip_with`/`aggregate` over ArrayType columns — codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. float×float is
+    * exact in double, and both Spark's `aggregate` and the DuckDB
+    * oracle's `list_sum∘list_transform` fold left-to-right, so scores
+    * agree bit-for-bit before any rounding. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector (brute force — the
+    * correctness baseline ANN variants are judged against). */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = broadcast(queries.select(col("vec_id").as("query_id"),
+                                          col("embedding").as("qe")))
+      .crossJoin(corpus.select(col("vec_id").as("neighbor_id"),
+                               col("embedding").as("ce")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              round(cosine(col("qe"), col("ce")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Near-duplicate pairs by cosine ≥ threshold, blocked on a coarse
+    * key (here the pre-assigned cluster label) so candidate generation
+    * is an equi-join, not a cross join. */
+  def labelBlockedNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"), col("embedding"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+              round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** IVF coarse centroids: element-wise mean per label, each component
+    * rounded to 9 dp so independently-ordered partial sums in either
+    * engine land on the same value. Returned as (label, centroid). */
+  def centroids(emb: DataFrame): DataFrame = {
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("i", "e")))
+      .groupBy("label", "i")
+      .agg(round(avg(col("e").cast("double")), 9).as("c"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("c")))),
+                     s => s.getField("c")).as("centroid"))
+  }
+
+  /** IVF-style ANN: score each query against the per-label centroids,
+    * keep the `nprobe` closest cells, brute-force only inside them. */
+  def annIvf(queries: DataFrame, corpus: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val cents = centroids(corpus)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("label"))
+    val probed = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qe"), col("label"),
+              round(cosine(col("qe"), col("centroid")), 6).as("ccos"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "qe", "label")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probed.join(corpus.select(col("vec_id").as("neighbor_id"), col("label"),
+                              col("embedding").as("ce")), "label")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              round(cosine(col("qe"), col("ce")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .drop("qe")
+  }
+}

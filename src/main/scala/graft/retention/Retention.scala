@@ -60,8 +60,8 @@ object Retention {
     * same-day repeat encounters never count as "another, earlier"
     * encounter (strict `>` at :530).
     */
-  private[retention] def householdAdmitDates(persons: DataFrame, encounters: DataFrame,
-                                             cfg: RetentionConfig): DataFrame = {
+  def householdAdmitDates(persons: DataFrame, encounters: DataFrame,
+                          cfg: RetentionConfig): DataFrame = {
     val scanStart = java.sql.Date.valueOf(cfg.asOf.minusYears(cfg.scanYears.toLong))
     val asOfDate = java.sql.Date.valueOf(cfg.asOf)
     val p = persons.filter(col("household_id").isNotNull)
