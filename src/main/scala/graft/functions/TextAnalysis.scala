@@ -31,12 +31,15 @@ object TextAnalysis {
     * standard "normalize then hash" exact-near-dup key. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
-  /** Word n-grams (shingles) over normalized tokens. */
+  /** Word n-grams (shingles) over normalized tokens, via the fused
+    * [[expressions.WordShingles]] Catalyst expression (the equivalent
+    * transform∘slice∘concat_ws composition is interpreted and ~30×
+    * slower — see that class's scaladoc). */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(normalized(text), " ")
-    when(size(toks) < n, array()).otherwise(
-      transform(sequence(lit(0), size(toks) - n),
-                i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    org.apache.spark.sql.GraftSqlBridge.column(
+      expressions.WordShingles(
+        org.apache.spark.sql.GraftSqlBridge.expression(toks), n))
   }
 
   /** Tiny per-language stopword lists for the n-gram/stopword
