@@ -179,17 +179,19 @@ object Retention {
       .unionByName(phase2Ranges(persons, encounters, cfg).select(cols: _*))
   }
 
-  /** The reference's output shape (S7/A7, :281-295): one row per person
-    * with the history as a sorted ARRAY<STRUCT>. `collect_list` over
-    * the household-clustered ranges (bounded: ≤ windowMonths+1 entries
-    * per person), sorted in-array for determinism.
-    */
-  def nestedHistory(persons: DataFrame, encounters: DataFrame,
-                    cfg: RetentionConfig): DataFrame = {
-    fullHistory(persons, encounters, cfg)
-      .groupBy("person_id")
+  /** Reshape flat (person, range) rows into the reference's output
+    * shape (S7/A7, :281-295): one row per person with the history as a
+    * sorted ARRAY<STRUCT>. `collect_list` is bounded here (≤
+    * windowMonths+1 entries per person), sorted in-array for
+    * determinism. */
+  def nestRanges(ranges: DataFrame): DataFrame =
+    ranges.groupBy("person_id")
       .agg(array_sort(collect_list(struct(
         col("gte"), col("lte"), col("start_date"), col("end_date"),
         col("retained")))).as("household_retention_history"))
-  }
+
+  /** Both phases, nested per person. */
+  def nestedHistory(persons: DataFrame, encounters: DataFrame,
+                    cfg: RetentionConfig): DataFrame =
+    nestRanges(fullHistory(persons, encounters, cfg))
 }

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+case class SessionEvent(user_id: Long, event_id: Long, ts_ns: Long)
+case class SessionState(sessionStartNs: Long, lastNs: Long, n: Long)
+case class SessionOut(user_id: Long, session_start_ns: Long,
+                      session_end_ns: Long, n_events: Long)
+
+/** Structured Streaming operators (additive — the reference is batch
+  * only, SURVEY.md §2.8, but the `events` stream table makes the
+  * streaming variants of the same computations natural).
+  *
+  * Both operators are the streaming duals of batch queries in
+  * SparkEntry (q_events_window / q_events_sessionize), so batch output
+  * doubles as the correctness oracle for a replayed stream.
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling-window counts per event type — the streaming
+    * dual of q_events_window. Late events beyond the watermark are
+    * dropped; state is bounded by (watermark horizon / window) ×
+    * |event_type|, which is what makes this runnable forever at scale.
+    */
+  def windowedCounts(events: DataFrame, window_ : String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 6).as("sum_value"))
+
+  /** Gap-based sessionization with explicit keyed state
+    * (flatMapGroupsWithState) — the streaming dual of
+    * q_events_sessionize. Emits a session row when a gap exceeds
+    * `gapNs`; state per user is O(1). Pass ProcessingTimeTimeout in a
+    * long-running deployment to flush idle users' open sessions (with
+    * NoTimeout, the default, open sessions stay in state — which is
+    * also what lets a drain-the-source test terminate).
+    */
+  def sessionize(events: Dataset[SessionEvent], gapNs: Long,
+                 timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, timeout) {
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOut(userId, s.sessionStartNs, s.lastNs, s.n)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_ns - s.lastNs <= gapNs =>
+                  cur = Some(s.copy(lastNs = e.ts_ns, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.sessionStartNs, s.lastNs, s.n)
+                  cur = Some(SessionState(e.ts_ns, e.ts_ns, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_ns, e.ts_ns, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration("30 seconds")
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** File-stream reader for the events fixture (nanos handled the same
+    * way as the batch loader). The file source requires a DIRECTORY, so
+    * the single fixture file is staged into a temp dir once. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    val dir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_events/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    java.nio.file.Files.createDirectories(dir)
+    val dst = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dst))
+      java.nio.file.Files.copy(src, dst)
+    val schema = graft.Tables.load(spark, sfDir, "events").schema
+    spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.security.MessageDigest
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+
+/** Custom Catalyst expressions vs their built-in-composition /
+  * driver-side reference implementations. */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WordShingles equals transform∘slice∘concat_ws composition") {
+    val texts = Seq("a b c d e", "one two", "x", "", "  padded   text  here ")
+      .toDF("text")
+    for (n <- 1 to 3) {
+      val fused = texts.select(TextAnalysis.shingles(col("text"), n).as("s"))
+        .as[Seq[String]].collect().toSeq
+      val toks = split(TextAnalysis.normalized(col("text")), " ")
+      val composed = texts.select(
+        when(size(toks) < n, array()).otherwise(
+          transform(sequence(lit(0), size(toks) - n),
+                    i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("s"))
+        .as[Seq[String]].collect().toSeq
+      assert(fused == composed, s"n=$n")
+    }
+  }
+
+  test("CosineSimilarity equals aggregate∘zip_with composition bit-for-bit") {
+    val rnd = new Random(7)
+    val rows = (1 to 50).map { _ =>
+      (Array.fill(64)(rnd.nextFloat() * 2 - 1),
+       Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }.toDF("a", "b")
+    val fused = rows.select(Similarity.cosineFused(col("a"), col("b")))
+      .as[Double].collect()
+    val composed = rows.select(Similarity.cosine(col("a"), col("b")))
+      .as[Double].collect()
+    fused.zip(composed).foreach { case (f, c) =>
+      assert(java.lang.Double.doubleToLongBits(f) ==
+             java.lang.Double.doubleToLongBits(c))
+    }
+  }
+
+  test("SimHash60 matches driver-side reference implementation") {
+    def refSimhash(tokens: Seq[String]): Long = {
+      val acc = new Array[Int](60)
+      tokens.foreach { t =>
+        val hex = MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString.take(15)
+        val h = java.lang.Long.parseLong(hex, 16)
+        (0 until 60).foreach { i =>
+          if (((h >> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        }
+      }
+      (0 until 60).foldLeft(0L)((r, i) => if (acc(i) > 0) r | (1L << i) else r)
+    }
+    val docs = Seq((1L, "the quick brown fox"), (2L, "lorem ipsum dolor sit amet"),
+                   (3L, "a"), (4L, "repeat repeat repeat"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1L -> "the quick brown fox", 2L -> "lorem ipsum dolor sit amet",
+        3L -> "a", 4L -> "repeat repeat repeat").foreach { case (id, text) =>
+      assert(got(id) == refSimhash(text.split(" ").toSeq), s"doc $id")
+    }
+  }
+
+  test("md5Hash60 matches JVM md5 prefix") {
+    val got = Seq("hello").toDF("s")
+      .select(Dedup.md5Hash60(col("s"))).as[Long].head()
+    assert(got == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{SessionEvent, StreamingOps}
+
+/** Streaming duals replay the events fixture and must agree with the
+  * batch queries on the same data. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("windowed counts over a replayed stream match batch totals") {
+    val stream = StreamingOps.eventsStream(spark, dir)
+    val q = StreamingOps.windowedCounts(stream, "1 day", "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("wc")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("wc")
+      .agg(sum("n_events")).as[Long].head()
+    val batch = Tables.events(spark, dir).count()
+    assert(streamed == batch) // every event lands in exactly one window
+  }
+
+  test("stateful sessionization matches the batch gaps-and-islands result") {
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val events = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts_ns").as[SessionEvent]
+    // batch truth from the SparkEntry query
+    val batch = SparkEntry.queries("q_events_sessionize")(spark, dir)
+      .select("user_id", "start_ns", "end_ns", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // streaming run: one microbatch holds every event, so each user's
+    // sessions are emitted except the still-open last one
+    val stream = StreamingOps.eventsStream(spark, dir)
+      .select($"user_id", $"event_id", $"ts_ns").as[SessionEvent]
+    val q = StreamingOps.sessionize(stream, gapNs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("sess")
+      .select("user_id", "session_start_ns", "session_end_ns", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // every emitted (closed) session must be a true batch session
+    assert(emitted.subsetOf(batch))
+    // and all but (≤ one open session per user) were emitted
+    val users = emitted.map(_._1)
+    val expectClosed = batch.groupBy(_._1).map { case (u, ss) => u -> (ss.size - 1) }
+    users.foreach { u =>
+      assert(emitted.count(_._1 == u) >= expectClosed(u))
+    }
+  }
+}
