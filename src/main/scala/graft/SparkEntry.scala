@@ -220,6 +220,26 @@ object SparkEntry {
              min(col("ts_ns")).as("start_ns"), max(col("ts_ns")).as("end_ns"))
     }),
 
+    // ---- JSON column parsing (S5/P1) ----
+    "q_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") > 50)),
+    // ---- count gates (A6/A8: the reference's hits.total probes) ----
+    "q_count_gate" -> ((s, dir) =>
+      Tables.load(s, dir, "customer")
+        .agg(count(lit(1)).as("n_persons"),
+             countDistinct(col("c_nationkey")).as("n_households"),
+             count(when(col("c_acctbal") > 0, 1)).as("n_positive_bal"))),
+    // ---- parent-side semi join (J9: ES has_parent) ----
+    "q_join_semi_parent" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer")
+                .filter(col("c_acctbal") > 5000.0),
+              col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"))),
+
     // ---- month spine standalone (S6) + reference band join (J3) ----
     "q_month_spine" -> ((s, dir) =>
       graft.operators.MonthSpine.spine(
@@ -586,6 +606,23 @@ object SparkEntry {
       SELECT user_id, session_id, count(*) AS n_events,
              min(ts_ns) AS start_ns, max(ts_ns) AS end_ns
       FROM y GROUP BY 1, 2
+    """,
+    "q_json_extract" -> """
+      SELECT event_id, k FROM (
+        SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+        FROM events)
+      WHERE k > 50
+    """,
+    "q_count_gate" -> """
+      SELECT count(*) AS n_persons,
+             count(DISTINCT c_nationkey) AS n_households,
+             count(*) FILTER (c_acctbal > 0) AS n_positive_bal
+      FROM customer
+    """,
+    "q_join_semi_parent" -> """
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE EXISTS (SELECT 1 FROM customer
+                    WHERE c_custkey = o_custkey AND c_acctbal > 5000.0)
     """,
     "q_month_spine" -> """
       WITH anchor AS (SELECT date_trunc('month', max(o_orderdate))::DATE AS m
