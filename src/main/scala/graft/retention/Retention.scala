@@ -168,15 +168,36 @@ object Retention {
         col("person_id"))
   }
 
-  /** Both phases unioned — one row per (person, range): the complete
-    * retention history the reference upserts back into ES (S7).
+  /** Both phases — one row per (person, range): the complete retention
+    * history the reference upserts back into ES (S7).
+    *
+    * Computed as ONE left join of persons against the household-level
+    * ranges: matched rows are phase 1, null-side rows become the
+    * phase-2 constant range via coalesce. A union of two separately
+    * built phases would evaluate the whole person⋈encounter→distinct
+    * subtree twice (Spark doesn't dedup logical subplans across union
+    * branches — 26 exchanges vs 13 in the physical plan); at 100 TB
+    * that's two full scans+shuffles of the encounter table instead of
+    * one.
     */
   def fullHistory(persons: DataFrame, encounters: DataFrame,
                   cfg: RetentionConfig): DataFrame = {
-    val cols = Seq("person_id", "household_id", "retained",
-                   "gte", "lte", "start_date", "end_date").map(col)
-    personRanges(persons, encounters, cfg).select(cols: _*)
-      .unionByName(phase2Ranges(persons, encounters, cfg).select(cols: _*))
+    val hh = householdRanges(persons, encounters, cfg)
+    val p = persons.filter(col("household_id").isNotNull)
+      .select("person_id", "household_id")
+    val m = cfg.asOf.withDayOfMonth(1)
+    val gteD = m.minusYears(cfg.notRetainedPastYears.toLong)
+    val lteD = m.plusYears(cfg.notRetainedFutureYears.toLong)
+    def epochMs(d: java.time.LocalDate): Long =
+      d.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond * 1000
+    p.join(hh, Seq("household_id"), "left")
+      .select(
+        col("person_id"), col("household_id"),
+        coalesce(col("retained"), lit(false)).as("retained"),
+        coalesce(col("gte"), lit(epochMs(gteD))).as("gte"),
+        coalesce(col("lte"), lit(epochMs(lteD))).as("lte"),
+        coalesce(col("start_date"), lit(gteD.toString)).as("start_date"),
+        coalesce(col("end_date"), lit(lteD.toString + " 00:00:00")).as("end_date"))
   }
 
   /** Reshape flat (person, range) rows into the reference's output
