@@ -39,6 +39,13 @@ object SparkEntry {
       Retention.phase2Ranges(
         StarAdapter.persons(s, dir), StarAdapter.encounters(s, dir),
         StarAdapter.config(s, dir).copy(scanYears = 1))),
+    // client_code tenant isolation (P5): same pipeline scoped to one
+    // market segment's persons.
+    "q_retention_tenant" -> ((s, dir) =>
+      Retention.fullHistory(
+        StarAdapter.personsForTenant(s, dir, "BUILDING"),
+        StarAdapter.encounters(s, dir),
+        StarAdapter.config(s, dir))),
     "q_retention_nested" -> ((s, dir) =>
       // A7 array-of-struct shape, stringified so the oracle compare is
       // order-stable across engines.
@@ -259,7 +266,8 @@ object SparkEntry {
   )
 
   /** DuckDB-dialect oracles. Shared retention CTE prefix below. */
-  private def retentionCteFor(scanYears: Int): String = s"""
+  private def retentionCteFor(scanYears: Int,
+      personsWhere: String = "c_custkey IS NOT NULL"): String = s"""
     WITH anchor AS (
       SELECT date_trunc('month', max(o_orderdate))::DATE AS m,
              max(o_orderdate)::DATE AS d
@@ -267,7 +275,7 @@ object SparkEntry {
     ),
     persons AS (
       SELECT c_custkey AS person_id, (c_custkey // 2) AS household_id
-      FROM customer WHERE c_custkey IS NOT NULL
+      FROM customer WHERE $personsWhere
     ),
     admits AS (
       SELECT DISTINCT p.household_id, o.o_orderdate::DATE AS admit_date
@@ -352,6 +360,11 @@ object SparkEntry {
     """),
     "q_retention_phase2" -> (retentionCteFor(1) + """
       SELECT household_id, retained, gte, lte, start_date, end_date, person_id FROM phase2
+    """),
+    "q_retention_tenant" -> (retentionCteFor(5, "c_mktsegment = 'BUILDING'") + """
+      SELECT person_id, household_id, retained, gte, lte, start_date, end_date FROM phase1
+      UNION ALL
+      SELECT person_id, household_id, retained, gte, lte, start_date, end_date FROM phase2
     """),
     "q_retention_nested" -> (retentionCteFor(5) + """
       , full_hist AS (

@@ -22,8 +22,16 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
   /** Lowercase, strip non-alphanumerics, collapse whitespace — the
-    * canonical form used for fingerprinting and near-dup shingling. */
+    * canonical form used for fingerprinting and near-dup shingling.
+    * Fused single-pass expression; equivalent to
+    * `trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))` (see
+    * [[expressions.NormalizeText]]). */
   def normalized(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(expressions.NormalizeText(
+      org.apache.spark.sql.GraftSqlBridge.expression(text)))
+
+  /** The regex composition normalized() replaces (kept for tests). */
+  def normalizedComposed(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
   /** Document fingerprint: md5 over the normalized text. Two documents

@@ -31,6 +31,15 @@ object StarAdapter {
       .select(col("c_custkey").as("person_id"),
               expr("c_custkey div 2").as("household_id"))
 
+  /** Tenant-scoped persons — the reference's `client_code` equality
+    * predicate (P5, pushed into every ES query; here pushed into the
+    * parquet scan by Catalyst). */
+  def personsForTenant(spark: SparkSession, sfDir: String, segment: String): DataFrame =
+    Tables.load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey").as("person_id"),
+              expr("c_custkey div 2").as("household_id"))
+
   def encounters(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "orders")
       .select(col("o_custkey").as("person_id"),

@@ -70,6 +70,20 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("NormalizeText equals trim∘regexp_replace∘lower on random unicode") {
+    val rnd = new Random(11)
+    val alphabet = "aZ09 .,!-_éñ中文🙂\t\n" + "qwerty"
+    val rows = ((1 to 300).map(_ =>
+      (1 to rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString) ++ Seq("", "   ", "ABC", "éé", "a--b"))
+      .toDF("text")
+    val fused = rows.select(TextAnalysis.normalized(col("text")))
+      .as[String].collect().toSeq
+    val composed = rows.select(TextAnalysis.normalizedComposed(col("text")))
+      .as[String].collect().toSeq
+    assert(fused == composed)
+  }
+
   test("md5Hash60 matches JVM md5 prefix") {
     val got = Seq("hello").toDF("s")
       .select(Dedup.md5Hash60(col("s"))).as[Long].head()
