@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions.{CosineSimilarity, NormalizeText, SimHash60, WordShingles}
+
+/** Session-extension entry point: registers graft's custom Catalyst
+  * expressions as SQL functions, so a pure-SQL user gets the whole
+  * surface without touching the Scala API:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  * spark.sql("SELECT simhash60(split(text, ' ')), cosine_sim(a, b) FROM t")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(tokens) — 60-bit SimHash of ARRAY<STRING>"),
+      (args: Seq[Expression]) => SimHash60(args.head)))
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) — fused cosine over ARRAY<FLOAT|DOUBLE>"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(tokens, n) — word n-grams of ARRAY<STRING>"),
+      (args: Seq[Expression]) => WordShingles(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("normalize_text"),
+      info("normalize_text", "normalize_text(s) — lower, strip non-alnum, collapse ws"),
+      (args: Seq[Expression]) => NormalizeText(args.head)))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.retention.{Retention, StarAdapter}
+import graft.retention.{EventsAdapter, Retention, StarAdapter}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -46,6 +46,11 @@ object SparkEntry {
         StarAdapter.personsForTenant(s, dir, "BUILDING"),
         StarAdapter.encounters(s, dir),
         StarAdapter.config(s, dir))),
+    // second source instantiation: events stream as encounters
+    "q_retention_events" -> ((s, dir) =>
+      Retention.fullHistory(
+        EventsAdapter.persons(s, dir), EventsAdapter.encounters(s, dir),
+        EventsAdapter.config(s, dir))),
     "q_retention_nested" -> ((s, dir) =>
       // A7 array-of-struct shape, stringified so the oracle compare is
       // order-stable across engines.
@@ -265,8 +270,11 @@ object SparkEntry {
     }),
   )
 
-  /** DuckDB-dialect oracles. Shared retention CTE prefix below. */
-  private def retentionCteFor(scanYears: Int,
+  /** DuckDB-dialect oracles. The retention CTE is split into a
+    * source-specific head (anchor/persons/admits) and a shared,
+    * parameterized tail — the SQL mirror of the library being generic
+    * over its person/encounter source. */
+  private def starHead(scanYears: Int,
       personsWhere: String = "c_custkey IS NOT NULL"): String = s"""
     WITH anchor AS (
       SELECT date_trunc('month', max(o_orderdate))::DATE AS m,
@@ -282,6 +290,29 @@ object SparkEntry {
       FROM orders o JOIN persons p ON o.o_custkey = p.person_id, anchor a
       WHERE o.o_orderdate::DATE BETWEEN (a.d - INTERVAL $scanYears YEAR)::DATE AND a.d
     ),
+  """
+
+  private def eventsHead(scanYears: Int): String = s"""
+    WITH anchor AS (
+      SELECT date_trunc('month', max(ts))::DATE AS m, max(ts)::DATE AS d
+      FROM events
+    ),
+    persons AS (
+      SELECT DISTINCT user_id AS person_id, (user_id // 2) AS household_id
+      FROM events
+    ),
+    admits AS (
+      SELECT DISTINCT p.household_id, e.ts::DATE AS admit_date
+      FROM events e JOIN persons p ON e.user_id = p.person_id, anchor a
+      WHERE e.ts::DATE BETWEEN (a.d - INTERVAL $scanYears YEAR)::DATE AND a.d
+    ),
+  """
+
+  private def retentionCteFor(scanYears: Int,
+      personsWhere: String = "c_custkey IS NOT NULL"): String =
+    starHead(scanYears, personsWhere) + retentionTail(365, 48)
+
+  private def retentionTail(lookbackDays: Int, windowMonths: Int): String = s"""
     retained AS (
       SELECT DISTINCT household_id,
              date_trunc('month', admit_date)::DATE AS start_of_month
@@ -289,11 +320,11 @@ object SparkEntry {
                    lag(admit_date) OVER (PARTITION BY household_id
                                          ORDER BY admit_date) AS prev
             FROM admits) t
-      WHERE prev >= admit_date - 365
+      WHERE prev >= admit_date - $lookbackDays
     ),
     households AS (SELECT DISTINCT household_id FROM admits),
     spine AS (
-      SELECT unnest(generate_series((a.m - INTERVAL 48 MONTH)::TIMESTAMP,
+      SELECT unnest(generate_series((a.m - INTERVAL $windowMonths MONTH)::TIMESTAMP,
                                     a.m::TIMESTAMP, INTERVAL 1 MONTH))::DATE
                AS start_of_month
       FROM anchor a
@@ -362,6 +393,11 @@ object SparkEntry {
       SELECT household_id, retained, gte, lte, start_date, end_date, person_id FROM phase2
     """),
     "q_retention_tenant" -> (retentionCteFor(5, "c_mktsegment = 'BUILDING'") + """
+      SELECT person_id, household_id, retained, gte, lte, start_date, end_date FROM phase1
+      UNION ALL
+      SELECT person_id, household_id, retained, gte, lte, start_date, end_date FROM phase2
+    """),
+    "q_retention_events" -> (eventsHead(5) + retentionTail(7, 2) + """
       SELECT person_id, household_id, retained, gte, lte, start_date, end_date FROM phase1
       UNION ALL
       SELECT person_id, household_id, retained, gte, lte, start_date, end_date FROM phase2

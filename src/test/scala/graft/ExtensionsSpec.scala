@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL surface via SparkSessionExtensions — a pure-SQL user's view. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  // getOrCreate would silently return any session another suite already
+  // made (without our extensions) — force a fresh SparkSession (the
+  // SparkContext is still reused).
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  }
+
+  test("custom expressions are callable from SQL") {
+    val row = spark.sql("""
+      SELECT simhash60(array('the', 'quick', 'fox')) AS sh,
+             cosine_sim(array(1.0F, 2.0F), array(1.0F, 2.0F)) AS cs,
+             word_shingles(array('a', 'b', 'c'), 2) AS ws,
+             normalize_text('  Hello,  WORLD!! 42 ') AS nt
+    """).head()
+    assert(row.getAs[Long]("sh") != 0L)
+    assert(math.abs(row.getAs[Double]("cs") - 1.0) < 1e-12)
+    assert(row.getSeq[String](2).toList == List("a b", "b c"))
+    assert(row.getAs[String]("nt") == "hello world 42")
+  }
+}
