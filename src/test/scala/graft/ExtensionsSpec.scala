@@ -8,7 +8,9 @@ class ExtensionsSpec extends AnyFunSuite {
 
   // getOrCreate would silently return any session another suite already
   // made (without our extensions) — force a fresh SparkSession (the
-  // SparkContext is still reused).
+  // SparkContext is still reused). `.withExtensions` is the
+  // programmatic path; the `spark.sql.extensions` config line only
+  // works when it is present at SparkContext creation (static conf).
   lazy val spark: SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -16,7 +18,7 @@ class ExtensionsSpec extends AnyFunSuite {
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .withExtensions(new GraftExtensions)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
   }
