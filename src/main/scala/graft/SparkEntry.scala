@@ -252,6 +252,41 @@ object SparkEntry {
               col("o_custkey") === col("c_custkey"), "left_semi")
         .select(col("o_orderkey"), col("o_custkey"))),
 
+    // ---- as-of join (operator Spark lacks; union-and-carry rewrite) ----
+    "q_asof_join" -> ((s, dir) => {
+      val dayNs = 86400L * 1000 * 1000 * 1000
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("ts_ns"))
+      val cp = ev
+        .withColumn("cp_ns", (col("ts_ns") / dayNs).cast("long") * dayNs)
+        .groupBy("user_id", "cp_ns")
+        .agg(count(lit(1)).as("cp_events"))
+        .filter(col("cp_events") >= 5)
+      graft.operators.AsOfJoin.joinAsOf(
+          ev, cp, Seq("user_id"), "ts_ns", "cp_ns", Seq("cp_ns", "cp_events"))
+        .select(col("event_id"), col("user_id"), col("ts_ns"),
+                coalesce(col("cp_ns"), lit(-1L)).as("cp_ns"),
+                coalesce(col("cp_events"), lit(-1L)).as("cp_events"))
+    }),
+
+    // ---- running aggregates over an explicit frame ----
+    "q_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+                count(lit(1)).over(w).as("n_so_far"),
+                round(sum(col("o_totalprice")).over(w), 2).as("spent_so_far"))
+    }),
+
+    // ---- rollup (multi-level aggregation, beyond the reference) ----
+    "q_rollup" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+             count(lit(1)).as("n"))),
+
     // ---- month spine standalone (S6) + reference band join (J3) ----
     "q_month_spine" -> ((s, dir) =>
       graft.operators.MonthSpine.spine(
@@ -672,6 +707,33 @@ object SparkEntry {
       SELECT o_orderkey, o_custkey FROM orders
       WHERE EXISTS (SELECT 1 FROM customer
                     WHERE c_custkey = o_custkey AND c_acctbal > 5000.0)
+    """,
+    "q_asof_join" -> """
+      WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns FROM events),
+      cp AS (SELECT user_id,
+                    (epoch_ns(ts) // 86400000000000) * 86400000000000 AS cp_ns,
+                    count(*) AS cp_events
+             FROM events
+             GROUP BY user_id, (epoch_ns(ts) // 86400000000000) * 86400000000000
+             HAVING count(*) >= 5)
+      SELECT e.event_id, e.user_id, e.ts_ns,
+             coalesce(c.cp_ns, -1) AS cp_ns,
+             coalesce(c.cp_events, -1) AS cp_events
+      FROM ev e ASOF LEFT JOIN cp c
+        ON e.user_id = c.user_id AND e.ts_ns >= c.cp_ns
+    """,
+    "q_running_total" -> """
+      SELECT o_orderkey, o_custkey,
+             count(*) OVER w AS n_so_far,
+             round(sum(o_totalprice) OVER w, 2) AS spent_so_far
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING)
+    """,
+    "q_rollup" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "q_month_spine" -> """
       WITH anchor AS (SELECT date_trunc('month', max(o_orderdate))::DATE AS m
