@@ -205,6 +205,9 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, dir) =>
       graft.functions.Similarity.labelBlockedNearDup(
         Tables.load(s, dir, "embeddings"), 0.4)),
+    "q_sim_lsh_buckets" -> ((s, dir) =>
+      graft.functions.Similarity.hyperplaneLshBuckets(
+        Tables.load(s, dir, "embeddings"), 16, 4)),
     "q_sim_ann_ivf" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       graft.functions.Similarity.annIvf(
@@ -668,6 +671,30 @@ object SparkEntry {
                     ORDER BY cos DESC, neighbor_id) AS rank
         FROM scored)
       WHERE rank <= 5
+    """,
+    "q_sim_lsh_buckets" -> """
+      WITH pl AS (
+        SELECT p, d,
+               ((('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+                 % 2001) - 1000) AS w
+        FROM range(64) t(p), range(64) s(d)
+      ),
+      q AS (
+        SELECT vec_id, d, round(embedding[d + 1]::DOUBLE * 1000)::BIGINT AS q
+        FROM embeddings, range(64) s(d)
+      ),
+      dots AS (
+        SELECT vec_id, p, sum(q.q * pl.w) AS dot
+        FROM q JOIN pl ON q.d = pl.d GROUP BY vec_id, p
+      ),
+      bits AS (
+        SELECT vec_id, p // 16 AS band, p,
+               CASE WHEN dot > 0 THEN 1 ELSE 0 END AS bit
+        FROM dots
+      )
+      SELECT vec_id, band,
+             sum(bit << (p % 16))::BIGINT AS bucket
+      FROM bits GROUP BY vec_id, band
     """,
     "q_events_window" -> """
       SELECT user_id, ts::DATE AS day, event_type, count(*) AS n_events,

@@ -77,6 +77,38 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Sign-random-projection (hyperplane) LSH bucket ids: `planes`
+    * pseudo-random hyperplanes per band; bucket = the sign-bit pattern
+    * of the vector's dot products. Cross-engine determinism: plane
+    * components are md5-derived integers in [-1000, 1000] keyed on
+    * (plane, dim), and the vector is quantized to integers
+    * (round(x*1000)) before the dot product — integer sums are
+    * order-independent, so the sign never flips between engines or
+    * partial-aggregation orders. The scale path for CROSS-partition
+    * near-dup: pairs sharing a bucket are the only candidates, an
+    * equi-join on (band, bucket).
+    */
+  def hyperplaneLshBuckets(emb: DataFrame, planes: Int, bands: Int): DataFrame = {
+    val dims = 64
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planeDf = broadcast(
+      (for (p <- 0 until planes * bands; d <- 0 until dims) yield (p, d))
+        .toDF("p", "d")
+        .withColumn("w",
+          Dedup.md5Hash60(concat_ws("_", col("p"), col("d"))) % 2001 - 1000))
+    val quantized = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("q", round(col("x").cast("double") * 1000).cast("long"))
+    quantized.join(planeDf, "d")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("q") * col("w")).as("dot"))
+      .select(col("vec_id"), expr(s"p div $planes").as("band"),
+              col("p"), when(col("dot") > 0, 1L).otherwise(0L).as("bit"))
+      .groupBy("vec_id", "band")
+      .agg(expr(s"sum(shiftleft(bit, cast(p % $planes as int))) AS bucket"))
+  }
+
   /** IVF coarse centroids: element-wise mean per label, each component
     * rounded to 9 dp so independently-ordered partial sums in either
     * engine land on the same value. Returned as (label, centroid). */

@@ -90,6 +90,24 @@ object Multimodal {
     }
   }
 
+  /** "Resize" stage stub: a real implementation decodes, scales to
+    * `side`×`side`, re-encodes. Without a codec, the stub
+    * deterministically subsamples the payload to side*side bytes
+    * (stride sampling) and rewrites the metadata — exercising the real
+    * plumbing (binary in, binary out, metadata update, map-side only).
+    */
+  def resizeStub(media: Dataset[MediaRecord], side: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val n = side * side
+      val out =
+        if (r.bytes.length <= n) r.bytes
+        else Array.tabulate(n)(i => r.bytes((i.toLong * r.bytes.length / n).toInt))
+      r.copy(bytes = out, width = math.min(r.width, side),
+             height = math.min(r.height, side))
+    }
+  }
+
   /** Deterministic frame sampling for videos: one row per sampled
     * frame at `everyMs` intervals (generator shape — rows multiply
     * before the expensive per-frame stage). */

@@ -19,6 +19,16 @@ class MultimodalSpec extends SparkSpec {
     })
   }
 
+  test("resize stub bounds payload and metadata, deterministic") {
+    val corpus = Multimodal.syntheticCorpus(spark, 20)
+    val resized = Multimodal.resizeStub(corpus, 8).collect()
+    assert(resized.forall(_.bytes.length <= 64))
+    assert(resized.forall(r => r.width <= 8 && r.height <= 8))
+    val again = Multimodal.resizeStub(corpus, 8).collect()
+    assert(resized.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (a, b) => a.bytes.sameElements(b.bytes) })
+  }
+
   test("frame sampling multiplies video rows at the requested cadence") {
     val corpus = Multimodal.syntheticCorpus(spark, 30).toDF()
     val frames = Multimodal.sampleFrames(corpus, 500L)
