@@ -37,6 +37,11 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumnRenamed("ts", "ts_ns")
+      // truncate to µs resolution: DuckDB (and most engines) carry
+      // TIMESTAMP at µs, so sub-µs tails would silently diverge in any
+      // cross-engine comparison; µs is the portable contract
+      .withColumn("ts_ns", org.apache.spark.sql.functions.expr(
+        "(ts_ns div 1000) * 1000"))
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts_ns div 1000)"))
   }

@@ -95,6 +95,7 @@ object StreamingOps {
     spark.readStream.schema(schema)
       .parquet(dir.toString)
       .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
       .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
   }
 }

@@ -34,8 +34,7 @@ def canon(df):
                 df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith(("int", "uint", "Int")):
             df[c] = df[c].astype("int64")
-        elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(9)
+        # floats compared EXACTLY (mirrors the driver's hash compare)
         elif str(df[c].dtype) == "bool":
             df[c] = df[c].astype(bool)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
@@ -58,7 +57,7 @@ for name in sorted(oracle):
         fails += 1; continue
     try:
         pd.testing.assert_frame_equal(spark_df, duck_df, check_dtype=False,
-                                      check_exact=False, rtol=1e-9, atol=1e-9)
+                                      check_exact=True)
         print(f"PASS {name} ({len(spark_df)} rows)")
     except AssertionError as e:
         print(f"FAIL {name}: {str(e).splitlines()[-1][:300]}")
