@@ -69,9 +69,15 @@ object Retention {
     val e = encounters
       .filter(col("admit_date").between(lit(scanStart), lit(asOfDate)))
       .select("person_id", "admit_date")
-    // person⋈encounter (J1) then household-keyed for the rest of the DAG.
+    // person⋈encounter (J1), then ONE explicit repartition pins the
+    // household hash-partitioning that every downstream operator
+    // (distinct, predecessor window, per-household aggregation, islands
+    // collapse) satisfies via the subset-clustering rule — without it,
+    // EnsureRequirements inserts separate (household,admit) /
+    // (household,month) exchanges at each step.
     e.join(p, "person_id")
       .select("household_id", "admit_date")
+      .repartition(col("household_id"))
       .distinct()
   }
 
@@ -92,21 +98,37 @@ object Retention {
       .distinct()
   }
 
-  /** household × month scaffold (J2/A2, :517-524) with retained flag
-    * left-joined in (J4, :541), defaulting false (P10 coalesce, :539).
+  /** household × month scaffold (J2/A2, :517-524) with the retained
+    * flag (J4/P10 semantics, :539-541).
+    *
+    * Shape: admits collapse to ONE row per household carrying its
+    * retained-month set (≤ windowMonths+1 entries, collect_set skips
+    * the null non-retained markers), then the 49-row broadcast spine
+    * multiplies rows and `array_contains` supplies the flag. Compared
+    * to the direct scaffold-left-join transcription this consumes the
+    * admits subtree once instead of twice (households branch +
+    * retained branch were two physical copies of the same scan/join)
+    * and adds zero exchanges after the admits repartition — at 100 TB
+    * that removes a duplicate pass over the encounter table and two
+    * scaffold-sized shuffles.
     */
   private[retention] def monthStates(persons: DataFrame, encounters: DataFrame,
                                      cfg: RetentionConfig): DataFrame = {
     val spark = persons.sparkSession
     val admits = householdAdmitDates(persons, encounters, cfg)
-    val retained = retainedMonths(admits, cfg)
-    val households = admits.select("household_id").distinct()
+    val w = Window.partitionBy("household_id").orderBy("admit_date")
+    val hhMonths = admits
+      .withColumn("_prev", lag(col("admit_date"), 1).over(w))
+      .groupBy("household_id")
+      .agg(collect_set(
+        when(col("_prev") >= date_add(col("admit_date"), -cfg.lookbackDays),
+             trunc(col("admit_date"), "MM"))).as("_retained_months"))
     val spine = MonthSpine.spine(spark, cfg.asOf, cfg.windowMonths)
-    households
+    hhMonths
       .crossJoin(broadcast(spine))
-      .join(retained.withColumn("is_retained", lit(true)),
-            Seq("household_id", "start_of_month"), "left")
-      .withColumn("is_retained", coalesce(col("is_retained"), lit(false)))
+      .select(col("household_id"), col("start_of_month"),
+              array_contains(col("_retained_months"), col("start_of_month"))
+                .as("is_retained"))
   }
 
   /** Phase-1 collapsed ranges per household. Range formatting follows
