@@ -255,6 +255,39 @@ object SparkEntry {
               col("o_custkey") === col("c_custkey"), "left_semi")
         .select(col("o_orderkey"), col("o_custkey"))),
 
+    // ---- set operations ----
+    "q_set_ops" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val big = c.filter(col("c_acctbal") > 5000.0).select("c_custkey")
+      val building = c.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      big.intersect(building)
+        .withColumn("tag", lit("rich_building"))
+        .unionByName(building.exceptAll(big)
+          .withColumn("tag", lit("building_only")))
+    }),
+
+    // ---- string scalar functions ----
+    "q_string_funcs" -> ((s, dir) =>
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+                upper(col("c_name")).as("name_upper"),
+                substring(col("c_name"), 1, 8).as("name_prefix"),
+                length(col("c_name")).as("name_len"),
+                concat_ws("/", col("c_mktsegment"),
+                          col("c_nationkey").cast("string")).as("seg_nation"),
+                regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+                col("c_name").like("%1%").as("has_one"))),
+
+    // ---- pivot (conditional aggregation) ----
+    "q_pivot" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_custkey")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))),
+
     // ---- as-of join (operator Spark lacks; union-and-carry rewrite) ----
     "q_asof_join" -> ((s, dir) => {
       val dayNs = 86400L * 1000 * 1000 * 1000
@@ -734,6 +767,32 @@ object SparkEntry {
       SELECT o_orderkey, o_custkey FROM orders
       WHERE EXISTS (SELECT 1 FROM customer
                     WHERE c_custkey = o_custkey AND c_acctbal > 5000.0)
+    """,
+    "q_set_ops" -> """
+      WITH big AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0),
+      building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      SELECT c_custkey, 'rich_building' AS tag
+      FROM (SELECT c_custkey FROM big INTERSECT SELECT c_custkey FROM building)
+      UNION ALL
+      SELECT c_custkey, 'building_only' AS tag
+      FROM (SELECT c_custkey FROM building EXCEPT ALL SELECT c_custkey FROM big)
+    """,
+    "q_string_funcs" -> """
+      SELECT c_custkey,
+             upper(c_name) AS name_upper,
+             substr(c_name, 1, 8) AS name_prefix,
+             length(c_name) AS name_len,
+             concat_ws('/', c_mktsegment, c_nationkey::VARCHAR) AS seg_nation,
+             coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS name_digits,
+             (c_name LIKE '%1%') AS has_one
+      FROM customer
+    """,
+    "q_pivot" -> """
+      SELECT o_custkey,
+             count(*) FILTER (o_orderstatus = 'F') AS n_f,
+             count(*) FILTER (o_orderstatus = 'O') AS n_o,
+             count(*) FILTER (o_orderstatus = 'P') AS n_p
+      FROM orders GROUP BY o_custkey
     """,
     "q_asof_join" -> """
       WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns FROM events),
