@@ -560,7 +560,7 @@ object SparkEntry {
       FROM documents GROUP BY md5(text)
     """,
     "q_text_stats" -> s"""
-      SELECT doc_id, n_chars_measured, n_tokens,
+      SELECT doc_id, n_chars_measured, n_tokens, n_tokens_bpe,
              round(alpha / nullif(len, 0), 6) AS alpha_ratio,
              round(punct / nullif(len, 0), 6) AS punct_ratio,
              round(stop_hits / nullif(n_tokens * 1.0, 0), 6) AS stopword_ratio,
@@ -571,6 +571,7 @@ object SparkEntry {
                length(text) * 1.0 AS len,
                (CASE WHEN length(trim(text)) = 0 THEN 0
                      ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))::BIGINT AS n_tokens_bpe,
                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 AS alpha,
                length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 AS punct,
                len(list_filter($duckToks,

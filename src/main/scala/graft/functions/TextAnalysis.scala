@@ -80,6 +80,17 @@ object TextAnalysis {
     // CASE WHEN chain order.
   }
 
+  /** BPE-ish token counting: counts the pre-tokenizer word pieces a
+    * byte-pair encoder would start from — letter runs, digit runs, and
+    * punctuation runs as separate tokens (the GPT-2-style pretoken
+    * split, minus byte fallback). A cheap, deterministic proxy for
+    * "how many LLM tokens is this document" used for corpus budgeting.
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenPattern))
+
   /** Quality signals: length, alphabetic ratio, punctuation ratio,
     * stopword ratio, mean token length — the classic cheap filters a
     * pretraining pipeline runs before anything expensive. */
@@ -93,6 +104,7 @@ object TextAnalysis {
     Seq(
       "n_chars_measured" -> length(text).cast("long"),
       "n_tokens" -> tokenCount(text).cast("long"),
+      "n_tokens_bpe" -> bpeTokenCount(text).cast("long"),
       "alpha_ratio" -> round(alpha / nullif(len, lit(0.0)), 6),
       "punct_ratio" -> round(punct / nullif(len, lit(0.0)), 6),
       "stopword_ratio" -> round(stopHits / nullif(nTok, lit(0.0)), 6),
