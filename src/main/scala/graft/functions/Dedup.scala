@@ -50,10 +50,13 @@ object Dedup {
     val ex = sets.select(col("doc_id"), size(col("sh")).as("sz"),
                          explode(col("sh")).as("s"))
       .withColumn("h", xxhash64(col("s")))
-    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    // document frequency via a count window over the same h-shuffle the
+    // candidate join needs anyway — one stage cheaper than a separate
+    // groupBy + join-back of the frequency table
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "h")
-    val prefix = ex.join(dfreq, "h")
+    val prefix = ex.withColumn("df", count(lit(1)).over(wdf))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("doc_id", "h")

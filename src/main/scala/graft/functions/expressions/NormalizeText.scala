@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -21,8 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * simhash, language ID, quality ratios), so at 100 TB it is the
   * single hottest scalar in the curation pipeline.
   */
-case class NormalizeText(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class NormalizeText(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -33,8 +32,14 @@ case class NormalizeText(child: Expression)
   override def dataType: DataType = StringType
   override def prettyName: String = "normalize_text"
 
-  override def nullSafeEval(input: Any): Any = {
-    val lowered = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+  override def nullSafeEval(input: Any): Any =
+    normalize(input.asInstanceOf[UTF8String])
+
+  /** Called from generated code too — keeps the surrounding operators
+    * inside whole-stage codegen (one virtual call per row instead of a
+    * CodegenFallback pipeline break). */
+  def normalize(input: UTF8String): UTF8String = {
+    val lowered = input.toLowerCase.getBytes
     val out = new Array[Byte](lowered.length)
     var o = 0
     var pendingSpace = false
@@ -50,6 +55,11 @@ case class NormalizeText(child: Expression)
       i += 1
     }
     UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("normalizeText", this, classOf[NormalizeText].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.normalize($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NormalizeText =

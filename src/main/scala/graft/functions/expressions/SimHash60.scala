@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
@@ -21,8 +21,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * ties → 0). SimHash per Charikar (STOC'02) as popularized for
   * near-dup detection of web corpora.
   */
-case class SimHash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash60(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -32,8 +31,11 @@ case class SimHash60(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash60"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(simhash(input.asInstanceOf[ArrayData]))
+
+  /** Called from generated code too (whole-stage codegen stays intact). */
+  def simhash(arr: ArrayData): Long = {
     val acc = new Array[Int](60)
     val md = MessageDigest.getInstance("MD5")
     var k = 0
@@ -58,7 +60,12 @@ case class SimHash60(child: Expression)
     var res = 0L
     var i = 0
     while (i < 60) { if (acc(i) > 0) res |= 1L << i; i += 1 }
-    java.lang.Long.valueOf(res)
+    res
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhashExpr", this, classOf[SimHash60].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.simhash($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =

@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,8 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * ' '))`): space-joined consecutive n-token windows; fewer than n
   * tokens → empty array; null tokens treated as empty strings.
   */
-case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
 
@@ -40,8 +39,11 @@ case class WordShingles(child: Expression, n: Int)
   private val space = UTF8String.fromString(" ")
   private val empty = UTF8String.fromString("")
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    shingle(input.asInstanceOf[ArrayData])
+
+  /** Called from generated code too (whole-stage codegen stays intact). */
+  def shingle(arr: ArrayData): GenericArrayData = {
     val m = arr.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val toks = new Array[UTF8String](m)
@@ -59,6 +61,11 @@ case class WordShingles(child: Expression, n: Int)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.shingle($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
