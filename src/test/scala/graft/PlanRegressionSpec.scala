@@ -1,0 +1,42 @@
+package graft
+
+/** Plan-shape regression guards: the scale properties argued in the
+  * scaladocs, asserted against the actual physical plans so a future
+  * refactor can't silently reintroduce the shuffles/scans they removed.
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  def count(p: String, pat: String): Int = pat.r.findAllIn(p).length
+
+  test("flagship keeps the single household shuffle spine (≤5 hash exchanges)") {
+    val p = plan("q_retention_flagship")
+    assert(count(p, "Exchange hashpartitioning") <= 5, p)
+    // phase-2 must not re-scan encounters: exactly 1 orders scan
+    assert(count(p, "FileScan parquet \\[[^\\]]*o_orderdate") +
+           count(p, "orders\\.parquet") <= 2, p)
+  }
+
+  test("filter and projection reach the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus)") ||
+           p.contains("PushedFilters: [IsNotNull(o_totalprice)") ||
+           p.contains("EqualTo(o_orderstatus,F)"), p)
+    assert(!p.contains("o_orderpriority"), "projection not pruned:\n" + p)
+  }
+
+  test("scaffold spine is broadcast, never shuffled") {
+    val p = plan("q_retention_collapsed")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("count() over pure projections collapses to a metadata-only scan") {
+    val p = SparkEntry.queries("q_text_stats")(spark, dir)
+      .groupBy().count().queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<>"), p)
+  }
+}

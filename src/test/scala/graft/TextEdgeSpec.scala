@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, TextAnalysis}
+
+/** Edge inputs through the full text/dedup surface: empty, whitespace,
+  * single-token, unicode, punctuation-only documents. */
+class TextEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  val edgy = Seq(
+    (1L, ""), (2L, "   "), (3L, "word"), (4L, "UPPER lower 42"),
+    (5L, "¡unicode é 中文 🙂!"), (6L, "...!!!..."), (7L, "a b a b a b"))
+    .toDF("doc_id", "text")
+
+  test("token counts: empty and whitespace-only are 0") {
+    val got = edgy.select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(got(1L) == 0 && got(2L) == 0 && got(3L) == 1 && got(4L) == 3)
+  }
+
+  test("shingles on short/empty docs are empty, never error") {
+    val got = edgy.select($"doc_id", TextAnalysis.shingles($"text", 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L).isEmpty && got(3L).isEmpty)
+    assert(got(7L) == Seq("a b a", "b a b", "a b a", "b a b"))
+  }
+
+  test("fingerprint: case/punctuation-insensitive collisions") {
+    val pair = Seq((1L, "Hello, World!"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val groups = pair.groupBy(TextAnalysis.fingerprint($"text")).count()
+      .as[(String, Long)].collect().toMap
+    assert(groups.values.toSet == Set(2L, 1L))
+  }
+
+  test("simhash and language-id run clean over edge docs") {
+    val sims = Dedup.simhashSignatures(edgy, "doc_id", "text").collect()
+    assert(sims.length == 7)
+    val langs = edgy.select(TextAnalysis.langId($"text")).as[String].collect()
+    assert(langs.forall(l => Set("en", "de", "fr", "es", "und").contains(l)))
+  }
+
+  test("quality ratios never divide by zero") {
+    val cols = TextAnalysis.qualityColumns($"text").map { case (n, c) => c.as(n) }
+    val rows = edgy.select(cols: _*).collect()
+    assert(rows.length == 7) // no exception; nulls allowed for empty docs
+  }
+}
