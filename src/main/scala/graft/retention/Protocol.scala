@@ -37,6 +37,20 @@ object Protocol {
   def countPersonsWithoutRetention(persons: DataFrame): Long =
     personsWithoutRetention(persons).count()
 
+  /** A5/O1 probe: the first `limit` distinct pending households in key
+    * order with their member counts — the reference's ES terms
+    * aggregation (`order {"_term": "asc"}, size: $resultLimit`,
+    * HouseholdRetentionProcessing.scala:210-218). NB in the reference
+    * the probed id list is never used to restrict processing (the
+    * :253 idString is dead downstream — SURVEY.md §3.3); it is a
+    * telemetry/gate probe, and that is what this reproduces. */
+  def householdsWithoutRetentionProbe(persons: DataFrame, limit: Int): DataFrame =
+    personsWithoutRetention(persons)
+      .groupBy("household_id")
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("household_id")
+      .limit(limit)
+
   /** Fail-fast guard before phase 2: every household that HAS
     * qualifying encounters must already be fully processed. */
   def assertPhase1Complete(persons: DataFrame, encounters: DataFrame,

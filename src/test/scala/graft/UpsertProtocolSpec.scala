@@ -47,6 +47,14 @@ class UpsertProtocolSpec extends SparkSpec {
     assert(Protocol.run(spark, personsDone, encounters, cfg, path, 8) == 0L)
   }
 
+  test("household probe: sorted top-k pending households with member counts") {
+    val persons = Seq((1L, "B"), (2L, "B"), (3L, "A"), (4L, "C"))
+      .toDF("person_id", "household_id")
+    val got = Protocol.householdsWithoutRetentionProbe(persons, 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("A", 1L), ("B", 2L)))
+  }
+
   test("phase-ordering guard throws when phase 1 incomplete") {
     val persons = Seq((1L, "A")).toDF("person_id", "household_id")
     val encounters = Seq((1L, java.sql.Date.valueOf("2021-01-05")),
