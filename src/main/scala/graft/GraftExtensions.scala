@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{GraftSqlBridge, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.expressions.{CosineSimilarity, NormalizeText, SimHash60, WordShingles}
 
@@ -33,8 +34,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(tokens, n) — word n-grams of ARRAY<STRING>"),
-      (args: Seq[Expression]) => WordShingles(args(0),
-        args(1).eval().asInstanceOf[Int])))
+      (args: Seq[Expression]) => {
+        // `n` parameterizes the expression itself, so it must be a
+        // foldable integral literal — validate at analysis time with a
+        // proper error instead of CCE/NPE at builder time, and accept
+        // any integral literal type (2, 2L, CAST(2 AS SMALLINT), ...).
+        if (args.length != 2) GraftSqlBridge.analysisError(
+          s"word_shingles(tokens, n) takes exactly 2 arguments, got ${args.length}")
+        val nExpr = args(1)
+        if (!nExpr.foldable) GraftSqlBridge.nonFoldableArgumentError(
+          "word_shingles", "n", IntegerType)
+        val integral = nExpr.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               IntegerType | org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }
+        val n = nExpr.eval() match {
+          case i: java.lang.Number
+              if integral && i.longValue == i.intValue.toLong => i.intValue
+          case v => GraftSqlBridge.analysisError(
+            "word_shingles(tokens, n): n must be an integral literal " +
+              s"that fits in INT, got ${nExpr.sql} " +
+              s"(${nExpr.dataType.catalogString}${if (v == null) ", NULL" else ""})")
+        }
+        WordShingles(args(0), n)
+      }))
     e.injectFunction((FunctionIdentifier("normalize_text"),
       info("normalize_text", "normalize_text(s) — lower, strip non-alnum, collapse ws"),
       (args: Seq[Expression]) => NormalizeText(args.head)))

@@ -393,7 +393,9 @@ object SparkEntry {
             FROM admits) t
       WHERE prev >= admit_date - $lookbackDays
     ),
-    households AS (SELECT DISTINCT household_id FROM admits),
+    -- scaffold universe = PERSON households (reference `all` CTE
+    -- :517-524): encounter-less households still get a full spine
+    households AS (SELECT DISTINCT household_id FROM persons),
     spine AS (
       SELECT unnest(generate_series((a.m - INTERVAL $windowMonths MONTH)::TIMESTAMP,
                                     a.m::TIMESTAMP, INTERVAL 1 MONTH))::DATE
@@ -454,8 +456,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_retention_flagship" -> (retentionCteFor(5) + """
       SELECT person_id, household_id, retained, gte, lte, start_date, end_date FROM phase1
-      UNION ALL
-      SELECT person_id, household_id, retained, gte, lte, start_date, end_date FROM phase2
     """),
     "q_retention_collapsed" -> (retentionCteFor(5) + """
       SELECT household_id, retained, gte, lte, start_date, end_date FROM ranges
@@ -465,19 +465,13 @@ object SparkEntry {
     """),
     "q_retention_tenant" -> (retentionCteFor(5, "c_mktsegment = 'BUILDING'") + """
       SELECT person_id, household_id, retained, gte, lte, start_date, end_date FROM phase1
-      UNION ALL
-      SELECT person_id, household_id, retained, gte, lte, start_date, end_date FROM phase2
     """),
     "q_retention_events" -> (eventsHead(5) + retentionTail(7, 2) + """
       SELECT person_id, household_id, retained, gte, lte, start_date, end_date FROM phase1
-      UNION ALL
-      SELECT person_id, household_id, retained, gte, lte, start_date, end_date FROM phase2
     """),
     "q_retention_nested" -> (retentionCteFor(5) + """
       , full_hist AS (
         SELECT person_id, household_id, retained, gte, lte, start_date, end_date FROM phase1
-        UNION ALL
-        SELECT person_id, household_id, retained, gte, lte, start_date, end_date FROM phase2
       )
       SELECT person_id,
              string_agg(concat_ws(',', gte, lte, start_date, end_date, retained),
@@ -849,11 +843,13 @@ object SparkEntry {
   )
 
   /** DuckDB snippet: rounded cosine between two 64-dim list exprs,
-    * folding left-to-right in double like Spark's aggregate∘zip_with. */
+    * folding left-to-right in double like Spark's aggregate∘zip_with.
+    * Zero-norm inputs yield NULL (nullif guard), mirroring
+    * `CosineSimilarity`'s null-on-degenerate-input contract. */
   private def duckCos(a: String, b: String): String = {
     def d(x: String, y: String) =
       s"list_sum(list_transform(range(1, 65), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
-    s"round(${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)})), 6)"
+    s"round(${d(a, b)} / nullif(sqrt(${d(a, a)}) * sqrt(${d(b, b)}), 0), 6)"
   }
 
   /** DuckDB snippet: normalized whitespace tokens of `text`. */

@@ -19,9 +19,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * inputs are exact in double), bit-identical to the
   * `aggregate∘zip_with` composition and the DuckDB
   * `list_sum∘list_transform` oracle.
+  *
+  * Degenerate inputs return NULL rather than NaN: mismatched lengths
+  * (the zip_with composition nulls out there too — padded nulls
+  * poison the sum) and zero-norm vectors (0/0 would be NaN, which
+  * sorts ABOVE every real score in `cos DESC` top-k rankings). The
+  * DuckDB oracle mirrors this via a `nullif` guard on the norm
+  * product (docs/SEMANTICS.md).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   private def ok(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -43,7 +52,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     val af = isFloat(left.dataType)
     val bf = isFloat(right.dataType)
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -54,7 +64,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -71,14 +82,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val getB = if (isFloat(right.dataType)) s"(double) $b.getFloat($i)"
                  else s"$b.getDouble($i)"
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $x = $getA;
-          double $y = $getB;
-          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $x = $getA;
+            double $y = $getB;
+            $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+          }
+          if ($na == 0.0 || $nb == 0.0) {
+            ${ev.isNull} = true;
+          } else {
+            ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+          }
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
 

@@ -37,10 +37,14 @@ case class RetentionConfig(
   * household is retained in calendar month M iff it had an encounter in
   * M with another, strictly earlier encounter within the preceding
   * `lookbackDays`. Months with no such pair are not-retained via a
-  * household×month scaffold (:517-524). Consecutive same-state months
-  * collapse into ranges (:557-590). Households with no encounters at
-  * all get one not-retained range [asOf-4y, asOf+10y) (phase 2,
-  * :762-784).
+  * person×month scaffold (the `all` CTE, :517-524) — built from the
+  * PERSON source, so households with no encounters at all are still
+  * scaffolded and collapse to a single not-retained range spanning the
+  * whole spine. Consecutive same-state months collapse into ranges
+  * (:557-590). Phase 2 (:762-784) is a between-runs safety net: any
+  * person STILL lacking history when it runs (phase 1 covers everyone
+  * pending in a complete run) gets the constant not-retained range
+  * [asOf-4y, asOf+10y) — see `phase2Ranges` and `Protocol.run`.
   *
   * Scale shape: after the person⋈encounter join, EVERYTHING is keyed by
   * household_id — the distinct, the predecessor window, the month
@@ -101,15 +105,23 @@ object Retention {
   /** household × month scaffold (J2/A2, :517-524) with the retained
     * flag (J4/P10 semantics, :539-541).
     *
+    * The scaffold's household universe comes from the PERSON source —
+    * the reference's `all` CTE cross-joins personsES (every pending
+    * person, :518-523), not the encounter join — so a household with no
+    * encounters in the window still gets a full spine of not-retained
+    * months (and phase 1 writes its single collapsed range).
+    *
     * Shape: admits collapse to ONE row per household carrying its
     * retained-month set (≤ windowMonths+1 entries, collect_set skips
-    * the null non-retained markers), then the 49-row broadcast spine
-    * multiplies rows and `array_contains` supplies the flag. Compared
-    * to the direct scaffold-left-join transcription this consumes the
-    * admits subtree once instead of twice (households branch +
-    * retained branch were two physical copies of the same scan/join)
-    * and adds zero exchanges after the admits repartition — at 100 TB
-    * that removes a duplicate pass over the encounter table and two
+    * the null non-retained markers); persons' distinct households
+    * left-join that set (both sides hash-clustered on household_id —
+    * one aligned shuffle each); then the 49-row broadcast spine
+    * multiplies rows and `array_contains` supplies the flag
+    * (null set ⇒ false via coalesce). Compared to the direct
+    * scaffold-left-join transcription this consumes the admits subtree
+    * once instead of twice (households branch + retained branch were
+    * two physical copies of the same scan/join) — at 100 TB that
+    * removes a duplicate pass over the encounter table and two
     * scaffold-sized shuffles.
     */
   private[retention] def monthStates(persons: DataFrame, encounters: DataFrame,
@@ -123,12 +135,16 @@ object Retention {
       .agg(collect_set(
         when(col("_prev") >= date_add(col("admit_date"), -cfg.lookbackDays),
              trunc(col("admit_date"), "MM"))).as("_retained_months"))
+    val households = persons.filter(col("household_id").isNotNull)
+      .select("household_id").distinct()
     val spine = MonthSpine.spine(spark, cfg.asOf, cfg.windowMonths)
-    hhMonths
+    households
+      .join(hhMonths, Seq("household_id"), "left")
       .crossJoin(broadcast(spine))
       .select(col("household_id"), col("start_of_month"),
-              array_contains(col("_retained_months"), col("start_of_month"))
-                .as("is_retained"))
+              coalesce(
+                array_contains(col("_retained_months"), col("start_of_month")),
+                lit(false)).as("is_retained"))
   }
 
   /** Phase-1 collapsed ranges per household. Range formatting follows
@@ -165,10 +181,17 @@ object Retention {
     householdRanges(persons, encounters, cfg).join(p, "household_id")
   }
 
-  /** Phase 2 (:762-784): persons with a household but NO qualifying
-    * encounters in the window get a single retained=false range
-    * [asOf-4y, asOf+10y). Anti-join replaces the reference's
-    * "still lacks history after phase 1" ES predicate (P8/J10).
+  /** Phase 2 (:762-784): the between-runs safety net. The reference's
+    * phase-2 builder (:769-779) hands a constant retained=false range
+    * [asOf-4y, asOf+10y) to every person still lacking history when it
+    * runs; in a complete run phase 1 covers all pending persons (its
+    * scaffold includes encounter-less households — see `monthStates`),
+    * so this fires only for persons that appeared between phases or
+    * were left behind by an interrupted run (`Protocol.run` wires it
+    * that way). This standalone form models the pending set as
+    * "household had no qualifying encounters in the scan window" via
+    * anti-join — the P8/J10 predicate relative to a phase-1 run over
+    * households with encounters.
     */
   def phase2Ranges(persons: DataFrame, encounters: DataFrame,
                    cfg: RetentionConfig): DataFrame = {
@@ -190,36 +213,25 @@ object Retention {
         col("person_id"))
   }
 
-  /** Both phases — one row per (person, range): the complete retention
-    * history the reference upserts back into ES (S7).
+  /** Complete-run history — one row per (person, range): what the
+    * reference upserts back into ES over a full `main` run (S7).
     *
-    * Computed as ONE left join of persons against the household-level
-    * ranges: matched rows are phase 1, null-side rows become the
-    * phase-2 constant range via coalesce. A union of two separately
-    * built phases would evaluate the whole person⋈encounter→distinct
-    * subtree twice (Spark doesn't dedup logical subplans across union
-    * branches — 26 exchanges vs 13 in the physical plan); at 100 TB
-    * that's two full scans+shuffles of the encounter table instead of
-    * one.
+    * Because the phase-1 scaffold covers EVERY pending person's
+    * household (including encounter-less ones — reference `all` CTE,
+    * :517-524), a complete run's output is exactly phase 1 fanned out
+    * to persons; phase 2's count gate then finds nothing pending
+    * (:795). So this is one inner join of persons against the
+    * household-level ranges — no union, no second evaluation of the
+    * person⋈encounter subtree.
     */
   def fullHistory(persons: DataFrame, encounters: DataFrame,
                   cfg: RetentionConfig): DataFrame = {
     val hh = householdRanges(persons, encounters, cfg)
     val p = persons.filter(col("household_id").isNotNull)
       .select("person_id", "household_id")
-    val m = cfg.asOf.withDayOfMonth(1)
-    val gteD = m.minusYears(cfg.notRetainedPastYears.toLong)
-    val lteD = m.plusYears(cfg.notRetainedFutureYears.toLong)
-    def epochMs(d: java.time.LocalDate): Long =
-      d.atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond * 1000
-    p.join(hh, Seq("household_id"), "left")
-      .select(
-        col("person_id"), col("household_id"),
-        coalesce(col("retained"), lit(false)).as("retained"),
-        coalesce(col("gte"), lit(epochMs(gteD))).as("gte"),
-        coalesce(col("lte"), lit(epochMs(lteD))).as("lte"),
-        coalesce(col("start_date"), lit(gteD.toString)).as("start_date"),
-        coalesce(col("end_date"), lit(lteD.toString + " 00:00:00")).as("end_date"))
+    p.join(hh, Seq("household_id"))
+      .select(col("person_id"), col("household_id"), col("retained"),
+              col("gte"), col("lte"), col("start_date"), col("end_date"))
   }
 
   /** Reshape flat (person, range) rows into the reference's output

@@ -11,4 +11,19 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Raise a proper `AnalysisException` (the constructors are
+    * `private[sql]`) for invalid arguments to graft's injected SQL
+    * functions — function-builder validation errors should surface at
+    * analysis time with a readable message, not as ClassCastException
+    * at build time. */
+  def analysisError(message: String): Nothing =
+    throw new AnalysisException("USER_RAISED_EXCEPTION",
+      Map("errorMessage" -> message))
+
+  /** Standard "parameter must be a foldable literal" analysis error. */
+  def nonFoldableArgumentError(funcName: String, paramName: String,
+      paramType: org.apache.spark.sql.types.DataType): Nothing =
+    throw org.apache.spark.sql.errors.QueryCompilationErrors
+      .nonFoldableArgumentError(funcName, paramName, paramType)
 }

@@ -45,6 +45,31 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("CosineSimilarity: zero-norm and length-mismatch inputs are NULL") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import graft.functions.expressions.CosineSimilarity
+    def lit(a: Array[Float]) = Literal.create(a, ArrayType(FloatType))
+    val v = Array(1f, 2f, 3f)
+    // interpreted eval path
+    assert(CosineSimilarity(lit(Array(0f, 0f, 0f)), lit(v)).eval(null) == null)
+    assert(CosineSimilarity(lit(v), lit(Array(0f, 0f, 0f))).eval(null) == null)
+    assert(CosineSimilarity(lit(v), lit(Array(1f, 2f))).eval(null) == null)
+    assert(CosineSimilarity(lit(v), lit(v)).eval(null) != null)
+    // codegen path (through a DataFrame), incl. null-vs-NaN ordering:
+    // degenerate rows must NOT outrank real scores in cos DESC top-k
+    val rows = Seq((1L, Array(0f, 0f), Array(1f, 2f)),
+                   (2L, Array(1f, 1f), Array(1f, 2f)),
+                   (3L, Array(1f, 0f), Array(1f, 2f, 3f)))
+      .toDF("id", "a", "b")
+    val got = rows.select(col("id"),
+        Similarity.cosineFused(col("a"), col("b")).as("cos"))
+      .orderBy(desc("cos")).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L, 1L, 3L) ||
+           got.map(_.getLong(0)).toSeq == Seq(2L, 3L, 1L))
+    assert(got.head.getDouble(1) > 0.9 && got.tail.forall(_.isNullAt(1)))
+  }
+
   test("SimHash60 matches driver-side reference implementation") {
     def refSimhash(tokens: Seq[String]): Long = {
       val acc = new Array[Int](60)

@@ -35,4 +35,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getSeq[String](2).toList == List("a b", "b c"))
     assert(row.getAs[String]("nt") == "hello world 42")
   }
+
+  test("word_shingles n: integral literals of any width are accepted") {
+    val r = spark.sql(
+      "SELECT word_shingles(array('a','b','c'), 2L) AS l, " +
+      "       word_shingles(array('a','b','c'), CAST(2 AS SMALLINT)) AS s")
+      .head()
+    assert(r.getSeq[String](0).toList == List("a b", "b c"))
+    assert(r.getSeq[String](1).toList == List("a b", "b c"))
+  }
+
+  test("word_shingles n: invalid arguments raise AnalysisException") {
+    import org.apache.spark.sql.AnalysisException
+    // non-integral literal
+    val e1 = intercept[AnalysisException] {
+      spark.sql("SELECT word_shingles(array('a'), 'two')").head()
+    }
+    assert(e1.getMessage.contains("integral literal"))
+    // non-foldable argument (a column reference)
+    val e2 = intercept[AnalysisException] {
+      spark.sql("SELECT word_shingles(array('a'), n) FROM (SELECT 2 AS n)")
+        .head()
+    }
+    assert(e2.getMessage.toLowerCase.contains("foldable"))
+    // wrong arity
+    intercept[AnalysisException] {
+      spark.sql("SELECT word_shingles(array('a'))").head()
+    }
+    // out-of-INT-range bigint
+    val e3 = intercept[AnalysisException] {
+      spark.sql("SELECT word_shingles(array('a'), 5000000000L)").head()
+    }
+    assert(e3.getMessage.contains("integral literal"))
+  }
 }

@@ -15,32 +15,33 @@ import graft.retention.{Retention, RetentionConfig}
 class RetentionPropertySpec extends SparkSpec {
   import spark.implicits._
 
-  /** Spec, implemented naively: for each household, a month M in the
+  /** Spec, implemented naively: for each household — INCLUDING ones
+    * with no (in-window) encounters, which the reference's person-built
+    * scaffold still covers (`all` CTE,
+    * HouseholdRetentionProcessing.scala:517-524) — a month M in the
     * spine is retained iff ∃ distinct admit dates d1 < d2, d2 in M,
     * d1 >= d2 - lookback, both within [asOf-scanYears, asOf]. Ranges
-    * collapse consecutive same-state months. */
+    * collapse consecutive same-state months; an encounter-less
+    * household therefore yields one all-spine not-retained range. */
   def referenceRanges(admits: Map[String, Set[LocalDate]], cfg: RetentionConfig)
       : Map[String, Seq[(LocalDate, LocalDate, Boolean)]] = {
     val end = cfg.asOf.withDayOfMonth(1)
     val spine = (0 to cfg.windowMonths).map(i =>
       end.minusMonths((cfg.windowMonths - i).toLong))
     val scanLo = cfg.asOf.minusYears(cfg.scanYears.toLong)
-    admits.flatMap { case (hh, datesRaw) =>
+    admits.map { case (hh, datesRaw) =>
       val dates = datesRaw.filter(d => !d.isBefore(scanLo) && !d.isAfter(cfg.asOf))
-      if (dates.isEmpty) None
-      else {
-        val retainedMonths = spine.map { m =>
-          val inMonth = dates.filter(d => d.withDayOfMonth(1) == m)
-          m -> inMonth.exists(d2 => dates.exists(d1 =>
-            d1.isBefore(d2) && !d1.isBefore(d2.minusDays(cfg.lookbackDays.toLong))))
-        }
-        // collapse runs
-        val runs = retainedMonths.foldLeft(List.empty[(LocalDate, LocalDate, Boolean)]) {
-          case ((s, e, st) :: tail, (m, mst)) if st == mst => (s, m, st) :: tail
-          case (acc, (m, mst)) => (m, m, mst) :: acc
-        }.reverse
-        Some(hh -> runs)
+      val retainedMonths = spine.map { m =>
+        val inMonth = dates.filter(d => d.withDayOfMonth(1) == m)
+        m -> inMonth.exists(d2 => dates.exists(d1 =>
+          d1.isBefore(d2) && !d1.isBefore(d2.minusDays(cfg.lookbackDays.toLong))))
       }
+      // collapse runs
+      val runs = retainedMonths.foldLeft(List.empty[(LocalDate, LocalDate, Boolean)]) {
+        case ((s, e, st) :: tail, (m, mst)) if st == mst => (s, m, st) :: tail
+        case (acc, (m, mst)) => (m, m, mst) :: acc
+      }.reverse
+      hh -> runs
     }
   }
 

@@ -63,7 +63,21 @@ class RetentionSpec extends SparkSpec {
       r.getAs[String]("start_date") == "2019-03-01"))
   }
 
-  test("phase 2: encounter-free household gets single [asOf-4y, asOf+10y) range") {
+  test("phase 1 scaffolds encounter-less households (reference `all` CTE)") {
+    // Household Z has no encounters at all; the reference's person-built
+    // scaffold still covers it, so phase 1 emits ONE not-retained range
+    // spanning the whole 49-month spine — phase 2 is not involved.
+    val persons = personsDf(1L -> "A", 9L -> "Z")
+    val encounters = encountersDf(1L -> "2020-01-01", 1L -> "2020-06-01")
+    val z = Retention.fullHistory(persons, encounters, cfg)
+      .filter($"person_id" === 9L).collect()
+    assert(z.length == 1)
+    assert(!z.head.getAs[Boolean]("retained"))
+    assert(z.head.getAs[String]("start_date") == "2017-06-01")
+    assert(z.head.getAs[String]("end_date") == "2021-06-30 23:59:59")
+  }
+
+  test("phase 2 (standalone): encounter-free household gets single [asOf-4y, asOf+10y) range") {
     val persons = personsDf(1L -> "A", 9L -> "Z")
     val encounters = encountersDf(1L -> "2020-01-01", 1L -> "2020-06-01")
     val p2 = Retention.phase2Ranges(persons, encounters, cfg).collect()

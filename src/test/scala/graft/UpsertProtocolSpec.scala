@@ -23,6 +23,36 @@ class UpsertProtocolSpec extends SparkSpec {
     assert(KeyedUpsert.read(spark, path).count() == 4)
   }
 
+  test("KeyedUpsert rolls an interrupted swap back to the pre-upsert state") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("upsert_crash").toString
+    val path = dir + "/t"
+    KeyedUpsert.upsert(spark,
+      path, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "k", 4)
+    val before = KeyedUpsert.read(spark, path).as[(Long, String)].collect().toMap
+    // Simulate a crash mid-swap: a live bucket was moved to backup (the
+    // manifest names it) but its staged replacement was never moved in.
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buckets = fs.listStatus(new Path(path)).map(_.getPath)
+      .filter(_.getName.startsWith(KeyedUpsert.BucketCol + "="))
+    val victim = buckets.head
+    val backup = new Path(dir, "t_graft_backup")
+    val stage = new Path(dir, "t_graft_stage")
+    fs.mkdirs(backup)
+    fs.mkdirs(new Path(stage, victim.getName))
+    val out = fs.create(new Path(backup, "_MANIFEST"), true)
+    out.write(victim.getName.getBytes("UTF-8")); out.close()
+    assert(fs.rename(victim, new Path(backup, victim.getName)))
+    // read() must recover the original table exactly
+    val after = KeyedUpsert.read(spark, path).as[(Long, String)].collect().toMap
+    assert(after == before)
+    assert(!fs.exists(backup) && !fs.exists(stage))
+    // and a subsequent upsert over recovered state works normally
+    KeyedUpsert.upsert(spark, path, Seq((3L, "C!")).toDF("k", "v"), "k", 4)
+    assert(KeyedUpsert.read(spark, path).as[(Long, String)].collect().toMap ==
+      before.updated(3L, "C!"))
+  }
+
   val cfg: RetentionConfig = RetentionConfig(asOf = LocalDate.of(2021, 6, 15))
 
   test("Protocol.run writes both phases; re-run over written state is a no-op") {
