@@ -192,6 +192,31 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       graft.functions.Dedup.lshCandidatePairs(
         Tables.load(s, dir, "documents"), "doc_id", "text", 3, 16, 4)),
+    // candidate pairs → duplicate CLUSTERS (connected components):
+    // the step that makes pair output actionable (keep min id per
+    // component, drop the rest)
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = graft.functions.Dedup.lshCandidatePairs(
+        docs, "doc_id", "text", 3, 16, 4)
+      graft.operators.ConnectedComponents.run(
+        docs.select(col("doc_id").as("node")),
+        pairs.select(col("doc_a"), col("doc_b")))
+    }),
+    // top-k distinctive terms per doc (tf/df rarity ranking; the
+    // ln-based tf-idf variant is TextAnalysis.tfIdf — see SEMANTICS.md
+    // on why the oracle surface avoids transcendentals)
+    "q_tfidf_topk" -> ((s, dir) =>
+      graft.functions.TextAnalysis.topTermsExact(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 3)
+        .select("doc_id", "token", "tf", "df", "score_micro", "rank")),
+    // generator surface (UDTF-shape): positional token explode
+    "q_explode_pos" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), posexplode(filter(
+          split(graft.functions.TextAnalysis.normalized(col("text")), " "),
+          t => t =!= "")))
+        .withColumnRenamed("col", "token")),
     "q_dedup_simhash" -> ((s, dir) =>
       graft.functions.Dedup.simhashPairs(
         Tables.load(s, dir, "documents"), "doc_id", "text", 12)),
@@ -316,12 +341,48 @@ object SparkEntry {
                 round(sum(col("o_totalprice")).over(w), 2).as("spent_so_far"))
     }),
 
-    // ---- rollup (multi-level aggregation, beyond the reference) ----
+    // ---- rollup / cube (multi-level aggregation, beyond the reference) ----
     "q_rollup" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
              count(lit(1)).as("n"))),
+    "q_cube" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"),
+             round(sum(col("l_quantity")), 2).as("sum_qty"),
+             count(lit(1)).as("n"))),
+
+    // ---- analytic window functions beyond the reference's four ----
+    "q_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+                ntile(4).over(w).as("quartile"),
+                dense_rank().over(w).as("drank"),
+                percent_rank().over(w).as("pct_rank"),
+                cume_dist().over(w).as("cdist"),
+                nth_value(col("o_totalprice"), 2)
+                  .over(w.rowsBetween(Window.unboundedPreceding,
+                                      Window.unboundedFollowing))
+                  .as("second_price"))
+    }),
+
+    // ---- correlated + uncorrelated scalar subqueries (SQL surface) ----
+    "q_scalar_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_custkey, c_acctbal,
+               (SELECT max(o_totalprice) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_order,
+               (SELECT count(*) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c
+        WHERE c_acctbal > 0.9 * (SELECT max(c_acctbal) FROM customer)
+      """)
+    }),
 
     // ---- month spine standalone (S6) + reference band join (J3) ----
     "q_month_spine" -> ((s, dir) =>
@@ -611,26 +672,43 @@ object SparkEntry {
       WHERE jaccard >= 0.8
     """,
     "q_dedup_minhash_lsh" -> s"""
-      WITH ex AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(
-                 range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS s
-        FROM (SELECT doc_id, $duckToks AS t FROM documents)
-        WHERE len(t) >= 3
+      WITH $minhashLshCtes
+      SELECT doc_a, doc_b FROM lsh_pairs
+    """,
+    "q_dedup_clusters" -> s"""
+      WITH RECURSIVE $minhashLshCtes,
+      sym AS (SELECT doc_a AS u, doc_b AS v FROM lsh_pairs
+              UNION SELECT doc_b, doc_a FROM lsh_pairs),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+      )
+      SELECT a AS node, min(b) AS component FROM reach GROUP BY a
+    """,
+    "q_tfidf_topk" -> s"""
+      WITH tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(list_filter($duckToks, x -> x <> ''))
+                AS token FROM documents)
+        GROUP BY doc_id, token
       ),
-      hx AS (SELECT doc_id,
-                    (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS x
-             FROM ex),
-      pj AS (SELECT j, (1103515245 * j + 12345) % 2147483647 AS a,
-                    (69069 * j + 1) % 2147483647 AS b
-             FROM range(16) t(j)),
-      sig AS (SELECT doc_id, j, min((a * x + b) % 2147483647) AS mh
-              FROM hx CROSS JOIN pj GROUP BY doc_id, j),
-      band AS (SELECT doc_id, j // 4 AS band,
-                      string_agg(mh::VARCHAR, ',' ORDER BY j) AS sig
-               FROM sig GROUP BY doc_id, j // 4)
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM band a JOIN band b ON a.band = b.band AND a.sig = b.sig
-                             AND a.doc_id < b.doc_id
+      stats AS (SELECT doc_id, token, tf,
+                       count(*) OVER (PARTITION BY token) AS df
+                FROM tf),
+      scored AS (SELECT *, (tf * 1000000) // df AS score_micro,
+                        row_number() OVER (PARTITION BY doc_id
+                          ORDER BY (tf * 1000000) // df DESC, token) AS rank
+                 FROM stats)
+      SELECT doc_id, token, tf, df, score_micro, rank
+      FROM scored WHERE rank <= 3
+    """,
+    "q_explode_pos" -> s"""
+      SELECT doc_id, u.pos, u.tok AS token FROM (
+        SELECT doc_id, unnest(list_transform(range(len(t)),
+                 i -> {'pos': i, 'tok': t[i+1]})) AS u
+        FROM (SELECT doc_id, list_filter($duckToks, x -> x <> '') AS t
+              FROM documents))
     """,
     "q_dedup_simhash" -> s"""
       WITH toksd AS (SELECT doc_id, $duckToks AS t FROM documents),
@@ -816,6 +894,34 @@ object SparkEntry {
              round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
+    "q_cube" -> """
+      SELECT l_returnflag, l_linestatus,
+             GROUPING(l_returnflag, l_linestatus) AS gid,
+             round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_window_analytics" -> """
+      SELECT o_orderkey, o_custkey,
+             ntile(4) OVER w AS quartile,
+             dense_rank() OVER w AS drank,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cdist,
+             nth_value(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    "q_scalar_subquery" -> """
+      SELECT c_custkey, c_acctbal,
+             (SELECT max(o_totalprice) FROM orders o
+              WHERE o.o_custkey = c.c_custkey) AS max_order,
+             (SELECT count(*) FROM orders o
+              WHERE o.o_custkey = c.c_custkey) AS n_orders
+      FROM customer c
+      WHERE c_acctbal > 0.9 * (SELECT max(c_acctbal) FROM customer)
+    """,
     "q_month_spine" -> """
       WITH anchor AS (SELECT date_trunc('month', max(o_orderdate))::DATE AS m
                       FROM orders)
@@ -841,6 +947,33 @@ object SparkEntry {
       GROUP BY 1, 2
     """,
   )
+
+  /** Shared CTE chain producing MinHash-LSH candidate pairs as
+    * `lsh_pairs(doc_a, doc_b)` — used by both the pair query and the
+    * connected-components cluster query. */
+  private lazy val minhashLshCtes: String = s"""
+      ex AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS s
+        FROM (SELECT doc_id, $duckToks AS t FROM documents)
+        WHERE len(t) >= 3
+      ),
+      hx AS (SELECT doc_id,
+                    (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS x
+             FROM ex),
+      pj AS (SELECT j, (1103515245 * j + 12345) % 2147483647 AS a,
+                    (69069 * j + 1) % 2147483647 AS b
+             FROM range(16) t(j)),
+      sig AS (SELECT doc_id, j, min((a * x + b) % 2147483647) AS mh
+              FROM hx CROSS JOIN pj GROUP BY doc_id, j),
+      band AS (SELECT doc_id, j // 4 AS band,
+                      string_agg(mh::VARCHAR, ',' ORDER BY j) AS sig
+               FROM sig GROUP BY doc_id, j // 4),
+      lsh_pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b ON a.band = b.band AND a.sig = b.sig
+                               AND a.doc_id < b.doc_id
+      )"""
 
   /** DuckDB snippet: rounded cosine between two 64-dim list exprs,
     * folding left-to-right in double like Spark's aggregate∘zip_with.

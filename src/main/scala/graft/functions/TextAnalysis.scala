@@ -91,6 +91,50 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(BpeTokenPattern))
 
+  /** Per-(document, token) term statistics over normalized tokens:
+    * `tf` (occurrences in the doc) and `df` (number of docs containing
+    * the token).
+    *
+    * Scale shape: one hash aggregation keyed (doc, token) for tf, then
+    * df as a count window over the token key — the same shuffle a
+    * df-table join would need, minus the join-back. No collect, no
+    * vocabulary broadcast: the vocabulary can be larger than any one
+    * executor at 100 TB.
+    */
+  def termStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(normalized(col(textCol)), " ")
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy("token")
+    docs.select(col(idCol).as("doc_id"), explode(toks).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(wTok))
+  }
+
+  /** Canonical TF-IDF: tf · ln((N+1)/(df+1)), N = corpus size. Driver
+    * passes N (one count() probe) so the score stays a codegen'd column
+    * expression. NB `ln` is engine-specific in the last ulp — this form
+    * is for in-Spark ranking/filtering; cross-engine-exact ranking uses
+    * [[topTermsExact]] (docs/SEMANTICS.md). */
+  def tfIdf(stats: org.apache.spark.sql.DataFrame, corpusSize: Long): org.apache.spark.sql.DataFrame =
+    stats.withColumn("tfidf",
+      col("tf") * log((lit(corpusSize) + 1.0) / (col("df") + lit(1.0))))
+
+  /** Top-k distinctive terms per document, ranked by the integer-exact
+    * rarity score `tf·10⁶ div df` (monotone in tf/df). Chosen over the
+    * ln-based score for the ORACLE surface because integer division is
+    * bit-identical across engines while `ln` may differ in the last ulp
+    * (docs/SEMANTICS.md); ties break on token order. */
+  def topTermsExact(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("token"))
+    termStats(docs, idCol, textCol)
+      .withColumn("score_micro", expr("tf * 1000000 div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Quality signals: length, alphabetic ratio, punctuation ratio,
     * stopword ratio, mean token length — the classic cheap filters a
     * pretraining pipeline runs before anything expensive. */

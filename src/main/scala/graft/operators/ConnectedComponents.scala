@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a candidate-pair graph — the clustering
+  * step that turns near-dup PAIRS (MinHash/SimHash/embedding candidates,
+  * `graft.functions.Dedup`) into duplicate GROUPS, so a pipeline can
+  * keep one representative per component. The reference has nothing
+  * like it; a training-data dedup pipeline is incomplete without it
+  * (pairs alone can't answer "which rows do I drop" once duplicates
+  * chain: a~b, b~c ⇒ {a,b,c}).
+  *
+  * Algorithm: distributed min-label propagation with pointer jumping.
+  * Every node starts labeled with itself; each round a node's label
+  * becomes the min of (its label, its neighbors' labels, its label's
+  * label). The neighbor step alone converges in O(diameter) rounds;
+  * the label-of-label join is path doubling, which collapses chains in
+  * O(log n) rounds — the same convergence shape as the alternating
+  * large-star/small-star MapReduce formulation (Kiveris et al., "
+  * Connected Components in MapReduce and Beyond", SoCC'14), expressed
+  * as plain self-joins.
+  *
+  * Scale shape: per round, ONE hash shuffle of the (node, label) set
+  * by node (the union's groupBy) plus broadcast-or-shuffled joins of
+  * labels against edges — every structure is keyed by node id, no
+  * collect, no per-component state. `localCheckpoint` after each round
+  * truncates lineage so round k doesn't re-execute rounds 1..k-1
+  * (iterative DataFrame loops otherwise compound plans
+  * exponentially). Dedup graphs are near-clique clusters with tiny
+  * diameter, so the loop typically exits after 2-3 rounds.
+  */
+object ConnectedComponents {
+
+  /** Compute components. `nodes`: single-column node universe (rows
+    * not present in any edge become singleton components). `edges`:
+    * two columns (undirected, self-loops/duplicates fine). Returns
+    * (node, component) with component = min node id reachable.
+    */
+  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val e = edges.toDF("u", "v").filter(col("u") =!= col("v"))
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      .localCheckpoint(true)
+    var labels = nodes.toDF("node").distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val viaEdge = sym
+        .join(labels.select(col("node").as("u"), col("label")), "u")
+        .select(col("v").as("node"), col("label"))
+      val viaPtr = labels.as("a")
+        .join(labels.select(col("node").as("label"), // label's own label
+                            col("label").as("plabel")), "label")
+        .select(col("node"), col("plabel").as("label"))
+      val next = labels.select("node", "label")
+        .union(viaEdge).union(viaPtr)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      done = next.join(labels.withColumnRenamed("label", "_old"), "node")
+        .filter(col("label") =!= col("_old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+}
