@@ -79,6 +79,26 @@ object StreamingOps {
       }
   }
 
+  /** Stream-static enrichment join: a streaming fact against a batch
+    * dimension. Spark broadcasts (or re-plans per microbatch) the
+    * static side; no state is kept, so this scales with the dimension
+    * size, not the stream history — the standard shape for joining a
+    * 100 TB/day event stream against reference data. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Watermarked streaming deduplication by event id: exactly-once
+    * delivery over an at-least-once source. `dropDuplicates` keeps one
+    * row per id with state bounded by the watermark horizon — without
+    * the watermark the id set would grow forever; with it, a duplicate
+    * arriving later than `watermark` after the original is the only
+    * miss. The streaming dual of batch `dropDuplicates`/exact dedup. */
+  def dedupByIdStream(events: DataFrame, idCol: String,
+                      watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(idCol, "ts")
+
   /** File-stream reader for the events fixture (nanos handled the same
     * way as the batch loader). The file source requires a DIRECTORY, so
     * the single fixture file is staged into a temp dir once. */

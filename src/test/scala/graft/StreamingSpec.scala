@@ -25,6 +25,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch) // every event lands in exactly one window
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    val dim = Tables.events(spark, dir).select($"user_id").distinct()
+      .withColumn("bucket", pmod($"user_id", lit(7)))
+    val q = StreamingOps.enrichWithStatic(
+        StreamingOps.eventsStream(spark, dir), dim, "user_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("enriched")
+      .groupBy("bucket").count().as[(Long, Long)].collect().toMap
+    val batch = Tables.events(spark, dir).join(dim, "user_id")
+      .groupBy("bucket").count().as[(Long, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+
+  test("watermarked streaming dedup removes redelivered events") {
+    // stage the SAME fixture file twice — an at-least-once source that
+    // redelivers every event exactly once
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val stageDir = java.nio.file.Files.createTempDirectory("dup_stream")
+    java.nio.file.Files.copy(src, stageDir.resolve("a.parquet"))
+    java.nio.file.Files.copy(src, stageDir.resolve("b.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.load(spark, dir, "events").schema
+    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    val q = StreamingOps.dedupByIdStream(stream, "event_id", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("deduped").count() ==
+      Tables.events(spark, dir).count())
+  }
+
   test("stateful sessionization matches the batch gaps-and-islands result") {
     val gapNs = 30L * 60 * 1000 * 1000 * 1000
     val events = Tables.events(spark, dir)
