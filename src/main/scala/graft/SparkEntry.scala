@@ -330,6 +330,24 @@ object SparkEntry {
                 coalesce(col("cp_events"), lit(-1L)).as("cp_events"))
     }),
 
+    // same as-of contract through the NATIVE physical operator
+    // (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec merge)
+    "q_asof_native" -> ((s, dir) => {
+      val dayNs = 86400L * 1000 * 1000 * 1000
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("ts_ns"))
+      val cp = ev
+        .withColumn("cp_ns", (col("ts_ns") / dayNs).cast("long") * dayNs)
+        .groupBy("user_id", "cp_ns")
+        .agg(count(lit(1)).as("cp_events"))
+        .filter(col("cp_events") >= 5)
+      graft.plans.AsOfJoinNative.joinAsOf(
+          ev, cp, Seq("user_id"), "ts_ns", "cp_ns", Seq("cp_ns", "cp_events"))
+        .select(col("event_id"), col("user_id"), col("ts_ns"),
+                coalesce(col("cp_ns"), lit(-1L)).as("cp_ns"),
+                coalesce(col("cp_events"), lit(-1L)).as("cp_events"))
+    }),
+
     // ---- running aggregates over an explicit frame ----
     "q_running_total" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -868,6 +886,20 @@ object SparkEntry {
       FROM orders GROUP BY o_custkey
     """,
     "q_asof_join" -> """
+      WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns FROM events),
+      cp AS (SELECT user_id,
+                    (epoch_ns(ts) // 86400000000000) * 86400000000000 AS cp_ns,
+                    count(*) AS cp_events
+             FROM events
+             GROUP BY user_id, (epoch_ns(ts) // 86400000000000) * 86400000000000
+             HAVING count(*) >= 5)
+      SELECT e.event_id, e.user_id, e.ts_ns,
+             coalesce(c.cp_ns, -1) AS cp_ns,
+             coalesce(c.cp_events, -1) AS cp_events
+      FROM ev e ASOF LEFT JOIN cp c
+        ON e.user_id = c.user_id AND e.ts_ns >= c.cp_ns
+    """,
+    "q_asof_native" -> """
       WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns FROM events),
       cp AS (SELECT user_id,
                     (epoch_ns(ts) // 86400000000000) * 86400000000000 AS cp_ns,

@@ -12,6 +12,13 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap a (resolved) logical plan as a DataFrame — how graft's custom
+    * logical operators (e.g. `graft.plans.AsOfJoinPlan`) re-enter the
+    * public Dataset API. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Raise a proper `AnalysisException` (the constructors are
     * `private[sql]`) for invalid arguments to graft's injected SQL
     * functions — function-builder validation errors should surface at

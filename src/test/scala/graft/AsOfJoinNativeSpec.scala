@@ -1,0 +1,64 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.plans.{AsOfJoinExec, AsOfJoinNative}
+
+/** The custom physical as-of join vs the union-and-carry rewrite — two
+  * independent formulations of the same contract, compared on random
+  * data (plus plan-shape and null-semantics pins). */
+class AsOfJoinNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native operator matches the union-and-carry rewrite on random data") {
+    val rnd = new Random(42)
+    val probes = (1 to 400).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, rnd.nextInt()))
+      .toDF("k", "t", "payload")
+    val states = (1 to 150).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong,
+       rnd.nextInt(100).toLong)).toDF("k", "st", "sv")
+      .dropDuplicates("k", "st") // unique (key, time) ⇒ deterministic ties
+    val native = AsOfJoinNative.joinAsOf(
+        probes, states, Seq("k"), "t", "st", Seq("st", "sv"))
+      .collect().map(_.toSeq).toSeq
+    val rewrite = AsOfJoin.joinAsOf(
+        probes, states, Seq("k"), "t", "st", Seq("st", "sv"))
+      .select("k", "t", "payload", "st", "sv")
+      .collect().map(_.toSeq).toSeq
+    assert(native.sortBy(_.toString) == rewrite.sortBy(_.toString))
+    assert(native.size == 400) // one output row per probe row
+  }
+
+  test("null keys and null times never match; missing state gives nulls") {
+    val probes = Seq((Some(1L), Some(10L)), (None, Some(10L)),
+                     (Some(1L), None), (Some(9L), Some(10L)))
+      .toDF("k", "t")
+    val states = Seq((Some(1L), Some(5L), "a"), (Some(1L), None, "bad"),
+                     (None, Some(1L), "bad2"))
+      .toDF("k", "st", "sv")
+    val got = AsOfJoinNative.joinAsOf(
+        probes, states, Seq("k"), "t", "st", Seq("sv"))
+      .as[(Option[Long], Option[Long], Option[String])].collect().toSet
+    assert(got == Set(
+      (Some(1L), Some(10L), Some("a")), // real match
+      (None, Some(10L), None),          // null probe key
+      (Some(1L), None, None),           // null probe time
+      (Some(9L), Some(10L), None)))     // no state for key
+  }
+
+  test("plan shape: merge exec over two exchanges, no union blow-up") {
+    val probes = (1L to 50L).map(i => (i % 5, i, i * 2)).toDF("k", "t", "p")
+    val states = (1L to 20L).map(i => (i % 5, i * 3, i)).toDF("k", "st", "sv")
+    val df = AsOfJoinNative.joinAsOf(
+      probes, states, Seq("k"), "t", "st", Seq("sv"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin ["), plan.take(1500)) // exec node prints sans "Exec"
+    assert(!plan.contains("Union"), "must not plan via union-and-carry")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+           "each side shuffles exactly once:\n" + plan.take(1500))
+  }
+}
