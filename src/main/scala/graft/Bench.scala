@@ -14,6 +14,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // local-iteration aid: SPARK_GRAFT_ONLY=q_a,q_b restricts the suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,13 +24,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    SparkEntry.queries.foreach { case (_, fn) =>
+    val suite = only.fold(SparkEntry.queries)(ks =>
+      SparkEntry.queries.filter(kv => ks(kv._1)))
+    suite.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
     // two timed passes, min per query: single-pass numbers on a shared
     // 32-thread box swing ±50% from GC/scheduler noise; min-of-2 is the
     // repeatable steady-state figure the 2× perf gate compares against.
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map {
+    def timedPass(): Map[String, Double] = suite.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

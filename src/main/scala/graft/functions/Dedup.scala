@@ -44,6 +44,10 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
+    // NB deliberately NOT checkpointed/cached: this subtree feeds three
+    // consumers, but re-running the codegen'd shingling is measurably
+    // cheaper than materializing + reshuffling the big string arrays
+    // (tested at sf0.1: checkpoint made the query ~50% slower).
     val sets = docs.select(col(idCol).as("doc_id"),
         array_distinct(TextAnalysis.shingles(col(textCol), n)).as("sh"))
       .filter(size(col("sh")) > 0)

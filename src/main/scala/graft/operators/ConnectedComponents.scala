@@ -41,7 +41,12 @@ object ConnectedComponents {
     val e = edges.toDF("u", "v").filter(col("u") =!= col("v"))
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
       .localCheckpoint(true)
-    var labels = nodes.toDF("node").distinct()
+    // Only edge-incident nodes iterate; isolated nodes are singleton
+    // components by definition and would otherwise ride along through
+    // every per-round shuffle (in a dedup graph, duplicates are a few
+    // percent of the corpus — the iterating set shrinks 10-100×).
+    val edgeNodes = sym.select(col("u").as("node")).distinct()
+    var labels = edgeNodes
       .withColumn("label", col("node")).localCheckpoint(true)
     var iter = 0
     var done = false
@@ -62,6 +67,10 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    val singletons = nodes.toDF("node").distinct()
+      .join(edgeNodes, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
     labels.select(col("node"), col("label").as("component"))
+      .unionByName(singletons)
   }
 }
