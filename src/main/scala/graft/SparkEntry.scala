@@ -239,6 +239,33 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), emb, 2, 5)
     }),
 
+    // ---- full curation pipeline (quality → lang → exact dedup →
+    //      near-dup components), one composed query ----
+    "q_curation" -> ((s, dir) =>
+      graft.functions.Curation.curate(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "en", 5)),
+
+    // ---- embedding norms (sequential-fold float contract) ----
+    "q_embed_norm" -> ((s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+                size(col("embedding")).as("dim"),
+                round(graft.functions.Similarity.norm(col("embedding")), 6)
+                  .as("l2_norm"))),
+
+    // ---- full outer join (both null sides populated) ----
+    "q_join_full_outer" -> ((s, dir) => {
+      val big = Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") > 7000.0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val active = Tables.load(s, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 20)
+      big.join(active, col("c_custkey") === col("o_custkey"), "full")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+                col("c_acctbal"), col("n_orders"))
+    }),
+
     // ---- events: windowed agg + sessionization ----
     "q_events_window" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -820,6 +847,60 @@ object SparkEntry {
              sum(bit << (p % 16))::BIGINT AS bucket
       FROM bits GROUP BY vec_id, band
     """,
+    "q_curation" -> s"""
+      WITH RECURSIVE gated AS (
+        SELECT doc_id, text, n_tokens FROM (
+          SELECT doc_id, text, n_tokens,
+                 greatest(s_en, s_de, s_fr, s_es) AS m,
+                 s_en, s_de, s_fr, s_es
+          FROM (SELECT doc_id, text,
+                  (CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END)::BIGINT AS n_tokens,
+                  ${langHitSql("en")} AS s_en, ${langHitSql("de")} AS s_de,
+                  ${langHitSql("fr")} AS s_fr, ${langHitSql("es")} AS s_es
+                FROM (SELECT doc_id, text, $duckToks AS toks FROM documents)))
+        WHERE n_tokens >= 5
+          AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 2
+              >= length(text)
+          AND m > 0 AND s_en = m
+      ),
+      exact AS (
+        SELECT doc_id, text, n_tokens FROM (
+          SELECT *, min(doc_id) OVER (PARTITION BY
+            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+            AS keep
+          FROM gated)
+        WHERE doc_id = keep
+      ),
+      ${minhashLshCtesFor("exact")},
+      sym AS (SELECT doc_a AS u, doc_b AS v FROM lsh_pairs
+              UNION SELECT doc_b, doc_a FROM lsh_pairs),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM exact
+        UNION
+        SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+      ),
+      comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)
+      SELECT e.doc_id, e.n_tokens
+      FROM exact e JOIN comp c ON e.doc_id = c.doc_id
+      WHERE c.component = e.doc_id
+    """,
+    "q_embed_norm" -> """
+      SELECT vec_id, len(embedding)::INT AS dim,
+             round(sqrt(list_sum(list_transform(range(1, 65),
+               i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))), 6)
+               AS l2_norm
+      FROM embeddings
+    """,
+    "q_join_full_outer" -> """
+      WITH big AS (SELECT c_custkey, c_acctbal FROM customer
+                   WHERE c_acctbal > 7000.0),
+      active AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+                 GROUP BY o_custkey HAVING count(*) >= 20)
+      SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal, n_orders
+      FROM big FULL JOIN active ON c_custkey = o_custkey
+    """,
     "q_events_window" -> """
       SELECT user_id, ts::DATE AS day, event_type, count(*) AS n_events,
              round(sum(value), 6) AS sum_value
@@ -981,13 +1062,13 @@ object SparkEntry {
   )
 
   /** Shared CTE chain producing MinHash-LSH candidate pairs as
-    * `lsh_pairs(doc_a, doc_b)` — used by both the pair query and the
-    * connected-components cluster query. */
-  private lazy val minhashLshCtes: String = s"""
+    * `lsh_pairs(doc_a, doc_b)` over `table(doc_id, text)` — used by the
+    * pair query, the cluster query, and the curation pipeline. */
+  private def minhashLshCtesFor(table: String): String = s"""
       ex AS (
         SELECT doc_id, unnest(list_distinct(list_transform(
                  range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS s
-        FROM (SELECT doc_id, $duckToks AS t FROM documents)
+        FROM (SELECT doc_id, $duckToks AS t FROM $table)
         WHERE len(t) >= 3
       ),
       hx AS (SELECT doc_id,
@@ -1006,6 +1087,8 @@ object SparkEntry {
         FROM band a JOIN band b ON a.band = b.band AND a.sig = b.sig
                                AND a.doc_id < b.doc_id
       )"""
+
+  private lazy val minhashLshCtes: String = minhashLshCtesFor("documents")
 
   /** DuckDB snippet: rounded cosine between two 64-dim list exprs,
     * folding left-to-right in double like Spark's aggregate∘zip_with.
