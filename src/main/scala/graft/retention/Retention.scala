@@ -59,6 +59,20 @@ object Retention {
 
   private def monthStart(asOf: LocalDate): LocalDate = asOf.withDayOfMonth(1)
 
+  /** Persons with a household — the shared person projection. NO
+    * explicit repartition here, deliberately: the two consumers want
+    * different physical placements (the scaffold's distinct shuffles
+    * only household_id after column pruning; the fan-out join is
+    * broadcast at small scale and SMJ-with-exchange at large), and a
+    * forced repartition was measured to ADD a wasted exchange under
+    * the broadcast plan while ReuseExchange can't share the two
+    * shuffles anyway (pruning makes their payloads differ). Only the
+    * admits subtree pins an explicit household repartition — that one
+    * aligns a whole operator chain (see householdAdmitDates). */
+  private[retention] def personsByHousehold(persons: DataFrame): DataFrame =
+    persons.filter(col("household_id").isNotNull)
+      .select("person_id", "household_id")
+
   /** Distinct (household_id, admit_date) pairs inside the scan window.
     * The reference's A1 dedup (:515) — admit_date at DATE grain, so
     * same-day repeat encounters never count as "another, earlier"
@@ -135,7 +149,7 @@ object Retention {
       .agg(collect_set(
         when(col("_prev") >= date_add(col("admit_date"), -cfg.lookbackDays),
              trunc(col("admit_date"), "MM"))).as("_retained_months"))
-    val households = persons.filter(col("household_id").isNotNull)
+    val households = personsByHousehold(persons)
       .select("household_id").distinct()
     val spine = MonthSpine.spine(spark, cfg.asOf, cfg.windowMonths)
     households
@@ -176,8 +190,7 @@ object Retention {
   /** Phase 1 complete: ranges fanned out to persons (J7, :617). */
   def personRanges(persons: DataFrame, encounters: DataFrame,
                    cfg: RetentionConfig): DataFrame = {
-    val p = persons.filter(col("household_id").isNotNull)
-      .select("person_id", "household_id")
+    val p = personsByHousehold(persons)
     householdRanges(persons, encounters, cfg).join(p, "household_id")
   }
 
@@ -227,8 +240,7 @@ object Retention {
   def fullHistory(persons: DataFrame, encounters: DataFrame,
                   cfg: RetentionConfig): DataFrame = {
     val hh = householdRanges(persons, encounters, cfg)
-    val p = persons.filter(col("household_id").isNotNull)
-      .select("person_id", "household_id")
+    val p = personsByHousehold(persons)
     p.join(hh, Seq("household_id"))
       .select(col("person_id"), col("household_id"), col("retained"),
               col("gte"), col("lte"), col("start_date"), col("end_date"))
