@@ -239,6 +239,42 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), emb, 2, 5)
     }),
 
+    // chunk-granularity (passage) duplication stats
+    "q_chunk_dedup" -> ((s, dir) =>
+      graft.functions.Dedup.chunkDupStats(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 8)),
+
+    // ---- exact percentiles per group (distribution stats) ----
+    "q_percentile" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+               .as("p"),
+             count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+                round(col("p")(0), 6).as("p25"),
+                round(col("p")(1), 6).as("p50"),
+                round(col("p")(2), 6).as("p75"),
+                col("n"))),
+
+    // ---- collection scalar functions (array/map/struct surface) ----
+    "q_collection_funcs" -> ((s, dir) => {
+      val toks = array_distinct(split(
+        graft.functions.TextAnalysis.normalized(col("text")), " "))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+                concat_ws(",", array_sort(array_intersect(toks,
+                  lit(Array("the", "a", "table", "value", "row")))))
+                  .as("common_toks"),
+                size(toks).as("n_distinct_toks"),
+                concat_ws(",", slice(array_sort(toks), 1, 3)).as("first3"),
+                element_at(map_from_arrays(
+                  array(lit("len")), array(length(col("text")).cast("long"))),
+                  "len").as("len_via_map"),
+                struct(col("doc_id").as("id"), length(col("text")).as("n"))
+                  .getField("n").as("len_via_struct"))
+    }),
+
     // ---- full curation pipeline (quality → lang → exact dedup →
     //      near-dup components), one composed query ----
     "q_curation" -> ((s, dir) =>
@@ -846,6 +882,39 @@ object SparkEntry {
       SELECT vec_id, band,
              sum(bit << (p % 16))::BIGINT AS bucket
       FROM bits GROUP BY vec_id, band
+    """,
+    "q_chunk_dedup" -> s"""
+      WITH ch AS (
+        SELECT doc_id, md5(c) AS h FROM (
+          SELECT doc_id, unnest(list_transform(range((len(t) + 7) // 8),
+                   i -> array_to_string(t[i*8+1:i*8+8], ' '))) AS c
+          FROM (SELECT doc_id, $duckToks AS t FROM documents)
+          WHERE len(t) > 0 AND t[1] <> '')
+      ),
+      g AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt FROM ch)
+      SELECT doc_id, count(*) AS n_chunks,
+             count(*) FILTER (cnt > 1) AS n_dup_chunks
+      FROM g GROUP BY doc_id
+    """,
+    "q_percentile" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+             round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+             round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_collection_funcs" -> s"""
+      SELECT doc_id,
+             coalesce(array_to_string(list_sort(list_intersect(toks,
+               ['the', 'a', 'table', 'value', 'row'])), ','), '')
+               AS common_toks,
+             len(toks) AS n_distinct_toks,
+             array_to_string(list_sort(toks)[1:3], ',') AS first3,
+             map(['len'], [length(text)::BIGINT])['len'][1] AS len_via_map,
+             ({'id': doc_id, 'n': length(text)}).n AS len_via_struct
+      FROM (SELECT doc_id, text, list_distinct($duckToks) AS toks
+            FROM documents)
     """,
     "q_curation" -> s"""
       WITH RECURSIVE gated AS (

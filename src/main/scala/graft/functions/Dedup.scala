@@ -80,6 +80,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Chunk-granularity duplication stats: split each document into
+    * consecutive `chunkTokens`-token passages, fingerprint each, and
+    * report per document how many of its chunks occur more than once
+    * corpus-wide — the passage-dedup signal (boilerplate headers,
+    * templated spans) that document-level dedup misses entirely.
+    *
+    * Scale shape: chunking is generator work (rows multiply map-side),
+    * the occurrence count is one hash shuffle keyed by chunk hash, and
+    * the per-doc rollup rides a second keyed by doc — no self-join,
+    * no arrays carried through shuffles (only 128-bit hashes).
+    */
+  def chunkDupStats(docs: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int): DataFrame = {
+    val n = chunkTokens
+    val chunks = docs
+      .select(col(idCol).as("doc_id"),
+              split(TextAnalysis.normalized(col(textCol)), " ").as("t"))
+      .filter(size(col("t")) > 0 && element_at(col("t"), 1) =!= "")
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, cast(ceil(size(t) / $n.0) as int) - 1), " +
+        s"i -> concat_ws(' ', slice(t, i * $n + 1, $n)))")).as("c"))
+      .select(col("doc_id"), md5(col("c")).as("h"))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    chunks.withColumn("cnt", count(lit(1)).over(wh))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+           count(when(col("cnt") > 1, 1)).as("n_dup_chunks"))
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** Mersenne prime 2^31−1: keeps a*x+b inside 63 bits (no ANSI
