@@ -32,6 +32,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("retention over household-bucketed persons skips the person shuffles") {
+    // At 100 TB the person table would live bucketed by household_id;
+    // the scaffold's household-distinct and the final fan-out join then
+    // read pre-clustered buckets instead of shuffling persons at all.
+    import java.time.LocalDate
+    import graft.retention.{Retention, RetentionConfig}
+    spark.sql("DROP TABLE IF EXISTS b_persons")
+    val persons = (1L to 300L).map(i => (i, i / 3)).toDF("person_id", "household_id")
+    val encounters = (1L to 900L)
+      .map(i => (i % 300 + 1, java.sql.Date.valueOf(LocalDate.of(2021, 1, 1)
+        .plusDays(i % 400))))
+      .toDF("person_id", "admit_date")
+    persons.write.bucketBy(8, "household_id").sortBy("household_id")
+      .mode("overwrite").saveAsTable("b_persons")
+    val cfg = RetentionConfig(asOf = LocalDate.of(2022, 6, 15))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = Retention.personRanges(spark.table("b_persons"), encounters, cfg)
+      val flat = Retention.personRanges(persons, encounters, cfg)
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      // same rows, strictly fewer shuffles
+      assert(exchanges(bucketed) < exchanges(flat),
+        s"bucketed=${exchanges(bucketed)} flat=${exchanges(flat)}")
+      assert(bucketed.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq)
+        == flat.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed tables join without a shuffle (co-located SMJ)") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
