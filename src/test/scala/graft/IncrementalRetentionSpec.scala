@@ -1,0 +1,70 @@
+package graft
+
+import java.time.LocalDate
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.retention.{HhEncounter, Incremental, Retention, RetentionConfig}
+
+/** Streaming incremental retention vs the batch pipeline: encounters
+  * replayed in multiple microbatches must converge to exactly the
+  * batch ranges. */
+class IncrementalRetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multi-batch streaming updates converge to the batch ranges") {
+    val cfg = RetentionConfig(asOf = LocalDate.of(2021, 6, 15),
+      windowMonths = 6, lookbackDays = 45, scanYears = 2)
+    val rnd = new Random(13)
+    val rows = (1 to 60).flatMap { hh =>
+      (0 until rnd.nextInt(8)).map { _ =>
+        (hh.toLong, java.sql.Date.valueOf(LocalDate.of(2020, 7, 1)
+          .plusDays(rnd.nextInt(350).toLong)))
+      }
+    }
+    // two staged files → two microbatches (maxFilesPerTrigger=1), so
+    // most households update state across batches
+    val dir = java.nio.file.Files.createTempDirectory("incr").toString
+    val (a, b) = rows.zipWithIndex.partition(_._2 % 2 == 0)
+    a.map(_._1).toDF("household_id", "admit_date")
+      .coalesce(1).write.parquet(dir + "/f1")
+    b.map(_._1).toDF("household_id", "admit_date")
+      .coalesce(1).write.parquet(dir + "/f2")
+    val files = new java.io.File(dir).listFiles.flatMap(_.listFiles)
+      .filter(_.getName.endsWith(".parquet"))
+    val streamDir = java.nio.file.Files.createTempDirectory("incr_s")
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f.toPath, streamDir.resolve(s"$i.parquet"))
+    }
+    val schema = spark.read.parquet(dir + "/f1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      .select(col("household_id"),
+        expr("datediff(admit_date, DATE'1970-01-01')").as("admit_epoch_day")
+          .cast("int"))
+      .as[HhEncounter]
+    val q = Incremental.updates(stream, cfg)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("incr")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("incr")
+    // state genuinely crossed batches: some household re-emitted at v2
+    assert(emitted.agg(max("version")).as[Long].head() >= 2L)
+    val streamed = Incremental.latest(emitted)
+      .select("household_id", "retained", "start_month", "end_month")
+      .as[(Long, Boolean, String, String)].collect().toSet
+    // batch truth over the same rows (persons: one member per household)
+    val encounters = rows.toDF("person_id", "admit_date") // person=household
+    val persons = rows.map(_._1).distinct
+      .map(h => (h, h)).toDF("person_id", "household_id")
+    val batch = Retention.householdRanges(persons, encounters, cfg)
+      .select(col("household_id"), col("retained"), col("start_date"),
+              concat(substring(col("end_date"), 1, 8), lit("01")))
+      .as[(Long, Boolean, String, String)].collect().toSet
+    assert(streamed == batch)
+  }
+}
