@@ -239,6 +239,11 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), emb, 2, 5)
     }),
 
+    // Gopher-style repetition stats (top-bigram dominance)
+    "q_repetition" -> ((s, dir) =>
+      graft.functions.TextAnalysis.repetitionStats(
+        Tables.load(s, dir, "documents"), "doc_id", "text")),
+
     // chunk-granularity (passage) duplication stats
     "q_chunk_dedup" -> ((s, dir) =>
       graft.functions.Dedup.chunkDupStats(
@@ -882,6 +887,18 @@ object SparkEntry {
       SELECT vec_id, band,
              sum(bit << (p % 16))::BIGINT AS bucket
       FROM bits GROUP BY vec_id, band
+    """,
+    "q_repetition" -> s"""
+      WITH g AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> array_to_string(t[i:i+1], ' '))) AS bigram
+        FROM (SELECT doc_id, $duckToks AS t FROM documents)
+        WHERE len(t) >= 2
+      ),
+      c AS (SELECT doc_id, bigram, count(*) AS c FROM g GROUP BY 1, 2)
+      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS max_bigram_count,
+             round(max(c) / sum(c), 6) AS top_bigram_ratio
+      FROM c GROUP BY doc_id
     """,
     "q_chunk_dedup" -> s"""
       WITH ch AS (

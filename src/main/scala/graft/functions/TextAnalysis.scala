@@ -135,6 +135,27 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Repetition stats (the Gopher-rules shape): how dominated a
+    * document is by its most frequent word bigram. High ratios flag
+    * templated/boilerplate text that per-document quality scores miss.
+    * All-integer numerators/denominators; the single division is
+    * IEEE-exact, so the DuckDB oracle reproduces it bit-for-bit.
+    */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), 2).as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("doc_id"), explode(col("g")).as("bigram"))
+    grams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+           max(col("c")).as("max_bigram_count"))
+      .select(col("doc_id"), col("n_bigrams"), col("max_bigram_count"),
+              round(col("max_bigram_count") / col("n_bigrams"), 6)
+                .as("top_bigram_ratio"))
+  }
+
   /** Quality signals: length, alphabetic ratio, punctuation ratio,
     * stopword ratio, mean token length — the classic cheap filters a
     * pretraining pipeline runs before anything expensive. */

@@ -34,6 +34,15 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("rank<=k filters plan as WindowGroupLimit (bounded per-key state)") {
+    // Spark's InferWindowGroupLimit turns the row_number<=k filter into
+    // a per-partition top-k heap — without it every key's FULL neighbor
+    // list sorts through the window at 100 TB
+    val p = plan("q_sim_cosine_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(plan("q_tfidf_topk").contains("WindowGroupLimit"))
+  }
+
   test("count() over pure projections collapses to a metadata-only scan") {
     val p = SparkEntry.queries("q_text_stats")(spark, dir)
       .groupBy().count().queryExecution.executedPlan.toString

@@ -63,6 +63,47 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("compaction rewrites many small files into few, preserving data") {
+    import graft.sources.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = (1 to 5000).map(i => (i.toLong, s"row_$i")).toDF("id", "v")
+    df.repartition(40).write.parquet(dir) // 40 tiny files
+    val before = df.collect().toSet
+    val (nBefore, nAfter) = Compaction.compact(spark, dir, 512L * 1024)
+    assert(nBefore == 40 && nAfter < 40 && nAfter >= 1,
+           s"before=$nBefore after=$nAfter")
+    assert(spark.read.parquet(dir).collect().toSet == before)
+    // idempotent: second pass is a no-op
+    assert(Compaction.compact(spark, dir, 512L * 1024) == (nAfter, nAfter))
+  }
+
+  test("AQE splits a skewed join partition (skew-immune shuffle joins)") {
+    // one hot key holding ~90% of the fact side; with tiny skew
+    // thresholds AQE must mark the SMJ partition as skewed and split it
+    val prev = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = (1 to 60000)
+        .map(i => (if (i % 10 != 9) 0L else (i % 50).toLong, s"payload_$i"))
+        .toDF("k", "v")
+      val dim = (0L until 50L).map(k => (k, s"d$k")).toDF("k", "name")
+      val joined = fact.join(dim, "k")
+      // materialize THIS QueryExecution (count() would build its own),
+      // so the AQE plan below is the final, re-optimized one
+      assert(joined.collect().length == 60000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(2000))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed tables join without a shuffle (co-located SMJ)") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
