@@ -45,9 +45,14 @@ object ConnectedComponents {
     // components by definition and would otherwise ride along through
     // every per-round shuffle (in a dedup graph, duplicates are a few
     // percent of the corpus — the iterating set shrinks 10-100×).
-    val edgeNodes = sym.select(col("u").as("node")).distinct()
-    var labels = edgeNodes
-      .withColumn("label", col("node")).localCheckpoint(true)
+    // Seed label = min(self, direct neighbors) in ONE aggregation: for
+    // clique-shaped dedup clusters this is already the fixpoint, so
+    // the loop usually runs a single confirming round.
+    var labels = sym.groupBy("u").agg(min(col("v")).as("_mv"))
+      .select(col("u").as("node"),
+              least(col("u"), col("_mv")).as("label"))
+      .localCheckpoint(true)
+    val edgeNodes = labels.select("node")
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
