@@ -307,6 +307,18 @@ object SparkEntry {
                 col("c_acctbal"), col("n_orders"))
     }),
 
+    // ---- multimodal decode/feature plumbing (mapPartitions batch
+    //      stage over binary payloads; codec stubbed — no oracleSql
+    //      entry, driver records the rows-only check) ----
+    "q_multimodal_features" -> ((s, dir) => {
+      val corpus = graft.multimodal.Multimodal.syntheticCorpus(s, 200)
+      graft.multimodal.Multimodal.decodeStub(corpus).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+                round(col("byte_entropy"), 6).as("entropy"),
+                round(element_at(col("feature"), 1).cast("double"), 6)
+                  .as("f0"))
+    }),
+
     // ---- events: windowed agg + sessionization ----
     "q_events_window" -> ((s, dir) =>
       Tables.events(s, dir)

@@ -47,4 +47,29 @@ class TextEdgeSpec extends SparkSpec {
     val rows = edgy.select(cols: _*).collect()
     assert(rows.length == 7) // no exception; nulls allowed for empty docs
   }
+
+  test("term stats / chunk dedup / repetition skip empty docs cleanly") {
+    val stats = TextAnalysis.termStats(edgy, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+    assert(!stats.exists(_._2 == ""))        // no empty-token rows
+    assert(!stats.exists(s => s._1 == 1L || s._1 == 2L || s._1 == 6L))
+    val chunks = Dedup.chunkDupStats(edgy, "doc_id", "text", 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!chunks.contains(1L) && !chunks.contains(2L) && !chunks.contains(6L))
+    assert(chunks(7L)._1 == 2L)              // "a b a b a b" → 2 chunks of ≤4
+    val rep = TextAnalysis.repetitionStats(edgy, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!rep.contains(1L) && !rep.contains(3L)) // <2 tokens → no bigrams
+    assert(rep(7L)._2 == 5L && rep(7L)._3 == 3L)   // "a b"×3 of 5 bigrams
+  }
+
+  test("topTermsExact ranks rare terms first with stable tie order") {
+    val docs = Seq((1L, "rare common common"), (2L, "common common"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.topTermsExact(docs, "doc_id", "text", 2)
+      .filter($"doc_id" === 1L).orderBy($"rank")
+      .select($"token").as[String].collect().toSeq
+    // doc1: common tf=2 df=2 → 1.0M; rare tf=1 df=1 → 1.0M; tie → token order
+    assert(top == Seq("common", "rare"))
+  }
 }
