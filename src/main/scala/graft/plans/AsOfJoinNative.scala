@@ -37,6 +37,12 @@ case class AsOfJoinPlan(
     rightValues: Seq[Attribute]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
+  /** One output row per left row — size like the left child, not the
+    * visitor default for unknown binary nodes (children size PRODUCT),
+    * which would make every downstream join look too big to broadcast. */
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = left.stats.sizeInBytes, rowCount = left.stats.rowCount)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)

@@ -45,6 +45,37 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("parquet schema evolution: mergeSchema unifies old and new files") {
+    val out = Files.createTempDirectory("evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(out + "/p=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.parquet(out + "/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.toSet == Set("id", "v", "score", "p"))
+    val rows = merged.select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).contains(9.5)) // old files → null
+  }
+
+  test("seeded sampling is deterministic and stratified fractions hold") {
+    val orders = Tables.load(spark, dir, "orders")
+    val s1 = orders.sample(withReplacement = false, 0.2, seed = 7)
+      .select("o_orderkey").as[Long].collect().toSet
+    val s2 = orders.sample(withReplacement = false, 0.2, seed = 7)
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(s1 == s2 && s1.nonEmpty)          // same seed → same rows
+    val n = orders.count().toDouble
+    assert(math.abs(s1.size / n - 0.2) < 0.05)
+    // stratified: per-status fractions
+    val frac = Map("F" -> 0.5, "O" -> 0.1, "P" -> 1.0)
+    val strat = orders.stat.sampleBy("o_orderstatus", frac, 11L)
+      .groupBy("o_orderstatus").count().as[(String, Long)].collect().toMap
+    val base = orders.groupBy("o_orderstatus").count()
+      .as[(String, Long)].collect().toMap
+    frac.foreach { case (k, f) =>
+      assert(math.abs(strat(k).toDouble / base(k) - f) < 0.08, k)
+    }
+  }
+
   test("predicate + projection pushdown reach the parquet scan") {
     val q = Tables.load(spark, dir, "orders")
       .filter(col("o_totalprice") > 100000.0)
