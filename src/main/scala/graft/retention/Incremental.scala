@@ -88,4 +88,27 @@ object Incremental {
       .filter(col("version") === col("_maxv"))
       .drop("_maxv", "version")
   }
+
+  /** End-to-end streaming sink wiring: per microbatch, nest each
+    * updated household's ranges and upsert them into the durable keyed
+    * table — the streaming replacement for the reference's
+    * run-the-whole-batch-then-bulk-upsert cycle. The upsert's
+    * whole-row-replace semantics make each batch's write idempotent
+    * per household, and its staged commit keeps the table consistent
+    * if a microbatch dies mid-write. */
+  def writeToKeyedSink(updates: Dataset[HhRange], sinkPath: String,
+                       numBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions._
+    updates.toDF().writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val nested = latest(batch)
+          .groupBy("household_id")
+          .agg(array_sort(collect_list(struct(
+            col("start_month"), col("end_month"), col("retained"))))
+            .as("ranges"))
+        graft.sources.KeyedUpsert.upsert(
+          batch.sparkSession, sinkPath, nested, "household_id", numBuckets)
+      }
+  }
 }

@@ -71,7 +71,11 @@ object Protocol {
     val phase1 = Retention.nestRanges(
       Retention.personRanges(pending, encounters, cfg))
     KeyedUpsert.upsert(spark, sinkPath, phase1, "person_id", numBuckets)
-    // phase 2: persons whose household had no qualifying encounters.
+    // phase 2 safety net: phase 1's person-built scaffold covers every
+    // pending person (including encounter-less households), so in a
+    // complete run this finds nothing — it exists, as in the reference
+    // (:795 count gate), for persons that appeared between phases or
+    // were left behind by an interrupted earlier run.
     val done = KeyedUpsert.read(spark, sinkPath).select("person_id")
     val still = pending.join(done, Seq("person_id"), "left_anti")
     val phase2 = Retention.nestRanges(

@@ -66,5 +66,18 @@ class IncrementalRetentionSpec extends SparkSpec {
               concat(substring(col("end_date"), 1, 8), lit("01")))
       .as[(Long, Boolean, String, String)].collect().toSet
     assert(streamed == batch)
+
+    // end-to-end: the same stream driven into the durable keyed sink
+    val sink = java.nio.file.Files.createTempDirectory("incr_sink").toString + "/t"
+    val q2 = Incremental.writeToKeyedSink(
+        Incremental.updates(stream, cfg), sink, 8)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    val sunk = graft.sources.KeyedUpsert.read(spark, sink)
+      .select(col("household_id"), explode(col("ranges")).as("r"))
+      .select(col("household_id"), col("r.retained"),
+              col("r.start_month"), col("r.end_month"))
+      .as[(Long, Boolean, String, String)].collect().toSet
+    assert(sunk == batch)
   }
 }
