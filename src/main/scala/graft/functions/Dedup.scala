@@ -51,9 +51,13 @@ object Dedup {
     val sets = docs.select(col(idCol).as("doc_id"),
         array_distinct(TextAnalysis.shingles(col(textCol), n)).as("sh"))
       .filter(size(col("sh")) > 0)
+    // hash immediately and DROP the shingle string: the posting set
+    // crosses two shuffles (df window by h, prefix rank by doc) and
+    // the ~25-byte strings would ride both — the 8-byte hash is all
+    // the candidate join needs
     val ex = sets.select(col("doc_id"), size(col("sh")).as("sz"),
                          explode(col("sh")).as("s"))
-      .withColumn("h", xxhash64(col("s")))
+      .select(col("doc_id"), col("sz"), xxhash64(col("s")).as("h"))
     // document frequency via a count window over the same h-shuffle the
     // candidate join needs anyway — one stage cheaper than a separate
     // groupBy + join-back of the frequency table
