@@ -246,15 +246,21 @@ object Retention {
               col("gte"), col("lte"), col("start_date"), col("end_date"))
   }
 
-  /** Reshape flat (person, range) rows into the reference's output
-    * shape (S7/A7, :281-295): one row per person with the history as a
-    * sorted ARRAY<STRUCT>. `collect_list` is bounded here (≤
-    * windowMonths+1 entries per person), sorted in-array for
-    * determinism. */
+  /** Reshape flat (person, range) rows into the reference's EXACT
+    * output shape (S7/A7, :281-295 case classes :264-276):
+    * `household_retention_history: ARRAY<STRUCT<date_range:
+    * STRUCT<gte: BIGINT, lte: BIGINT>, date_range_alt: STRUCT<gte:
+    * STRING, lte: STRING>, retained: BOOLEAN>>` — one row per person.
+    * `collect_list` is bounded here (≤ windowMonths+1 entries per
+    * person), sorted in-array for determinism (the reference's array
+    * order is ES-iteration-dependent; sorted is the deliberate
+    * refinement, docs/SEMANTICS.md). */
   def nestRanges(ranges: DataFrame): DataFrame =
     ranges.groupBy("person_id")
       .agg(array_sort(collect_list(struct(
-        col("gte"), col("lte"), col("start_date"), col("end_date"),
+        struct(col("gte"), col("lte")).as("date_range"),
+        struct(col("start_date").as("gte"), col("end_date").as("lte"))
+          .as("date_range_alt"),
         col("retained")))).as("household_retention_history"))
 
   /** Both phases, nested per person. */

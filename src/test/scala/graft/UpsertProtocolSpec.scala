@@ -77,6 +77,30 @@ class UpsertProtocolSpec extends SparkSpec {
     assert(Protocol.run(spark, personsDone, encounters, cfg, path, 8) == 0L)
   }
 
+  test("RetentionJob: args-configured end-to-end run, reference output schema") {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    import graft.retention.RetentionJob
+    val sink = Files.createTempDirectory("job").toString + "/sink"
+    val n = RetentionJob.run(spark, RetentionJob.JobConfig(
+      "ALL", "/root/testdata/sf0.001", sink, 100))
+    assert(n > 0)
+    val hist = KeyedUpsert.read(spark, sink)
+    assert(hist.count() == n)
+    // the reference's exact nested shape (case classes :264-276)
+    val elem = hist.schema("household_retention_history").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    assert(elem.fieldNames.toSeq == Seq("date_range", "date_range_alt", "retained"))
+    assert(elem("date_range").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("gte", "lte"))
+    assert(elem("date_range_alt").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("gte", "lte"))
+    // tenant-scoped variant writes a subset
+    val sink2 = Files.createTempDirectory("job2").toString + "/sink"
+    val n2 = RetentionJob.run(spark, RetentionJob.JobConfig(
+      "BUILDING", "/root/testdata/sf0.001", sink2, 100))
+    assert(n2 > 0 && n2 < n)
+  }
+
   test("household probe: sorted top-k pending households with member counts") {
     val persons = Seq((1L, "B"), (2L, "B"), (3L, "A"), (4L, "C"))
       .toDF("person_id", "household_id")
