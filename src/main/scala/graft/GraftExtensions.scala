@@ -26,8 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
-    // whole-operator tier: the native as-of join's planner strategy
+    // whole-operator tier: the native as-of join's planner strategy +
+    // the pruning rule Catalyst can't derive for an unknown node
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinValues)
     e.injectFunction((FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(tokens) — 60-bit SimHash of ARRAY<STRING>"),
       (args: Seq[Expression]) => SimHash60(args.head)))

@@ -72,6 +72,11 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    // never return silently-wrong labels: with pointer jumping,
+    // maxIter=25 covers any graph with < 2^25-step label chains, so
+    // hitting the cap means something is broken, not "close enough"
+    if (!done) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds")
     val singletons = nodes.toDF("node").distinct()
       .join(edgeNodes, Seq("node"), "left_anti")
       .select(col("node"), col("node").as("component"))

@@ -48,6 +48,28 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Column pruning THROUGH the custom node: Catalyst's ColumnPruning
+  * only understands built-in operators, so without this rule every
+  * as-of value column survives to the exec even when the query
+  * projects a subset — at scale that is shuffle bytes for columns
+  * nobody reads. Registered with the planner strategy (via
+  * `injectOptimizerRule`, where it joins the operator-optimization
+  * fixed point and composes with child pruning; via
+  * `experimental.extraOptimizations` it still trims the node and the
+  * merge payload). Idempotent. */
+object PruneAsOfJoinValues
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projectList, aj: AsOfJoinPlan) =>
+      val needed = AttributeSet(projectList.flatMap(_.references))
+      val keep = aj.rightValues.filter(needed.contains) // match by exprId
+      if (keep.length == aj.rightValues.length) p
+      else p.copy(child = aj.copy(rightValues = keep))
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, vals) =>
@@ -162,11 +184,14 @@ case class AsOfJoinExec(
 /** DataFrame-level API over the native operator. */
 object AsOfJoinNative {
 
-  /** Install the planner strategy into `spark` (idempotent). */
+  /** Install the planner strategy + pruning rule into `spark`
+    * (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val es = spark.experimental
     if (!es.extraStrategies.contains(AsOfJoinStrategy))
       es.extraStrategies = es.extraStrategies :+ AsOfJoinStrategy
+    if (!es.extraOptimizations.contains(PruneAsOfJoinValues))
+      es.extraOptimizations = es.extraOptimizations :+ PruneAsOfJoinValues
   }
 
   /** Same signature/contract as `operators.AsOfJoin.joinAsOf`, planned

@@ -50,6 +50,20 @@ class AsOfJoinNativeSpec extends SparkSpec {
       (Some(9L), Some(10L), None)))     // no state for key
   }
 
+  test("unused value columns are pruned through the custom node") {
+    val probes = (1L to 50L).map(i => (i % 5, i)).toDF("k", "t")
+    val states = (1L to 20L).map(i => (i % 5, i * 3, i, s"wide_$i"))
+      .toDF("k", "st", "sv", "unused_wide")
+    val df = AsOfJoinNative.joinAsOf(
+        probes, states, Seq("k"), "t", "st", Seq("sv", "unused_wide"))
+      .select("k", "t", "sv") // unused_wide never read
+    val optimized = df.queryExecution.optimizedPlan
+    val nodes = optimized.collect {
+      case aj: graft.plans.AsOfJoinPlan => aj.rightValues.map(_.name) }
+    assert(nodes.nonEmpty && nodes.head == Seq("sv"), optimized.toString)
+    assert(df.count() == 50)
+  }
+
   test("plan shape: merge exec over two exchanges, no union blow-up") {
     val probes = (1L to 50L).map(i => (i % 5, i, i * 2)).toDF("k", "t", "p")
     val states = (1L to 20L).map(i => (i % 5, i * 3, i)).toDF("k", "st", "sv")
