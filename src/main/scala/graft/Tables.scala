@@ -32,7 +32,14 @@ object Tables {
     * reader rejects that outright (PARQUET_TYPE_ILLEGAL) unless
     * `spark.sql.legacy.parquet.nanosAsLong` is set, which surfaces `ts`
     * as a nanos-since-epoch LongType. Expose both the raw nanos
-    * (`ts_ns`) and a micros-truncated proper TimestampType (`ts`). */
+    * (`ts_ns`) and a micros-truncated proper TimestampType (`ts`).
+    *
+    * NB the conf is session-scoped BY NECESSITY: it is a static read
+    * path switch with no per-reader option form, and the frame is lazy
+    * (the conf must hold whenever the scan later executes). It is
+    * additive-only — it turns a hard reader error into a typed column —
+    * so leaving it set cannot change the result of any query that
+    * would otherwise succeed. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")

@@ -63,6 +63,11 @@ object RetentionJob {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // reference session conf parity (:118-119) — matters only on the
+      // rare RDD edges (localCheckpoint payloads); DataFrame data rides
+      // Tungsten's UnsafeRow regardless
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try run(spark, job) finally spark.stop()

@@ -45,6 +45,32 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("JSON schema inference from raw doc strings (reference S5 pattern)") {
+    // the reference feeds ES hits as JSON strings into read.json and
+    // relies on inference (HouseholdRetentionProcessing.scala:406,:471)
+    val jsons = Seq(
+      """{"_metadata": {"_id": "e1", "_parent": "p1"}, "admit_date": 1500000000000}""",
+      """{"_metadata": {"_id": "e2", "_parent": "p2"}, "admit_date": 1500003600000}""")
+      .toDS()
+    val inferred = spark.read.json(jsons)
+    val out = inferred.select(
+        col("_metadata._id").as("encounter_id"),
+        col("_metadata._parent").as("person_id"),
+        col("admit_date").cast("long").as("admit_date_ts"))
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("e1", "p1", 1500000000000L),
+                      ("e2", "p2", 1500003600000L)))
+    // the scale-correct form: explicit schema via from_json — no
+    // inference pass over the data
+    val explicit = jsons.toDF("raw")
+      .select(from_json(col("raw"), inferred.schema).as("j"))
+      .select(col("j._metadata._id").as("encounter_id"),
+              col("j._metadata._parent").as("person_id"),
+              col("j.admit_date").cast("long").as("admit_date_ts"))
+      .as[(String, String, Long)].collect().toSet
+    assert(explicit == out)
+  }
+
   test("parquet schema evolution: mergeSchema unifies old and new files") {
     val out = Files.createTempDirectory("evolve").toString + "/t"
     Seq((1L, "a")).toDF("id", "v").write.parquet(out + "/p=1")
