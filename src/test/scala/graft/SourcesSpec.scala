@@ -102,6 +102,29 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("range-clustered layout enables row-group (zone-map) pruning") {
+    // same data, two layouts; a selective date filter must read far
+    // fewer rows from the range-clustered files (parquet min/max
+    // skipping), which is the entire point of write-time clustering
+    val orders = Tables.load(spark, dir, "orders")
+    val base = Files.createTempDirectory("layout").toString
+    orders.repartition(8).write.parquet(base + "/random")
+    orders.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.parquet(base + "/clustered")
+    def rowsRead(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("o_orderkey").between(1000L, 1200L))
+      df.collect()
+      // scan output = rows DECODED (row groups that survived min/max
+      // skipping), not rows matching — the layout difference shows here
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val (rnd, clu) = (rowsRead(base + "/random"), rowsRead(base + "/clustered"))
+    assert(clu < rnd / 2, s"clustered=$clu random=$rnd")
+  }
+
   test("predicate + projection pushdown reach the parquet scan") {
     val q = Tables.load(spark, dir, "orders")
       .filter(col("o_totalprice") > 100000.0)

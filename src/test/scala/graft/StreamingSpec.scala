@@ -62,6 +62,35 @@ class StreamingSpec extends SparkSpec {
       Tables.events(spark, dir).count())
   }
 
+  test("watermark drops data later than the horizon (bounded state contract)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val counts = StreamingOps.windowedCounts(
+      src.toDF().toDF("ts", "event_type", "value"), "1 hour", "30 minutes")
+    val q = counts.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wm").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: events at 10:xx; batch 2 advances the watermark past the
+    // 10:00 window (event at 13:00 → watermark 12:30) closing it
+    src.addData((ts("2021-01-01 10:05:00"), "a", 1.0),
+                (ts("2021-01-01 10:55:00"), "a", 1.0))
+    q.processAllAvailable()
+    src.addData((ts("2021-01-01 13:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    // batch 3: a VERY late event for the closed 10:00 window — dropped
+    src.addData((ts("2021-01-01 10:10:00"), "a", 99.0))
+    q.processAllAvailable()
+    src.addData((ts("2021-01-01 15:00:00"), "a", 1.0)) // close 13:00 too
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("wm")
+      .select(col("window.start").cast("string"), col("n_events"))
+      .as[(String, Long)].collect().toMap
+    assert(out("2021-01-01 10:00:00") == 2L) // late row NOT counted
+    assert(out("2021-01-01 13:00:00") == 1L)
+  }
+
   test("stateful sessionization matches the batch gaps-and-islands result") {
     val gapNs = 30L * 60 * 1000 * 1000 * 1000
     val events = Tables.events(spark, dir)
