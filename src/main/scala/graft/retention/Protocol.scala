@@ -63,11 +63,19 @@ object Protocol {
   }
 
   /** Full two-phase run with gates, writing per-person nested history
-    * to the keyed sink. Returns the number of persons written. */
+    * to the keyed sink. Returns the number of persons written by THIS
+    * run — |pending| + |phase-2 leftovers|, both counted on the narrow
+    * person projections. No end-of-run re-read of the sink: the old
+    * `read(sink).count()` finale re-scanned the whole table to report
+    * on an incremental write, which at 100 TB costs more than the
+    * write itself. (Phase 1 writes exactly one row per pending person:
+    * the person-built scaffold guarantees every pending person's
+    * household has ranges.) */
   def run(spark: SparkSession, persons: DataFrame, encounters: DataFrame,
           cfg: RetentionConfig, sinkPath: String, numBuckets: Int = 64): Long = {
     val pending = personsWithoutRetention(persons)
-    if (pending.isEmpty) return 0L // count gate: nothing to do (:628)
+    val nPending = pending.count() // the A6 count gate, value reused (:628)
+    if (nPending == 0L) return 0L
     val phase1 = Retention.nestRanges(
       Retention.personRanges(pending, encounters, cfg))
     KeyedUpsert.upsert(spark, sinkPath, phase1, "person_id", numBuckets)
@@ -78,9 +86,12 @@ object Protocol {
     // were left behind by an interrupted earlier run.
     val done = KeyedUpsert.read(spark, sinkPath).select("person_id")
     val still = pending.join(done, Seq("person_id"), "left_anti")
-    val phase2 = Retention.nestRanges(
-      Retention.phase2Ranges(still, encounters, cfg))
-    KeyedUpsert.upsert(spark, sinkPath, phase2, "person_id", numBuckets)
-    KeyedUpsert.read(spark, sinkPath).count()
+    val nStill = still.count() // phase-2 count gate (:795)
+    if (nStill > 0L) {
+      val phase2 = Retention.nestRanges(
+        Retention.phase2Ranges(still, encounters, cfg))
+      KeyedUpsert.upsert(spark, sinkPath, phase2, "person_id", numBuckets)
+    }
+    nPending + nStill
   }
 }

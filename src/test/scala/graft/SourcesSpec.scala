@@ -71,6 +71,30 @@ class SourcesSpec extends SparkSpec {
     assert(explicit == out)
   }
 
+  test("malformed JSON: PERMISSIVE quarantines, FAILFAST raises") {
+    // ingest reality at scale: a bad record must never silently vanish
+    // (PERMISSIVE + _corrupt_record quarantines it for a dead-letter
+    // path) and strict pipelines must be able to refuse it outright
+    import org.apache.spark.sql.types._
+    val lines = Seq("""{"id": 1, "v": "ok"}""", """{"id": oops not json""",
+                    """{"id": 3, "v": "fine"}""").toDS()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(lines)
+    val (good, bad) = (permissive.filter(col("_corrupt_record").isNull),
+                       permissive.filter(col("_corrupt_record").isNotNull))
+    assert(good.select("id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(bad.count() == 1)
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(StructType(schema.take(2)))
+        .option("mode", "FAILFAST").json(lines).collect()
+    }
+  }
+
   test("parquet schema evolution: mergeSchema unifies old and new files") {
     val out = Files.createTempDirectory("evolve").toString + "/t"
     Seq((1L, "a")).toDF("id", "v").write.parquet(out + "/p=1")
@@ -123,6 +147,33 @@ class SourcesSpec extends SparkSpec {
     }
     val (rnd, clu) = (rowsRead(base + "/random"), rowsRead(base + "/clustered"))
     assert(clu < rnd / 2, s"clustered=$clu random=$rnd")
+  }
+
+  test("z-order layout prunes on BOTH dimensions; row sets unchanged") {
+    import graft.sources.ZOrderLayout
+    val orders = Tables.load(spark, dir, "orders")
+    val base = Files.createTempDirectory("zorder").toString
+    ZOrderLayout.write(orders, Seq("o_custkey", "o_orderkey"),
+      base + "/z", nFiles = 16, bits = 6)
+    orders.repartition(16).write.parquet(base + "/random")
+    def decoded(path: String, filter: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(path).filter(filter)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    // selective filters on EITHER layout column must decode fewer rows
+    // than the random layout
+    for (f <- Seq(col("o_custkey").between(10L, 40L),
+                  col("o_orderkey").between(100L, 400L))) {
+      val (z, r) = (decoded(base + "/z", f), decoded(base + "/random", f))
+      assert(z < r, s"filter $f: zorder=$z random=$r")
+      // correctness: identical row sets either way
+      assert(spark.read.parquet(base + "/z").filter(f)
+               .select("o_orderkey").as[Long].collect().toSet ==
+             spark.read.parquet(base + "/random").filter(f)
+               .select("o_orderkey").as[Long].collect().toSet)
+    }
   }
 
   test("predicate + projection pushdown reach the parquet scan") {
