@@ -17,12 +17,27 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object Compaction {
 
+  /** Finish or unwind an interrupted previous compaction. The swap is
+    * two renames (root→old, stage→root); a crash between them leaves
+    * root missing with the data intact in `old` — restore it. A crash
+    * after the second rename leaves a stale `old`/stage — drop them. */
+  private def recover(fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
+    val old = new Path(root.getParent, root.getName + "_graft_precompact")
+    val stage = new Path(root.getParent, root.getName + "_graft_compact")
+    if (!fs.exists(root) && fs.exists(old)) {
+      if (!fs.rename(old, root))
+        throw new java.io.IOException(s"failed to restore $old -> $root")
+    } else if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(stage)) fs.delete(stage, true)
+  }
+
   /** Compact the parquet directory at `path` toward `targetBytes` per
     * output file. Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(fs, root)
     val parts = fs.listStatus(root)
       .filter(f => f.getPath.getName.endsWith(".parquet"))
     val totalBytes = parts.map(_.getLen).sum

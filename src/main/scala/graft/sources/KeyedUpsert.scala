@@ -92,16 +92,25 @@ object KeyedUpsert {
       if (!fs.rename(staged, live))
         throw new java.io.IOException(s"failed to swap in $staged")
     }
-    // Commit point: removing the backup (manifest included) makes the
-    // new buckets final; until here, recover() restores the old state.
+    // COMMIT POINT: deleting the manifest — a single-file delete — makes
+    // the new buckets final. It MUST go before the recursive backup
+    // delete: a crash midway through deleting the backup dir would
+    // otherwise leave the manifest alongside a PARTIAL backup, and
+    // recovery would "roll back" committed buckets whose backups are
+    // already gone — destroying them.
+    fs.delete(new Path(backup, Manifest), false)
     fs.delete(backup, true)
     fs.delete(stage, true)
   }
 
   /** Roll back an interrupted swap: restore every manifest-listed
     * bucket from backup (or drop it, if it was newly created by the
-    * interrupted run), then clear staging. Idempotent — safe to call
-    * any number of times, including after a crash mid-recovery. */
+    * interrupted run), then clear staging. The manifest's existence is
+    * the authority: it is written before the first rename and deleted
+    * (single-file, effectively atomic) only at commit, so when it is
+    * present the backup is guaranteed complete for every pre-existing
+    * touched bucket. Idempotent — safe to call any number of times,
+    * including after a crash mid-recovery. */
   private def recover(fs: FileSystem, root: Path): Unit = {
     val backup = new Path(root.getParent, root.getName + BackupDir)
     val stage = new Path(root.getParent, root.getName + StageDir)

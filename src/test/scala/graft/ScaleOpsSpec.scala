@@ -75,6 +75,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).collect().toSet == before)
     // idempotent: second pass is a no-op
     assert(Compaction.compact(spark, dir, 512L * 1024) == (nAfter, nAfter))
+    // crash recovery: simulate dying between the two swap renames
+    // (root moved aside, staged output half-present)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(dir + "_graft_precompact")
+    val stage = new org.apache.hadoop.fs.Path(dir + "_graft_compact")
+    assert(fs.rename(root, old))
+    fs.mkdirs(stage)
+    assert(!fs.exists(root))
+    Compaction.compact(spark, dir, 512L * 1024) // must restore first
+    assert(spark.read.parquet(dir).collect().toSet == before)
+    assert(!fs.exists(old) && !fs.exists(stage))
   }
 
   test("AQE splits a skewed join partition (skew-immune shuffle joins)") {
