@@ -123,6 +123,16 @@ object SparkEntry {
                 lag(to_date(col("o_orderdate")), 1).over(w).as("prev_date"))
     }),
 
+    // ---- argmin/argmax aggregates (min_by/max_by) ----
+    "q_minmax_by" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(max_by(col("o_totalprice"), col("o_orderkey"))
+               .as("last_order_price"),
+             min_by(col("o_totalprice"), col("o_orderkey"))
+               .as("first_order_price"),
+             count(lit(1)).as("n_orders"))),
+
     // ---- sorted top-k (O1/A5: ES terms-agg parity) ----
     "q_topk" -> ((s, dir) =>
       Tables.load(s, dir, "orders")
@@ -452,6 +462,17 @@ object SparkEntry {
              round(sum(col("l_quantity")), 2).as("sum_qty"),
              count(lit(1)).as("n"))),
 
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+      """)
+    }),
+
     // ---- analytic window functions beyond the reference's four ----
     "q_window_analytics" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -680,6 +701,13 @@ object SparkEntry {
              lag(o_orderdate::DATE, 1) OVER w AS prev_date
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "q_minmax_by" -> """
+      SELECT o_custkey,
+             arg_max(o_totalprice, o_orderkey) AS last_order_price,
+             arg_min(o_totalprice, o_orderkey) AS first_order_price,
+             count(*) AS n_orders
+      FROM orders GROUP BY o_custkey
     """,
     "q_topk" -> """
       SELECT o_custkey, count(*) AS n_orders FROM orders
@@ -1110,6 +1138,13 @@ object SparkEntry {
              GROUPING(l_returnflag, l_linestatus) AS gid,
              round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_grouping_sets" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                              (l_returnflag, l_linestatus))
     """,
     "q_window_analytics" -> """
       SELECT o_orderkey, o_custkey,
