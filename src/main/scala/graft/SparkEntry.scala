@@ -394,6 +394,14 @@ object SparkEntry {
                 regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
                 col("c_name").like("%1%").as("has_one"))),
 
+    // ---- fuzzy matching: edit distance (integer-exact) ----
+    "q_edit_distance" -> ((s, dir) =>
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"),
+                levenshtein(col("c_name"), lit("Customer#000000100"))
+                  .as("edit_dist"))
+        .filter(col("edit_dist") <= 3)),
+
     // ---- pivot (conditional aggregation) ----
     "q_pivot" -> ((s, dir) =>
       Tables.load(s, dir, "orders")
@@ -1084,6 +1092,12 @@ object SparkEntry {
              coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS name_digits,
              (c_name LIKE '%1%') AS has_one
       FROM customer
+    """,
+    "q_edit_distance" -> """
+      SELECT c_custkey,
+             levenshtein(c_name, 'Customer#000000100') AS edit_dist
+      FROM customer
+      WHERE levenshtein(c_name, 'Customer#000000100') <= 3
     """,
     "q_pivot" -> """
       SELECT o_custkey,

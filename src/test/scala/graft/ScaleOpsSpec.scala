@@ -63,6 +63,27 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bloom-filter pre-join keeps all matches and prunes most non-matches") {
+    // the 100 TB join-reduction pattern: build a bloom filter on the
+    // small side's keys, filter the big side BEFORE its shuffle —
+    // false positives only cost bytes, never correctness
+    val dir = "/root/testdata/sf0.001"
+    val smallKeys = Tables.load(spark, dir, "customer")
+      .filter($"c_acctbal" > 9000.0).select($"c_custkey")
+    val bloom = smallKeys.stat.bloomFilter("c_custkey", 1000L, 0.03)
+    val bBloom = spark.sparkContext.broadcast(bloom)
+    val mightMatch = udf((k: Long) => bBloom.value.mightContain(k))
+    val orders = Tables.load(spark, dir, "orders")
+    val pre = orders.filter(mightMatch($"o_custkey"))
+    val exact = orders.join(smallKeys, $"o_custkey" === $"c_custkey", "left_semi")
+    // no false negatives: every truly-matching row survives the prefilter
+    assert(exact.join(pre.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .isEmpty)
+    // and the prefilter removed the bulk of the non-matching rows
+    assert(pre.count() < orders.count() / 2,
+      s"pre=${pre.count()} all=${orders.count()}")
+  }
+
   test("compaction rewrites many small files into few, preserving data") {
     import graft.sources.Compaction
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
