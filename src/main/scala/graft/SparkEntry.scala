@@ -350,6 +350,25 @@ object SparkEntry {
              min(col("ts_ns")).as("start_ns"), max(col("ts_ns")).as("end_ns"))
     }),
 
+    // ---- built-in session windows (native session_window agg) ----
+    "q_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+                col("session_window.start").as("s_start"),
+                col("session_window.end").as("s_end"),
+                col("n_events"))),
+
+    // ---- VARIANT semi-structured type (Spark 4 parse_json) ----
+    "q_variant" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+                expr("variant_get(parse_json(props), '$.k', 'long')")
+                  .as("k"),
+                expr("cast(parse_json(props):k as string)").as("k_str"))
+        .filter(col("k") > 50)),
+
     // ---- JSON column parsing (S5/P1) ----
     "q_json_extract" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -1056,6 +1075,35 @@ object SparkEntry {
       SELECT user_id, session_id, count(*) AS n_events,
              min(ts_ns) AS start_ns, max(ts_ns) AS end_ns
       FROM y GROUP BY 1, 2
+    """,
+    "q_session_window" -> """
+      WITH x AS (
+        SELECT user_id, ts,
+               -- >= : an event exactly gap after the previous one opens
+               -- a NEW Spark session window ([start, last+gap) is
+               -- half-open), unlike the q_events_sessionize contract
+               -- which merges at-gap events
+               CASE WHEN prev IS NULL
+                         OR epoch_ns(ts) - epoch_ns(prev) >= 1800000000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM (SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events)),
+      y AS (SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM x)
+      SELECT user_id, min(ts) AS s_start,
+             max(ts) + INTERVAL 30 MINUTE AS s_end,
+             count(*) AS n_events
+      FROM y GROUP BY user_id, sid
+    """,
+    "q_variant" -> """
+      SELECT event_id,
+             json_extract_string(props, '$.k')::BIGINT AS k,
+             json_extract_string(props, '$.k') AS k_str
+      FROM events
+      WHERE json_extract_string(props, '$.k')::BIGINT > 50
     """,
     "q_json_extract" -> """
       SELECT event_id, k FROM (

@@ -34,7 +34,8 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
-    rightValues: Seq[Attribute]) extends BinaryNode {
+    rightValues: Seq[Attribute],
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
   /** One output row per left row — size like the left child, not the
@@ -72,8 +73,8 @@ object PruneAsOfJoinValues
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, vals) =>
-      AsOfJoinExec(lk, rk, lt, rt, vals, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, vals, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, vals, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -86,7 +87,12 @@ case class AsOfJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     rightValues: Seq[Attribute],
+    tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  require(tolerance.isEmpty ||
+    leftTime.dataType == org.apache.spark.sql.types.LongType,
+    "as-of tolerance requires an integral (epoch) time column")
 
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
@@ -134,6 +140,7 @@ case class AsOfJoinExec(
         private var rTime: InternalRow = _
         private var heldKey: InternalRow = _
         private var heldVal: InternalRow = _
+        private var heldTime: Long = 0L
         advanceRight()
 
         private def advanceRight(): Unit = {
@@ -164,11 +171,15 @@ case class AsOfJoinExec(
               advanceRight(); continue = rRow != null
             } else if (c == 0 && timeOrd.compare(rTime, lTime) <= 0) {
               heldKey = rKey.copy(); heldVal = valProj(rRow).copy()
+              if (tolerance.isDefined) heldTime = rTime.getLong(0)
               advanceRight(); continue = rRow != null
             } else continue = false
           }
+          val withinTol = tolerance.forall(t =>
+            heldKey != null && lTime.getLong(0) - heldTime <= t)
           val vals =
-            if (heldKey != null && keyOrd.compare(heldKey, lKey) == 0) heldVal
+            if (heldKey != null && keyOrd.compare(heldKey, lKey) == 0 &&
+                withinTol) heldVal
             else nullVals
           outProj(joined(l, vals))
         }
@@ -195,10 +206,14 @@ object AsOfJoinNative {
   }
 
   /** Same signature/contract as `operators.AsOfJoin.joinAsOf`, planned
-    * through [[AsOfJoinExec]]. */
+    * through [[AsOfJoinExec]]. `tolerance` (only for integral epoch
+    * time columns) bounds staleness: a state older than
+    * `leftTime - tolerance` yields nulls instead of a match — pandas
+    * merge_asof's tolerance semantics. */
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
-               valueCols: Seq[String]): DataFrame = {
+               valueCols: Seq[String],
+               tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one equi key")
     val spark = left.sparkSession
     register(spark)
@@ -218,7 +233,7 @@ object AsOfJoinNative {
     val node = AsOfJoinPlan(lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      valueCols.map(attr(rPlan, _)))
+      valueCols.map(attr(rPlan, _)), tolerance)
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
   }
 }

@@ -50,6 +50,26 @@ class AsOfJoinNativeSpec extends SparkSpec {
       (Some(9L), Some(10L), None)))     // no state for key
   }
 
+  test("tolerance bounds staleness (merge_asof semantics)") {
+    val probes = Seq((1L, 100L), (1L, 150L), (1L, 500L), (2L, 100L))
+      .toDF("k", "t")
+    val states = Seq((1L, 90L, "fresh"), (2L, 10L, "stale"))
+      .toDF("k", "st", "sv")
+    val got = AsOfJoinNative.joinAsOf(
+        probes, states, Seq("k"), "t", "st", Seq("sv"), tolerance = Some(60L))
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(got == Set(
+      (1L, 100L, Some("fresh")),  // 10 ticks old, within 60
+      (1L, 150L, Some("fresh")),  // 60 ticks old, at the bound (<=)
+      (1L, 500L, None),           // 410 ticks old → too stale
+      (2L, 100L, None)))          // 90 ticks old → too stale
+    // without tolerance all four match their latest state
+    val all = AsOfJoinNative.joinAsOf(
+        probes, states, Seq("k"), "t", "st", Seq("sv"))
+      .as[(Long, Long, Option[String])].collect()
+    assert(all.forall(_._3.isDefined))
+  }
+
   test("unused value columns are pruned through the custom node") {
     val probes = (1L to 50L).map(i => (i % 5, i)).toDF("k", "t")
     val states = (1L to 20L).map(i => (i % 5, i * 3, i, s"wide_$i"))
