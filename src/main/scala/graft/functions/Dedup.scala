@@ -172,6 +172,20 @@ object Dedup {
       .distinct()
   }
 
+  /** One-call near-duplicate removal: MinHash-LSH candidates →
+    * connected components → keep each component's min-id row. The
+    * composition a corpus-cleaning pass actually wants when it doesn't
+    * need the staged control of `Curation.curate`. */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val pairs = lshCandidatePairs(docs, idCol, textCol, n, k, bands)
+    val comps = graft.operators.ConnectedComponents.run(
+      docs.select(col(idCol).as("node")), pairs.select("doc_a", "doc_b"))
+    docs.join(comps, docs(idCol) === comps("node"))
+      .filter(col("component") === col(idCol))
+      .drop("node", "component")
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** Register graft's custom Catalyst expressions for SQL use. */

@@ -63,6 +63,19 @@ class TextEdgeSpec extends SparkSpec {
     assert(rep(7L)._2 == 5L && rep(7L)._3 == 3L)   // "a b"×3 of 5 bigrams
   }
 
+  test("dropNearDuplicates keeps component minima, drops the rest") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      (3L, "completely different text about other things entirely here"),
+      (4L, "alpha beta gamma delta epsilon zeta eta iota")) // near-dup of 1
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(3L) && !kept.contains(2L))
+    assert(kept.subsetOf(Set(1L, 3L, 4L))) // 4 may or may not band with 1
+  }
+
   test("topTermsExact ranks rare terms first with stable tie order") {
     val docs = Seq((1L, "rare common common"), (2L, "common common"))
       .toDF("doc_id", "text")
