@@ -69,8 +69,14 @@ object Incremental {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (hh: Long, it: Iterator[HhEncounter], state: GroupState[HhState]) =>
           val prev = state.getOption.getOrElse(HhState(Nil, 0L))
+          // prune below the scan horizon at update time — without this
+          // the per-household list would accumulate every day ever
+          // seen and the "bounded state" contract would quietly break
+          // on a long-running stream
+          val horizon = cfg.asOf.minusYears(cfg.scanYears.toLong).toEpochDay.toInt
           val merged =
-            (prev.days ++ it.map(_.admit_epoch_day)).distinct.sorted
+            (prev.days ++ it.map(_.admit_epoch_day))
+              .filter(_ >= horizon).distinct.sorted
           val next = HhState(merged, prev.version + 1)
           state.update(next)
           rangesFor(merged, cfg).map { case (st, s, e) =>

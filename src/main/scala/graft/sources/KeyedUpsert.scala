@@ -31,6 +31,13 @@ import org.apache.spark.sql.functions._
   * manifest. This replaces an earlier design that Overwrite-wrote the
   * live path while holding survivor rows only in a localCheckpoint —
   * where executor loss mid-write destroyed untouched rows.
+  *
+  * Concurrency contract: SINGLE WRITER (matching the reference's one
+  * batch job per index). Two concurrent upserts to the same path would
+  * race on the staging/backup directories; serialize writers or give
+  * each its own table. Readers are safe at any time — they see either
+  * a bucket's old or new directory, and `read` first rolls back any
+  * interrupted swap.
   */
 object KeyedUpsert {
 
