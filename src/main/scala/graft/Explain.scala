@@ -30,7 +30,11 @@ object Explain {
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(s"$outDir/$name.plan.txt"), plan)
-        def n(p: String) = p.r.findAllIn(plan).length
+        // count operators in the TREE section only — formatted mode
+        // repeats every node in the details section below, which would
+        // double every figure
+        val tree = plan.split("\n\n")(0)
+        def n(p: String) = p.r.findAllIn(tree).length
         val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan)
           .count(!_.contains("[]"))
         val wscg = "codegen id : (\\d+)".r.findAllMatchIn(plan)

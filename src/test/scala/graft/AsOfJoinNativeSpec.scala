@@ -70,6 +70,29 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(all.forall(_._3.isDefined))
   }
 
+  test("tolerance differentially matches rewrite + post-filter on random data") {
+    val rnd = new Random(99)
+    val probes = (1 to 300).map(_ =>
+      (rnd.nextInt(15).toLong, rnd.nextInt(1000).toLong)).toDF("k", "t")
+    val states = (1 to 120).map(_ =>
+      (rnd.nextInt(15).toLong, rnd.nextInt(1000).toLong,
+       rnd.nextInt(100).toLong)).toDF("k", "st", "sv")
+      .dropDuplicates("k", "st")
+    val tol = 75L
+    val native = AsOfJoinNative.joinAsOf(
+        probes, states, Seq("k"), "t", "st", Seq("st", "sv"), Some(tol))
+      .select("k", "t", "st", "sv")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    // independent formulation: plain as-of, then null out stale matches
+    val viaRewrite = AsOfJoin.joinAsOf(
+        probes, states, Seq("k"), "t", "st", Seq("st", "sv"))
+      .select(col("k"), col("t"),
+              when(col("t") - col("st") <= tol, col("st")).as("st"),
+              when(col("t") - col("st") <= tol, col("sv")).as("sv"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(native == viaRewrite)
+  }
+
   test("unused value columns are pruned through the custom node") {
     val probes = (1L to 50L).map(i => (i % 5, i)).toDF("k", "t")
     val states = (1L to 20L).map(i => (i % 5, i * 3, i, s"wide_$i"))
