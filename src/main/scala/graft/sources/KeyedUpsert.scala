@@ -90,7 +90,8 @@ object KeyedUpsert {
     fs.mkdirs(backup)
     val stagedBuckets = fs.listStatus(stage).map(_.getPath)
       .filter(_.getName.startsWith(BucketCol + "="))
-    writeManifest(fs, new Path(backup, Manifest), stagedBuckets.map(_.getName))
+    writeManifest(fs, new Path(backup, Manifest),
+      stagedBuckets.map(_.getName).toIndexedSeq)
     stagedBuckets.foreach { staged =>
       val live = new Path(root, staged.getName)
       if (fs.exists(live) &&
