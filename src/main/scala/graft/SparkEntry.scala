@@ -85,6 +85,14 @@ object SparkEntry {
              round(avg(col("l_quantity")), 6).as("avg_qty"),
              count(lit(1)).as("count_order"))),
 
+    // multiple DISTINCT aggregates (Catalyst Expand-based rewrite)
+    "q_multi_distinct" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"),
+             round(sum(col("l_quantity")), 2).as("sum_qty"))),
+
     // ---- joins (J1, J8, J10) ----
     "q_join_inner" -> ((s, dir) =>
       Tables.load(s, dir, "customer")
@@ -700,6 +708,13 @@ object SparkEntry {
              count(*) AS count_order
       FROM lineitem WHERE l_quantity > 0
       GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_multi_distinct" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_returnflag
     """,
     "q_join_inner" -> """
       SELECT o_orderkey, c_custkey, c_nationkey, c_mktsegment
