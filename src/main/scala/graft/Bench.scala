@@ -26,16 +26,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val suite = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.filter(kv => ks(kv._1)))
-    suite.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
-    }
+    // A failing query must fail the bench (exit ≠ 0), never silently
+    // score ~0 s: errors are collected per query, reported on stderr,
+    // and turn the run into a nonzero exit after all queries ran (so
+    // one broken query doesn't hide the others' numbers).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def run1(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        errors.getOrElseUpdate(name, s"${e.getClass.getName}: ${e.getMessage}")
+      }
+    suite.foreach { case (name, fn) => run1(name, fn) } // untimed warmup
     // two timed passes, min per query: single-pass numbers on a shared
     // 32-thread box swing ±50% from GC/scheduler noise; min-of-2 is the
     // repeatable steady-state figure the 2× perf gate compares against.
     def timedPass(): Map[String, Double] = suite.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        run1(name, fn)
         name -> (System.nanoTime() - t0) / 1e9
     }
     val (p1, p2) = (timedPass(), timedPass())
@@ -45,5 +53,11 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      errors.foreach { case (name, msg) =>
+        System.err.println(s"BENCH FAILURE $name: $msg")
+      }
+      sys.exit(1)
+    }
   }
 }

@@ -326,15 +326,14 @@ object SparkEntry {
     }),
 
     // ---- multimodal decode/feature plumbing (mapPartitions batch
-    //      stage over binary payloads; codec stubbed — no oracleSql
-    //      entry, driver records the rows-only check) ----
+    //      stage over binary payloads; codec stubbed). The corpus is
+    //      materialized to a shared parquet fixture so DuckDB reads the
+    //      identical bytes, and the feature surface is integer-exact
+    //      (hash-comparable cross-engine, unlike the DOUBLE entropy /
+    //      FLOAT embedding of Multimodal.decodeStub) ----
     "q_multimodal_features" -> ((s, dir) => {
-      val corpus = graft.multimodal.Multimodal.syntheticCorpus(s, 200)
-      graft.multimodal.Multimodal.decodeStub(corpus).toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-                round(col("byte_entropy"), 6).as("entropy"),
-                round(element_at(col("feature"), 1).cast("double"), 6)
-                  .as("f0"))
+      val corpus = graft.multimodal.Multimodal.corpusParquet(s, 200)
+      graft.multimodal.Multimodal.decodeIntFeatures(corpus).toDF()
     }),
 
     // ---- events: windowed agg + sessionization ----
@@ -979,8 +978,39 @@ object SparkEntry {
       ),
       c AS (SELECT doc_id, bigram, count(*) AS c FROM g GROUP BY 1, 2)
       SELECT doc_id, sum(c) AS n_bigrams, max(c) AS max_bigram_count,
-             round(max(c) / sum(c), 6) AS top_bigram_ratio
+             ((max(c) * 1000000) // sum(c))::BIGINT AS ratio_micro
       FROM c GROUP BY doc_id
+    """,
+    // reads the SAME parquet fixture the Spark query materializes
+    // (Multimodal.CorpusPath); byte values recovered from hex(bytes)
+    // — strpos over the hex alphabet is integer-exact in both engines
+    "q_multimodal_features" -> s"""
+      WITH m AS (
+        SELECT media_id, kind, bytes
+        FROM read_parquet('${graft.multimodal.Multimodal.CorpusPath}/*.parquet')
+      ),
+      hx AS (
+        SELECT media_id, kind, octet_length(bytes)::BIGINT AS n_bytes,
+               hex(bytes) AS h
+        FROM m
+      ),
+      b AS (
+        SELECT media_id, kind, n_bytes,
+               (strpos('0123456789ABCDEF', substr(h, i*2 + 1, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(h, i*2 + 2, 1)) - 1)
+                 AS byte
+        FROM (SELECT media_id, kind, n_bytes, h,
+                     unnest(range(n_bytes)) AS i
+              FROM hx)
+      )
+      SELECT media_id, kind, n_bytes,
+             sum(byte)::BIGINT AS byte_sum,
+             count(*) FILTER (byte < 64)::BIGINT AS hist_q0,
+             count(*) FILTER (byte >= 64 AND byte < 128)::BIGINT AS hist_q1,
+             count(*) FILTER (byte >= 128 AND byte < 192)::BIGINT AS hist_q2,
+             count(*) FILTER (byte >= 192)::BIGINT AS hist_q3,
+             count(*) FILTER (byte % 16 = 0)::BIGINT AS fold_mod16_0
+      FROM b GROUP BY media_id, kind, n_bytes
     """,
     "q_chunk_dedup" -> s"""
       WITH ch AS (

@@ -138,8 +138,12 @@ object TextAnalysis {
   /** Repetition stats (the Gopher-rules shape): how dominated a
     * document is by its most frequent word bigram. High ratios flag
     * templated/boilerplate text that per-document quality scores miss.
-    * All-integer numerators/denominators; the single division is
-    * IEEE-exact, so the DuckDB oracle reproduces it bit-for-bit.
+    * The dominance ratio surfaces as the integer-exact
+    * `ratio_micro = max_bigram_count·10⁶ div n_bigrams` (same pattern
+    * as [[topTermsExact]]'s score_micro): `round` on DOUBLE is not
+    * bit-identical across engines (Spark rounds via BigDecimal HALF_UP,
+    * DuckDB differs in the last ulp on boundary quotients), while
+    * integer division is (docs/SEMANTICS.md).
     */
   def repetitionStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String): org.apache.spark.sql.DataFrame = {
@@ -152,8 +156,8 @@ object TextAnalysis {
       .agg(sum(col("c")).as("n_bigrams"),
            max(col("c")).as("max_bigram_count"))
       .select(col("doc_id"), col("n_bigrams"), col("max_bigram_count"),
-              round(col("max_bigram_count") / col("n_bigrams"), 6)
-                .as("top_bigram_ratio"))
+              expr("max_bigram_count * 1000000 div n_bigrams")
+                .as("ratio_micro"))
   }
 
   /** Quality signals: length, alphabetic ratio, punctuation ratio,

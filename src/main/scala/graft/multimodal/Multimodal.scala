@@ -21,6 +21,20 @@ case class MediaFeatures(
     byte_entropy: Double,
     feature: Array[Float])  // fixed-dim embedding-shaped output
 
+/** Integer-exact feature surface for cross-engine verification: DOUBLE
+  * entropy / FLOAT features can't hash-match across engines, so the
+  * oracle-checked query emits only integers derivable from the payload
+  * bytes — byte-value histogram quartile counts, byte sum, and one
+  * fold bucket (count of bytes ≡ 0 mod 16, the d=0 cell of
+  * [[Multimodal.decodeStub]]'s folded histogram feature). */
+case class MediaIntFeatures(
+    media_id: Long,
+    kind: String,
+    n_bytes: Long,
+    byte_sum: Long,
+    hist_q0: Long, hist_q1: Long, hist_q2: Long, hist_q3: Long,
+    fold_mod16_0: Long)
+
 /** Multimodal column plumbing (additive — BASELINE.json north star).
   *
   * The Spark-side mechanics are real and tested: binary payload
@@ -86,6 +100,48 @@ object Multimodal {
         }
         MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong,
           entropy, feature)
+      }
+    }
+  }
+
+  /** Where the shared multimodal fixture lands so the DuckDB oracle can
+    * read the IDENTICAL payload bytes Spark processes (testdata is
+    * read-only; target/ is the repo's gitignored scratch space, and an
+    * absolute path keeps Spark and DuckDB agreeing regardless of cwd). */
+  val CorpusPath = "/root/repo/target/graft_fixtures/multimodal_corpus.parquet"
+
+  /** Materialize the deterministic synthetic corpus as parquet and read
+    * it back — both engines consume the same file, so the comparison
+    * checks the decode math, not corpus generation. Overwrite is cheap
+    * (single small file) and keeps the fixture fresh across runs. */
+  def corpusParquet(spark: SparkSession, n: Int,
+                    path: String = CorpusPath): Dataset[MediaRecord] = {
+    import spark.implicits._
+    syntheticCorpus(spark, n).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).as[MediaRecord]
+  }
+
+  /** Integer-exact batch feature extraction (oracle-checked variant of
+    * [[decodeStub]]): same mapPartitions plumbing — per-partition batch
+    * stage over binary payloads, where a real codec would sit — but the
+    * emitted features are integers DuckDB reproduces bit-for-bit from
+    * `hex(bytes)` (see SparkEntry.oracleSql q_multimodal_features). */
+  def decodeIntFeatures(media: Dataset[MediaRecord]): Dataset[MediaIntFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        var sum = 0L
+        val hist = new Array[Long](4)
+        var mod16 = 0L
+        r.bytes.foreach { b =>
+          val v = b & 0xff
+          sum += v
+          hist(v >> 6) += 1
+          if (v % 16 == 0) mod16 += 1
+        }
+        MediaIntFeatures(r.media_id, r.kind, r.bytes.length.toLong, sum,
+          hist(0), hist(1), hist(2), hist(3), mod16)
       }
     }
   }

@@ -11,15 +11,10 @@ class EntrySpec extends SparkSpec {
 
   test("every query has an oracle and returns rows at sf0.001") {
     val dir = "/root/testdata/sf0.001"
-    // queries whose computation is not SQL-expressible run as rows-only
-    // checks (driver contract) — everything else MUST have an oracle
-    val rowsOnly = Set("q_multimodal_features")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, dir).count()
       assert(n > 0, s"$name returned no rows")
-      assert(rowsOnly(name) || SparkEntry.oracleSql.contains(name),
-        s"$name lacks an oracle")
+      assert(SparkEntry.oracleSql.contains(name), s"$name lacks an oracle")
     }
-    rowsOnly.foreach(n => assert(!SparkEntry.oracleSql.contains(n)))
   }
 }

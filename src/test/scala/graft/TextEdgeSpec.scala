@@ -58,9 +58,10 @@ class TextEdgeSpec extends SparkSpec {
     assert(!chunks.contains(1L) && !chunks.contains(2L) && !chunks.contains(6L))
     assert(chunks(7L)._1 == 2L)              // "a b a b a b" → 2 chunks of ≤4
     val rep = TextAnalysis.repetitionStats(edgy, "doc_id", "text")
-      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(!rep.contains(1L) && !rep.contains(3L)) // <2 tokens → no bigrams
     assert(rep(7L)._2 == 5L && rep(7L)._3 == 3L)   // "a b"×3 of 5 bigrams
+    assert(rep(7L)._4 == 600000L)                  // 3·10⁶ div 5
   }
 
   test("dropNearDuplicates keeps component minima, drops the rest") {
