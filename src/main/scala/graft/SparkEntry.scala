@@ -231,6 +231,21 @@ object SparkEntry {
         docs.select(col("doc_id").as("node")),
         pairs.select(col("doc_a"), col("doc_b")))
     }),
+    // connected components on an adversarial PATH graph (dedup graphs
+    // are near-cliques; this pins the pointer-jumping O(log n) path at
+    // bench scale): orders chained by consecutive orderkey within
+    // 4096-key buckets → component = bucket-min orderkey, which the
+    // oracle reproduces with a plain window
+    "q_cc_path" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("id"),
+                expr("o_orderkey div 4096").as("b"))
+      val w = Window.partitionBy("b").orderBy("id")
+      val edges = o.withColumn("u", lag(col("id"), 1).over(w))
+        .filter(col("u").isNotNull)
+        .select(col("u"), col("id").as("v"))
+      graft.operators.ConnectedComponents.run(o.select("id"), edges)
+    }),
     // top-k distinctive terms per doc (tf/df rarity ranking; the
     // ln-based tf-idf variant is TextAnalysis.tfIdf — see SEMANTICS.md
     // on why the oracle surface avoids transcendentals)
@@ -862,6 +877,15 @@ object SparkEntry {
         SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
       )
       SELECT a AS node, min(b) AS component FROM reach GROUP BY a
+    """,
+    // chaining ALL consecutive orderkeys inside a bucket makes the
+    // whole bucket one path, so the component label is just the
+    // bucket's min orderkey — no recursion needed oracle-side
+    "q_cc_path" -> """
+      SELECT o_orderkey AS node,
+             min(o_orderkey) OVER (PARTITION BY o_orderkey // 4096)
+               AS component
+      FROM orders
     """,
     "q_tfidf_topk" -> s"""
       WITH tf AS (

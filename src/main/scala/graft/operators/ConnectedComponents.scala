@@ -37,7 +37,16 @@ object ConnectedComponents {
     * two columns (undirected, self-loops/duplicates fine). Returns
     * (node, component) with component = min node id reachable.
     */
-  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame =
+    runCounted(nodes, edges, maxIter)._1
+
+  /** As [[run]], also returning the number of propagation rounds the
+    * loop took to converge — the observable that pins the O(log n)
+    * path-doubling contract (a path graph of n nodes must converge in
+    * ~log₂(n) rounds, not O(n) neighbor-only rounds; asserted by
+    * ConnectedComponentsSpec). */
+  def runCounted(nodes: DataFrame, edges: DataFrame,
+                 maxIter: Int = 25): (DataFrame, Int) = {
     val e = edges.toDF("u", "v").filter(col("u") =!= col("v"))
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
       .localCheckpoint(true)
@@ -80,7 +89,7 @@ object ConnectedComponents {
     val singletons = nodes.toDF("node").distinct()
       .join(edgeNodes, Seq("node"), "left_anti")
       .select(col("node"), col("node").as("component"))
-    labels.select(col("node"), col("label").as("component"))
-      .unionByName(singletons)
+    (labels.select(col("node"), col("label").as("component"))
+      .unionByName(singletons), iter)
   }
 }
