@@ -497,6 +497,30 @@ object SparkEntry {
                 coalesce(col("cp_events"), lit(-1L)).as("cp_events"))
     }),
 
+    // the native operator under deliberate key skew: collapsing even
+    // user_ids onto one key puts ~half of BOTH sides on a single key —
+    // the hot-partition shape the O(1)-state merge must stream through
+    // (the memory contract itself is spill-asserted in
+    // AsOfJoinNativeSpec; this entry pins correctness + benches it)
+    "q_asof_skew" -> ((s, dir) => {
+      val dayNs = 86400L * 1000 * 1000 * 1000
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        when(col("user_id") % 2 === 0, lit(0L))
+          .otherwise(col("user_id")).as("sk"),
+        col("ts_ns"))
+      val cp = ev
+        .withColumn("cp_ns", (col("ts_ns") / dayNs).cast("long") * dayNs)
+        .groupBy("sk", "cp_ns")
+        .agg(count(lit(1)).as("cp_events"))
+        .filter(col("cp_events") >= 5)
+      graft.plans.AsOfJoinNative.joinAsOf(
+          ev, cp, Seq("sk"), "ts_ns", "cp_ns", Seq("cp_ns", "cp_events"))
+        .select(col("event_id"), col("sk"), col("ts_ns"),
+                coalesce(col("cp_ns"), lit(-1L)).as("cp_ns"),
+                coalesce(col("cp_events"), lit(-1L)).as("cp_events"))
+    }),
+
     // ---- running aggregates over an explicit frame ----
     "q_running_total" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -1260,6 +1284,22 @@ object SparkEntry {
              coalesce(c.cp_events, -1) AS cp_events
       FROM ev e ASOF LEFT JOIN cp c
         ON e.user_id = c.user_id AND e.ts_ns >= c.cp_ns
+    """,
+    "q_asof_skew" -> """
+      WITH ev AS (SELECT event_id,
+                         CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS sk,
+                         epoch_ns(ts) AS ts_ns FROM events),
+      cp AS (SELECT sk,
+                    (ts_ns // 86400000000000) * 86400000000000 AS cp_ns,
+                    count(*) AS cp_events
+             FROM ev
+             GROUP BY 1, 2
+             HAVING count(*) >= 5)
+      SELECT e.event_id, e.sk, e.ts_ns,
+             coalesce(c.cp_ns, -1) AS cp_ns,
+             coalesce(c.cp_events, -1) AS cp_events
+      FROM ev e ASOF LEFT JOIN cp c
+        ON e.sk = c.sk AND e.ts_ns >= c.cp_ns
     """,
     "q_running_total" -> """
       SELECT o_orderkey, o_custkey,

@@ -107,6 +107,48 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(df.count() == 50)
   }
 
+  test("extreme key skew (60% of both sides on one key) streams with zero spill") {
+    // One key holds 60% of BOTH sides — the shape that makes a buffering
+    // join (or the union-and-carry rewrite's window sort) hold the whole
+    // hot key in memory. The merge exec holds O(1) state per partition
+    // (one copied value row), so the hot partition must stream: total
+    // spill across the native run is asserted to be exactly zero.
+    val sc = spark.sparkContext
+    val n = 200000L
+    def skewKey = when(col("id") % 5 < 3, lit(0L))
+      .otherwise(pmod(col("id"), lit(96)) + 1)
+    val probes = spark.range(n).select(skewKey.as("k"),
+      ((col("id") * 7919L) % 1000000L).as("t"), col("id").as("payload"))
+    val states = spark.range(n).select(skewKey.as("k"),
+      ((col("id") * 104729L) % 1000000L).as("st"))
+      .dropDuplicates("k", "st") // unique (key, time) ⇒ deterministic ties
+      .withColumn("sv", col("k") * 1000000L + col("st"))
+    def fingerprint(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      df.agg(count(lit(1)), count(col("sv")), sum(col("sv")), sum(col("st")))
+        .collect()(0).toSeq
+    // independent formulation first, listener-free
+    val viaRewrite = fingerprint(AsOfJoin.joinAsOf(
+      probes, states, Seq("k"), "t", "st", Seq("st", "sv")))
+    val spilled = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val native = fingerprint(AsOfJoinNative.joinAsOf(
+        probes, states, Seq("k"), "t", "st", Seq("st", "sv")))
+      org.apache.spark.GraftTestBridge.waitUntilListenerBusEmpty(sc)
+      assert(native == viaRewrite, s"skewed differential: $native vs $viaRewrite")
+      assert(native.head == n) // one output row per probe row
+      assert(spilled.get() == 0L,
+        s"skewed as-of merge spilled ${spilled.get()} bytes")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("plan shape: merge exec over two exchanges, no union blow-up") {
     val probes = (1L to 50L).map(i => (i % 5, i, i * 2)).toDF("k", "t", "p")
     val states = (1L to 20L).map(i => (i % 5, i * 3, i)).toDF("k", "st", "sv")
