@@ -51,7 +51,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Incremental-vs-batch replay (skipped under SPARK_GRAFT_ONLY):
+    // separate keys, NOT added to the query total — it measures a
+    // different execution model (streaming state maintenance) against
+    // the batch recompute it replaces.
+    val incrJson =
+      if (only.isDefined) ""
+      else try "," + incrementalReplay(spark, sfDir)
+      catch { case e: Throwable =>
+        errors.getOrElseUpdate("incremental_replay",
+          s"${e.getClass.getName}: ${e.getMessage}")
+        ""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$incrJson}""")
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (name, msg) =>
@@ -59,5 +71,73 @@ object Bench {
       }
       sys.exit(1)
     }
+  }
+
+  /** Delta-proportional maintenance vs full recompute: bootstraps ~99%
+    * of the star-schema encounters into checkpointed streaming state
+    * (`retention.Incremental`), then times the 1%-delta trigger alone
+    * against a fresh full-batch `Retention.householdRanges` run over
+    * the same data. Emitted as separate JSON keys:
+    * `"incremental":{"batch_sec":…,"bootstrap_sec":…,"trigger_sec":…}`.
+    * The trigger cost covers state-store load + the delta's state
+    * updates + range re-derivation for touched households only — the
+    * quantity that replaces the reference's nightly full re-run. */
+  private def incrementalReplay(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.retention.{HhEncounter, Incremental, Retention, StarAdapter}
+    import spark.implicits._
+    val cfg = StarAdapter.config(spark, sfDir)
+    val persons = StarAdapter.persons(spark, sfDir)
+    val encounters = StarAdapter.encounters(spark, sfDir)
+    val t0 = System.nanoTime()
+    Retention.householdRanges(persons, encounters, cfg).count()
+    val batchSec = (System.nanoTime() - t0) / 1e9
+    val hhEnc = encounters.join(persons, "person_id")
+      .select(col("household_id"),
+        datediff(col("admit_date"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("int").as("admit_epoch_day"))
+    // delta = 1% of HOUSEHOLDS (not rows): the trigger's state work
+    // must scale with touched households, so the slice is keyed the
+    // way real late-arriving encounters are
+    val slot = pmod(hash(col("household_id")), lit(100))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incr")
+    val src = tmp.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    def stage(df: DataFrame, tag: String): Unit = {
+      val out = tmp.resolve("w_" + tag).toString
+      df.write.mode("overwrite").parquet(out)
+      new java.io.File(out).listFiles
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath, src.resolve(s"${tag}_$i.parquet"))
+        }
+    }
+    def runTrigger(): Double = {
+      val stream = spark.readStream
+        .schema("household_id BIGINT, admit_epoch_day INT")
+        .parquet(src.toString).as[HhEncounter]
+      val q = Incremental.updates(stream, cfg).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .foreachBatch((b: org.apache.spark.sql.Dataset[graft.retention.HhRange], _: Long) => { b.count(); () })
+        .trigger(Trigger.AvailableNow()).start()
+      val t = System.nanoTime()
+      q.processAllAvailable(); q.stop()
+      (System.nanoTime() - t) / 1e9
+    }
+    stage(hhEnc.filter(slot =!= 0), "b")
+    val bootstrapSec = runTrigger() // ~99% of households → initial state
+    stage(hhEnc.filter(slot === 0), "d")
+    val triggerSec = runTrigger()   // the 1%-of-households delta, alone
+    // floor: a 0-row (but present) file forces a full microbatch —
+    // planning, shuffle, state-store open/commit on every partition —
+    // with zero delta work, separating fixed trigger machinery from
+    // the delta-proportional part (trigger_sec − floor_sec)
+    stage(hhEnc.filter(lit(false)), "e")
+    val floorSec = runTrigger()
+    s""""incremental":{"batch_sec":$batchSec,"bootstrap_sec":$bootstrapSec,""" +
+      s""""trigger_sec":$triggerSec,"floor_sec":$floorSec,"delta_frac":0.01}"""
   }
 }

@@ -237,7 +237,12 @@ object SparkEntry {
     // 4096-key buckets → component = bucket-min orderkey, which the
     // oracle reproduces with a plain window
     "q_cc_path" -> ((s, dir) => {
+      // keyspace bounded at 60000 (≈15k nodes): the adversarial part is
+      // the PATH SHAPE (≈1k-node chains per bucket → ~11 pointer-jump
+      // rounds), not bulk — unbounded, the per-round fixed cost times
+      // 150k nodes at sf0.1 made this one query ~25% of the bench
       val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 60000)
         .select(col("o_orderkey").as("id"),
                 expr("o_orderkey div 4096").as("b"))
       val w = Window.partitionBy("b").orderBy("id")
@@ -909,7 +914,7 @@ object SparkEntry {
       SELECT o_orderkey AS node,
              min(o_orderkey) OVER (PARTITION BY o_orderkey // 4096)
                AS component
-      FROM orders
+      FROM orders WHERE o_orderkey < 60000
     """,
     "q_tfidf_topk" -> s"""
       WITH tf AS (

@@ -72,13 +72,20 @@ object ConnectedComponents {
         .join(labels.select(col("node").as("label"), // label's own label
                             col("label").as("plabel")), "label")
         .select(col("node"), col("plabel").as("label"))
-      val next = labels.select("node", "label")
-        .union(viaEdge).union(viaPtr)
-        .groupBy("node").agg(min("label").as("label"))
+      // carry each node's pre-round label through the SAME aggregation
+      // (every node has exactly one, so max() recovers it; the edge/ptr
+      // branches contribute null) — the convergence check then reads
+      // the checkpointed result directly instead of paying a
+      // join+shuffle job per round
+      val nullOld = lit(null).cast(labels.schema("label").dataType)
+      val next = labels.select(col("node"), col("label"),
+          col("label").as("_old"))
+        .union(viaEdge.withColumn("_old", nullOld))
+        .union(viaPtr.withColumn("_old", nullOld))
+        .groupBy("node").agg(min("label").as("label"), max("_old").as("_old"))
         .localCheckpoint(true)
-      done = next.join(labels.withColumnRenamed("label", "_old"), "node")
-        .filter(col("label") =!= col("_old")).isEmpty
-      labels = next
+      done = next.filter(col("label") =!= col("_old")).isEmpty
+      labels = next.select("node", "label")
       iter += 1
     }
     // never return silently-wrong labels: with pointer jumping,
