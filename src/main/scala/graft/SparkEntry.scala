@@ -251,6 +251,51 @@ object SparkEntry {
         .select(col("u"), col("id").as("v"))
       graft.operators.ConnectedComponents.run(o.select("id"), edges)
     }),
+
+    // ---- corpus assembly: leak-free splits, mixing, packing, PII ----
+    // train/val/test that never separates near-duplicates: split is a
+    // function of the dedup COMPONENT, so a test doc's near-copy can't
+    // sit in train (the leakage the naive per-doc split causes)
+    "q_split_leakfree" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = graft.functions.Dedup.lshCandidatePairs(
+        docs, "doc_id", "text", 3, 16, 4)
+      graft.functions.Corpus.leakFreeSplit(
+        docs.select("doc_id", "lang"), "doc_id",
+        pairs.select(col("doc_a"), col("doc_b")))
+    }),
+    // domain-mixture sampling: deterministic per-language keep rates
+    "q_stratified_sample" -> ((s, dir) =>
+      graft.functions.Corpus.stratifiedSample(
+        Tables.load(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang",
+        Map("en" -> 750000, "de" -> 500000, "fr" -> 250000, "es" -> 125000),
+        defaultPpm = 100000)),
+    // concat-and-chunk packing into 2048-token bins, sharded by source
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.functions.Corpus.packSequences(
+          Tables.load(s, dir, "documents"), "source", "doc_id",
+          graft.functions.TextAnalysis.tokenCount(col("text")), 2048)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))),
+    // PII scrub: the synthetic corpus carries no PII, so inject a
+    // deterministic payload (IDENTICAL expression in the oracle), then
+    // detect + redact — all map-side codegen'd string expressions
+    "q_pii_redact" -> ((s, dir) => {
+      val id = col("doc_id")
+      val pii = concat(col("text"),
+        lit(" contact user"), id.cast("string"), lit("@example.com call "),
+        lit("415-555-"), lpad(pmod(id, lit(10000)).cast("string"), 4, "0"),
+        lit(" ssn 078-05-"), lpad(pmod(id * 7, lit(10000)).cast("string"), 4, "0"),
+        lit(" ip 10.0."), pmod(id, lit(256)).cast("string"), lit("."),
+        pmod(id * 3, lit(256)).cast("string"))
+      val cnts = graft.functions.Scrub.counts(col("text_pii"))
+        .map { case (n, c) => c.cast("long").as(n) }
+      Tables.load(s, dir, "documents")
+        .withColumn("text_pii", pii)
+        .select((id +: cnts) :+
+          graft.functions.Scrub.redact(col("text_pii")).as("redacted"): _*)
+    }),
     // top-k distinctive terms per doc (tf/df rarity ranking; the
     // ln-based tf-idf variant is TextAnalysis.tfIdf — see SEMANTICS.md
     // on why the oracle surface avoids transcendentals)
@@ -915,6 +960,72 @@ object SparkEntry {
              min(o_orderkey) OVER (PARTITION BY o_orderkey // 4096)
                AS component
       FROM orders WHERE o_orderkey < 60000
+    """,
+    "q_split_leakfree" -> s"""
+      WITH RECURSIVE $minhashLshCtes,
+      sym AS (SELECT doc_a AS u, doc_b AS v FROM lsh_pairs
+              UNION SELECT doc_b, doc_a FROM lsh_pairs),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+      ),
+      comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)
+      SELECT d.doc_id, d.lang, c.component,
+             CASE WHEN c.component % 100 < 80 THEN 'train'
+                  WHEN c.component % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d JOIN comp c USING (doc_id)
+    """,
+    "q_stratified_sample" -> """
+      SELECT doc_id, lang FROM documents
+      WHERE (doc_id * 2654435761) % 1000000 <
+            CASE lang WHEN 'en' THEN 750000 WHEN 'de' THEN 500000
+                      WHEN 'fr' THEN 250000 WHEN 'es' THEN 125000
+                      ELSE 100000 END
+    """,
+    "q_pack_sequences" -> """
+      WITH t AS (
+        SELECT source, doc_id,
+               (CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+'))
+                END)::BIGINT AS tok
+        FROM documents),
+      c AS (SELECT source, tok,
+                   coalesce(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)::BIGINT AS cum
+            FROM t)
+      SELECT source, cum // 2048 AS bin, count(*) AS n_docs,
+             (sum(tok))::BIGINT AS n_tokens
+      FROM c GROUP BY 1, 2
+    """,
+    "q_pii_redact" -> """
+      WITH p AS (
+        SELECT doc_id,
+               concat(text, ' contact user', doc_id, '@example.com call ',
+                      '415-555-', lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+                      ' ssn 078-05-',
+                      lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0'),
+                      ' ip 10.0.', (doc_id % 256)::VARCHAR, '.',
+                      ((doc_id * 3) % 256)::VARCHAR) AS text_pii
+        FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(text_pii,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+             len(regexp_extract_all(text_pii,
+               '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))::BIGINT AS n_ssn,
+             len(regexp_extract_all(text_pii,
+               '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b'))::BIGINT AS n_phone,
+             len(regexp_extract_all(text_pii,
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS n_ip,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text_pii,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+               '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g') AS redacted
+      FROM p
     """,
     "q_tfidf_topk" -> s"""
       WITH tf AS (
