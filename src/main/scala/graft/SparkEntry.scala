@@ -278,6 +278,24 @@ object SparkEntry {
           graft.functions.TextAnalysis.tokenCount(col("text")), 2048)
         .groupBy(col("source"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))),
+    // per-row (aggregation-free) LSH band signatures — the streaming-
+    // safe bucketing stage, pinned batch-equal to the wide-agg path
+    "q_band_signatures" -> ((s, dir) =>
+      graft.functions.Dedup.bandSignatureRows(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 3, 16, 4)),
+    // symmetric int8 embedding quantization (integer-exact surface)
+    "q_embed_quant" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+                graft.functions.Similarity.maxAbs(col("embedding")).as("s"))
+      e.select(col("vec_id"), graft.functions.Similarity
+          .int8Quantize(col("embedding"), col("s")).as("q"))
+        .select(col("vec_id"),
+                aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+                aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_abs_sum"),
+                array_min(col("q")).as("q_min"),
+                array_max(col("q")).as("q_max"))
+    }),
     // PII scrub: the synthetic corpus carries no PII, so inject a
     // deterministic payload (IDENTICAL expression in the oracle), then
     // detect + redact — all map-side codegen'd string expressions
@@ -999,6 +1017,29 @@ object SparkEntry {
       SELECT source, cum // 2048 AS bin, count(*) AS n_docs,
              (sum(tok))::BIGINT AS n_tokens
       FROM c GROUP BY 1, 2
+    """,
+    "q_band_signatures" -> s"""
+      WITH $minhashLshCtes
+      SELECT doc_id, band, sig FROM band
+    """,
+    "q_embed_quant" -> """
+      WITH s AS (SELECT vec_id, embedding,
+                        CAST(list_max(list_transform(embedding, x -> abs(x)))
+                             AS DOUBLE) AS s
+                 FROM embeddings),
+      q AS (SELECT vec_id,
+                   CASE WHEN s = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+                        ELSE list_transform(embedding,
+                          x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s + 0.5)
+                                    AS BIGINT))
+                   END AS q
+            FROM s)
+      SELECT vec_id,
+             (list_sum(q))::BIGINT AS q_sum,
+             (list_sum(list_transform(q, x -> abs(x))))::BIGINT AS q_abs_sum,
+             (list_min(q))::BIGINT AS q_min,
+             (list_max(q))::BIGINT AS q_max
+      FROM q
     """,
     "q_pii_redact" -> """
       WITH p AS (

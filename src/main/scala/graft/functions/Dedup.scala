@@ -172,6 +172,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-row (doc_id, band, sig) LSH bucket rows — the streaming-safe,
+    * aggregation-free formulation of [[lshCandidatePairs]]'s bucketing
+    * stage. Every signature is computed INSIDE one row from the doc's
+    * shingle-hash array (`aggregate` higher-order min per permutation),
+    * so it runs map-side on a STREAMING DataFrame with no groupBy
+    * state; batch-side it produces exactly the same buckets as the
+    * wide-aggregation path (differentially spec-tested — same hash,
+    * same permutation constants, min over the same distinct set).
+    *
+    * The wide-agg path stays the BATCH default: its per-doc shuffle row
+    * is k longs either way, and the hash agg reuses the shingle-index
+    * shape other dedup stages share. This one exists for ingest-time
+    * (streaming) bucketing, where an aggregation would force state the
+    * per-row form doesn't need. */
+  def bandSignatureRows(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val sh = array_distinct(TextAnalysis.shingles(col(textCol), n))
+    // hash once per shingle (md5 is the expensive part), THEN fold the
+    // small long array once per permutation
+    val xs = transform(sh, s => md5Hash60(s) % MinhashPrime)
+    val mhs = perms(k).map { case (a, b) =>
+      aggregate(col("_xs"), lit(MinhashPrime),
+        (acc, x) => least(acc, (lit(a) * x + lit(b)) % MinhashPrime))
+    }
+    val bandStructs = (0 until bands).map { i =>
+      struct(lit(i).as("band"),
+             concat_ws(",", (i * r until (i + 1) * r)
+               .map(j => mhs(j).cast("string")): _*).as("sig"))
+    }
+    docs.select(col(idCol).as("doc_id"), xs.as("_xs"))
+      .filter(size(col("_xs")) > 0)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   /** One-call near-duplicate removal: MinHash-LSH candidates →
     * connected components → keep each component's min-id row. The
     * composition a corpus-cleaning pass actually wants when it doesn't

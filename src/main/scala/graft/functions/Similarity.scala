@@ -47,6 +47,31 @@ object Similarity {
       org.apache.spark.sql.GraftSqlBridge.expression(a),
       org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
+  /** Largest |component| of a float vector — the symmetric-quantization
+    * scale. Float comparisons are exact, so both engines agree on the
+    * winner bit-for-bit. */
+  def maxAbs(vec: Column): Column =
+    aggregate(transform(vec, x => abs(x)), lit(0.0f),
+      (a, x) => greatest(a, x)).cast("double")
+
+  /** Symmetric int8 quantization: q_i = ⌊v_i · 127 / scale + 0.5⌋,
+    * clamping-free by construction (|v_i| ≤ scale ⇒ |q_i| ≤ 127); a
+    * zero-scale (all-zero) vector quantizes to zeros instead of 0/0.
+    * `floor(x + 0.5)` rather than `round()`: float→double is exact and
+    * IEEE `*`, `/`, `floor` are bit-deterministic across engines,
+    * while `round` on DOUBLE half-way cases is not (same reasoning as
+    * `ratio_micro`, docs/SEMANTICS.md). At 100 TB this is the 4×
+    * shrink that makes an embedding corpus fit the page cache — the
+    * dequantized error bound (scale/254 per component) is spec-pinned.
+    *
+    * Pass `scale` from a prior projection (e.g. [[maxAbs]] aliased in
+    * a select) so it isn't re-evaluated per element inside the lambda.
+    */
+  def int8Quantize(vec: Column, scale: Column): Column =
+    when(scale === 0.0, transform(vec, x => lit(0L)))
+      .otherwise(transform(vec,
+        x => floor(x.cast("double") * lit(127.0) / scale + lit(0.5))))
+
   /** Exact top-k neighbors for each query vector (brute force — the
     * correctness baseline ANN variants are judged against). */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {

@@ -6,6 +6,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+case class BandRow(doc_id: Long, band: Int, sig: String)
+case class DocAnchor(doc_id: Long, anchor: Long)
+
 case class SessionEvent(user_id: Long, event_id: Long, ts_ns: Long)
 case class SessionState(sessionStartNs: Long, lastNs: Long, n: Long)
 case class SessionOut(user_id: Long, session_start_ns: Long,
@@ -98,6 +101,38 @@ object StreamingOps {
                       watermark: String): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicates(idCol, "ts")
+
+  /** Ingest-time near-duplicate detection — the streaming dual of
+    * batch MinHash LSH (`Dedup.lshCandidatePairs`): documents arrive
+    * as a stream, `Dedup.bandSignatureRows` buckets them map-side (no
+    * aggregation, so it runs on a streaming frame), and per-bucket
+    * keyed state holds ONE long — the minimum doc id ever seen in that
+    * bucket. Each arriving doc emits (doc_id, bucket-min) per band;
+    * the doc's final anchor is the min across its emissions
+    * (Update-mode sink + `min(anchor) GROUP BY doc_id`), and
+    * `anchor < doc_id` marks a near-dup candidate of `anchor` — a new
+    * corpus batch dedups against ALL history without rescanning it.
+    *
+    * Scale shape: state is |distinct band signatures| longs — the
+    * inverted index a batch join would rebuild per run, kept
+    * incrementally instead. In a long-running deployment wrap the
+    * state store with RocksDB and add a timeout/TTL policy for buckets
+    * cold longer than the dedup horizon (NoTimeout here keeps
+    * drain-the-source tests deterministic).
+    */
+  def nearDupAnchors(bandRows: Dataset[BandRow]): Dataset[DocAnchor] = {
+    import bandRows.sparkSession.implicits._
+    bandRows.groupByKey(r => (r.band, r.sig))
+      .flatMapGroupsWithState[Long, DocAnchor](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_, it, state: GroupState[Long]) =>
+          val ids = it.map(_.doc_id).toArray
+          val anchor = math.min(state.getOption.getOrElse(Long.MaxValue),
+                                ids.min)
+          state.update(anchor)
+          ids.iterator.map(id => DocAnchor(id, anchor))
+      }
+  }
 
   /** File-stream reader for the events fixture (nanos handled the same
     * way as the batch loader). The file source requires a DIRECTORY, so

@@ -1,0 +1,62 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Similarity
+
+/** Symmetric int8 quantization contracts: range, extremes, zero
+  * vector, and the dequantization error bound. */
+class EmbedQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = {
+    val rnd = new Random(5)
+    val rows = (0L until 200L).map { i =>
+      (i, Array.fill(32)((rnd.nextFloat() * 2 - 1) * (i % 7 + 1)))
+    } :+ (200L, Array.fill(32)(0.0f)) // all-zero vector
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("quantized components stay in [-127, 127] and extremes hit ±127") {
+    val q = vecs
+      .select(col("vec_id"), col("embedding"),
+              Similarity.maxAbs(col("embedding")).as("s"))
+      .select(col("vec_id"), col("embedding"), col("s"),
+              Similarity.int8Quantize(col("embedding"), col("s")).as("q"))
+    val rows = q.as[(Long, Array[Float], Double, Array[Long])].collect()
+    rows.foreach { case (id, v, s, qs) =>
+      assert(qs.length == v.length)
+      assert(qs.forall(x => x >= -127 && x <= 127), s"vec $id out of range")
+      if (s > 0) {
+        // the max-|component| quantizes to exactly ±127
+        assert(qs.exists(x => math.abs(x) == 127), s"vec $id extreme")
+        // dequantization error ≤ scale/254 per component (half a step)
+        v.zip(qs).foreach { case (x, xq) =>
+          val err = math.abs(x - xq * s / 127.0)
+          assert(err <= s / 254.0 * (1 + 1e-9), s"vec $id err $err")
+        }
+      } else assert(qs.forall(_ == 0L), "zero vector quantizes to zeros")
+    }
+  }
+
+  test("quantization is deterministic and scale-covariant") {
+    def run() = vecs
+      .select(col("vec_id"),
+              Similarity.int8Quantize(col("embedding"),
+                Similarity.maxAbs(col("embedding"))).as("q"))
+      .as[(Long, Array[Long])].collect().toMap.view.mapValues(_.toSeq).toMap
+    assert(run() == run())
+    // scaling every component by a power of two (exact in float) leaves
+    // the quantized vector unchanged
+    val doubled = vecs.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(4.0f)).as("embedding"))
+    val q2 = doubled
+      .select(col("vec_id"),
+              Similarity.int8Quantize(col("embedding"),
+                Similarity.maxAbs(col("embedding"))).as("q"))
+      .as[(Long, Array[Long])].collect().toMap.view.mapValues(_.toSeq).toMap
+    assert(q2 == run())
+  }
+}
