@@ -296,6 +296,39 @@ object SparkEntry {
                 array_min(col("q")).as("q_min"),
                 array_max(col("q")).as("q_max"))
     }),
+    // eval-set decontamination: benchmark = 6-token prefixes of every
+    // 50th doc; flag any doc sharing a 3-gram with that eval set
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(array_join(slice(split(
+          graft.functions.TextAnalysis.normalized(col("text")), " "), 1, 6),
+          " ").as("snippet"))
+      graft.functions.Decontam.report(docs, "doc_id", "text",
+        bench, "snippet", 3)
+    }),
+    // largest-feasible-corpus mixture allocation (integer-exact)
+    "q_mixture_alloc" -> ((s, dir) =>
+      graft.functions.Corpus.mixtureAllocation(
+        Tables.load(s, dir, "documents"), "lang",
+        Map("en" -> 400000L, "de" -> 300000L, "fr" -> 200000L,
+            "es" -> 100000L))),
+    // ...and the sampled corpus that allocation induces
+    "q_mixture_sample" -> ((s, dir) =>
+      graft.functions.Corpus.mixtureSample(
+        Tables.load(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang",
+        Map("en" -> 400000L, "de" -> 300000L, "fr" -> 200000L,
+            "es" -> 100000L))),
+    // deterministic global shuffle into 8 export shards
+    "q_shard_shuffle" -> ((s, dir) =>
+      graft.functions.Corpus.shardAssign(
+          Tables.load(s, dir, "documents").select("doc_id"),
+          "doc_id", 8, "v1")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+             min("sort_key").as("min_key"), max("sort_key").as("max_key"),
+             min_by(col("doc_id"), col("sort_key")).as("first_doc"))),
     // PII scrub: the synthetic corpus carries no PII, so inject a
     // deterministic payload (IDENTICAL expression in the oracle), then
     // detect + redact — all map-side codegen'd string expressions
@@ -1040,6 +1073,68 @@ object SparkEntry {
              (list_min(q))::BIGINT AS q_min,
              (list_max(q))::BIGINT AS q_max
       FROM q
+    """,
+    "q_decontaminate" -> s"""
+      WITH d AS (SELECT doc_id, $duckToks AS t FROM documents),
+      b AS (SELECT array_to_string(t[1:6], ' ') AS snippet
+            FROM d WHERE doc_id % 50 = 0),
+      bt AS (SELECT string_split(snippet, ' ') AS t FROM b),
+      bg AS (SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+             FROM (SELECT unnest(list_distinct(list_transform(
+                     range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS g
+                   FROM bt WHERE len(t) >= 3)),
+      dg AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+             FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                     range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS g
+                   FROM d WHERE len(t) >= 3)),
+      hits AS (SELECT doc_id, count(*) AS n_hit
+               FROM dg JOIN bg USING (gh) GROUP BY doc_id)
+      SELECT doc.doc_id,
+             (coalesce(h.n_hit, 0))::BIGINT AS n_hit_grams,
+             coalesce(h.n_hit, 0) > 0 AS contaminated
+      FROM documents doc LEFT JOIN hits h USING (doc_id)
+    """,
+    "q_mixture_alloc" -> """
+      WITH c AS (SELECT lang AS stratum, count(*) AS n_obs
+                 FROM documents GROUP BY 1),
+      f AS (SELECT * FROM (
+              SELECT stratum, n_obs,
+                     CASE stratum WHEN 'en' THEN 400000 WHEN 'de' THEN 300000
+                                  WHEN 'fr' THEN 200000 WHEN 'es' THEN 100000
+                                  ELSE 0 END AS w_ppm
+              FROM c) WHERE w_ppm > 0),
+      t AS (SELECT min(n_obs * 1000000 // w_ppm) AS t_max FROM f)
+      SELECT stratum, n_obs::BIGINT AS n_obs, w_ppm::BIGINT AS w_ppm,
+             (t.t_max * w_ppm // 1000000)::BIGINT AS target_n,
+             ((t.t_max * w_ppm // 1000000) * 1000000 // n_obs)::BIGINT AS rate_ppm
+      FROM f, t
+    """,
+    "q_mixture_sample" -> """
+      WITH c AS (SELECT lang AS stratum, count(*) AS n_obs
+                 FROM documents GROUP BY 1),
+      f AS (SELECT * FROM (
+              SELECT stratum, n_obs,
+                     CASE stratum WHEN 'en' THEN 400000 WHEN 'de' THEN 300000
+                                  WHEN 'fr' THEN 200000 WHEN 'es' THEN 100000
+                                  ELSE 0 END AS w_ppm
+              FROM c) WHERE w_ppm > 0),
+      t AS (SELECT min(n_obs * 1000000 // w_ppm) AS t_max FROM f),
+      r AS (SELECT stratum,
+                   ((t.t_max * w_ppm // 1000000) * 1000000 // n_obs) AS rate_ppm
+            FROM f, t)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN r ON d.lang = r.stratum
+      WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm
+    """,
+    "q_shard_shuffle" -> """
+      WITH a AS (SELECT doc_id,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':v1'), 1, 15))::BIGINT
+                     AS sort_key
+                 FROM documents),
+      s AS (SELECT doc_id, sort_key, (sort_key % 8)::INTEGER AS shard FROM a)
+      SELECT shard, count(*)::BIGINT AS n_docs, min(sort_key) AS min_key,
+             max(sort_key) AS max_key, min_by(doc_id, sort_key) AS first_doc
+      FROM s GROUP BY shard
     """,
     "q_pii_redact" -> """
       WITH p AS (

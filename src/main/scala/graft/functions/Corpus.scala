@@ -76,6 +76,94 @@ object Corpus {
     df.filter(sampleSlot(col(idCol)) < rate)
   }
 
+  /** Largest-feasible-corpus mixture allocation: given target mixture
+    * weights (ppm) per stratum and the observed supply, compute the
+    * biggest total corpus that honors the EXACT proportions without
+    * over-drawing any stratum, and the per-stratum integer keep-rate
+    * that [[stratifiedSample]] (same [[sampleSlot]] coin) then applies.
+    * This is the "20% code, 30% web, ..." data-mixing step run as
+    * arithmetic instead of trial-and-error: the scarcest stratum
+    * (min nᵢ·10⁶/wᵢ) binds the total, everything else downsamples to
+    * proportion. All math is 64-bit integer division — reproducible by
+    * the DuckDB oracle with zero float-boundary risk.
+    *
+    * Returns one row per stratum with positive weight:
+    * `(stratum, n_obs, w_ppm, target_n, rate_ppm)`.
+    *
+    * Scale shape: one corpus aggregation (count per stratum — map-side
+    * partials, |strata| result rows), then a global window over those
+    * |strata| rows to find the binding minimum. The window's single
+    * partition holds a handful of rows — a dimension-table operation,
+    * not a data-scale one; the corpus itself is touched exactly once.
+    */
+  def mixtureAllocation(df: DataFrame, stratumCol: String,
+                        weightsPpm: Map[String, Long]): DataFrame = {
+    require(weightsPpm.values.forall(_ > 0), "weights must be positive")
+    require(weightsPpm.values.sum <= 1000000L,
+      s"weights sum to ${weightsPpm.values.sum} ppm > 1e6")
+    val w = weightsPpm.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (stratum, ppm)) =>
+        when(col("stratum") === stratum, lit(ppm)).otherwise(acc)
+    }
+    df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_obs"))
+      .withColumn("w_ppm", w)
+      .filter(col("w_ppm") > 0)
+      .withColumn("t_max",
+        min(expr("n_obs * 1000000 div w_ppm")).over(Window.partitionBy()))
+      .withColumn("target_n", expr("t_max * w_ppm div 1000000"))
+      .withColumn("rate_ppm", expr("target_n * 1000000 div n_obs"))
+      .select("stratum", "n_obs", "w_ppm", "target_n", "rate_ppm")
+  }
+
+  /** Apply [[mixtureAllocation]]: keep each row iff its [[sampleSlot]]
+    * clears its stratum's computed rate. Strata with zero weight are
+    * dropped entirely (inner join against the allocation). The
+    * allocation side is |strata| rows — broadcast, so the sample
+    * itself is a map-side filter over one corpus scan. */
+  def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
+                    weightsPpm: Map[String, Long]): DataFrame = {
+    val alloc = mixtureAllocation(df, stratumCol, weightsPpm)
+      .select(col("stratum").as("_mix_stratum"),
+              col("rate_ppm").as("_mix_rate_ppm"))
+    df.join(broadcast(alloc), df(stratumCol) === col("_mix_stratum"))
+      .filter(sampleSlot(col(idCol)) < col("_mix_rate_ppm"))
+      .drop("_mix_stratum", "_mix_rate_ppm")
+  }
+
+  /** Deterministic global shuffle + sharding for training-data export:
+    * `sort_key` is a 60-bit md5 of (id, salt) and `shard` its
+    * hash-mod — together a reproducible pseudo-random permutation of
+    * the corpus cut into `nShards` pieces. Ordering by
+    * `(shard, sort_key)` is the shuffled read order a trainer
+    * consumes; changing `salt` draws a fresh permutation, and appended
+    * docs never move existing ones (the key is a pure per-row
+    * function, no RNG state). DuckDB reproduces the exact permutation
+    * from the same md5 formula.
+    *
+    * Scale shape: assignment is map-side (no shuffle at all);
+    * [[writeShards]] materializes it with exactly ONE exchange —
+    * `repartition(shard)` — plus a local in-partition sort, which at
+    * 100 TB is the minimum data movement any global shuffle can do.
+    */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int,
+                  salt: String): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    df.withColumn("sort_key", Dedup.md5Hash60(
+        concat(col(idCol).cast("string"), lit(":"), lit(salt))))
+      .withColumn("shard", pmod(col("sort_key"), lit(nShards.toLong)).cast("int"))
+  }
+
+  /** Materialize [[shardAssign]] as one parquet directory per shard,
+    * rows in sort_key order within each file: one exchange, one local
+    * sort, `nShards` output dirs a trainer can stream independently. */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int, salt: String,
+                  outPath: String): Unit =
+    shardAssign(df, idCol, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "sort_key")
+      .write.partitionBy("shard").mode("overwrite").parquet(outPath)
+
   /** Token-budget sequence packing (concat-and-chunk, the streaming-
     * friendly packing used to build fixed-length training sequences):
     * within each `groupCol` shard, documents in deterministic
