@@ -65,4 +65,31 @@ class PlanRegressionSpec extends SparkSpec {
       .groupBy().count().queryExecution.executedPlan.toString
     assert(p.contains("ReadSchema: struct<>"), p)
   }
+
+  test("decontamination probes the eval set via broadcast, no corpus gram shuffle") {
+    // the corpus-side gram stream must hit the bench set through a
+    // BroadcastHashJoin (map-side probe inside the scan stage); the
+    // only hash exchanges are the per-doc hit count and the report's
+    // doc_id join — never the exploded gram stream itself
+    val p = plan("q_decontaminate")
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    assert(!p.contains("SortMergeJoin"), "gram probe degraded to SMJ:\n" + p)
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
+  test("mixture sample applies its allocation as a broadcast filter") {
+    // the |strata|-row allocation broadcasts; the corpus is scanned
+    // once and filtered map-side — the only hash exchange is the
+    // stratum count aggregation that FEEDS the allocation
+    val p = plan("q_mixture_sample")
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    assert(count(p, "Exchange hashpartitioning") <= 1, p)
+  }
+
+  test("shard assignment is map-side; only the stats agg exchanges") {
+    val p = plan("q_shard_shuffle")
+    assert(count(p, "Exchange hashpartitioning") <= 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "assignment must not join:\n" + p)
+  }
 }
