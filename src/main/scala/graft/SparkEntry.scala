@@ -296,6 +296,10 @@ object SparkEntry {
                 array_min(col("q")).as("q_min"),
                 array_max(col("q")).as("q_max"))
     }),
+    // RAG passage chunking: 24-token windows every 12 (50% overlap)
+    "q_chunk_passages" -> ((s, dir) =>
+      graft.functions.TextAnalysis.chunkPassages(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 24, 12)),
     // eval-set decontamination: benchmark = 6-token prefixes of every
     // 50th doc; flag any doc sharing a 3-gram with that eval set
     "q_decontaminate" -> ((s, dir) => {
@@ -1073,6 +1077,20 @@ object SparkEntry {
              (list_min(q))::BIGINT AS q_min,
              (list_max(q))::BIGINT AS q_max
       FROM q
+    """,
+    "q_chunk_passages" -> """
+      WITH d AS (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS t
+                 FROM documents),
+      s AS (SELECT doc_id, t, len(t) AS n,
+                   unnest(range(0, greatest(len(t), 1), 12)) AS start
+            FROM d)
+      SELECT doc_id, (start // 12)::INTEGER AS chunk_idx,
+             start::INTEGER AS start_tok,
+             least(24, n - start)::BIGINT AS n_chunk_tokens,
+             array_to_string(t[start + 1 : start + 24], ' ') AS passage
+      FROM s WHERE start < n
     """,
     "q_decontaminate" -> s"""
       WITH d AS (SELECT doc_id, $duckToks AS t FROM documents),

@@ -21,6 +21,40 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
+  /** Overlapping passage extraction — the RAG/embedding chunking step:
+    * cut each document's whitespace tokens into `chunkTokens`-token
+    * windows every `strideTokens` (stride < chunk ⇒ overlap), emitting
+    * `(doc_id, chunk_idx, start_tok, n_chunk_tokens, passage)`.
+    * Stride-aligned trailing windows shorter than `strideTokens` are
+    * still emitted (the tail must be retrievable), and an empty
+    * document yields no rows.
+    *
+    * Scale shape: pure generator work — windows are computed and
+    * exploded INSIDE the row (sequence → transform → posexplode), no
+    * shuffle, no state; downstream embedding/indexing sees rows
+    * multiply map-side exactly like a parser UDTF would, but fully
+    * inside whole-stage codegen. */
+  def chunkPassages(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, chunkTokens: Int,
+                    strideTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      s"need 0 < stride <= chunk, got chunk=$chunkTokens stride=$strideTokens")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    val n = size(toks)
+    val starts = filter(
+      sequence(lit(0), greatest(n - 1, lit(0)), lit(strideTokens)),
+      s => s < n)
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("_toks"), n.as("_n"),
+        posexplode(starts))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        col("col").as("start_tok"),
+        least(lit(chunkTokens), col("_n") - col("col")).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("_toks"), col("col") + 1, lit(chunkTokens)), " ")
+          .as("passage"))
+  }
+
   /** Lowercase, strip non-alphanumerics, collapse whitespace — the
     * canonical form used for fingerprinting and near-dup shingling.
     * Fused single-pass expression; equivalent to

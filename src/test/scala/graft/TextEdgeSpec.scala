@@ -86,4 +86,42 @@ class TextEdgeSpec extends SparkSpec {
     // doc1: common tf=2 df=2 → 1.0M; rare tf=1 df=1 → 1.0M; tie → token order
     assert(top == Seq("common", "rare"))
   }
+
+  test("chunkPassages: coverage, overlap, tail, and empty-doc contracts") {
+    val toks = (1 to 30).map(i => s"t$i")
+    val docs = Seq(
+      (1L, toks.mkString(" ")),  // 30 tokens → starts 0,8,16,24
+      (2L, "one two three"),     // shorter than one chunk
+      (3L, ""), (4L, "   ")      // no tokens → no rows
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkPassages(docs, "doc_id", "text", 10, 8)
+      .as[(Long, Int, Int, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(!got.contains(3L) && !got.contains(4L), "empty docs chunk to nothing")
+    // doc 1: windows [1..10],[9..18],[17..26],[25..30]
+    val d1 = got(1L)
+    assert(d1.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0, 0, 10L), (1, 8, 10L), (2, 16, 10L), (3, 24, 6L)))
+    assert(d1.head._5 == (1 to 10).map(i => s"t$i").mkString(" "))
+    assert(d1.last._5 == (25 to 30).map(i => s"t$i").mkString(" "))
+    // consecutive windows overlap by chunk - stride = 2 tokens
+    d1.sliding(2).foreach { case Array(a, b) =>
+      val at = a._5.split(" ").toSeq; val bt = b._5.split(" ").toSeq
+      assert(at.takeRight(2) == bt.take(2), s"overlap broken: $a -> $b")
+    case _ => ()
+    }
+    // every token of the doc appears in some window (full coverage)
+    assert(d1.flatMap(_._5.split(" ")).toSet == toks.toSet)
+    // doc 2: one short window with all tokens
+    assert(got(2L).toSeq == Seq((2L, 0, 0, 3L, "one two three")))
+  }
+
+  test("chunkPassages rejects bad window parameters") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkPassages(edgy, "doc_id", "text", 10, 11)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkPassages(edgy, "doc_id", "text", 0, 1)
+    }
+  }
 }
