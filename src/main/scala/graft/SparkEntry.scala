@@ -472,6 +472,16 @@ object SparkEntry {
         .groupBy(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
              round(sum(col("value")), 6).as("sum_value"))),
+    // interval (range) self-join: click→purchase attribution within
+    // 24h — the SAME function is the streaming stream-stream join
+    // (StreamingOps.attributionJoin; watermark no-ops on batch)
+    "q_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.StreamingOps.attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "24 hours", "1 hour")
+    }),
     "q_events_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
       val gapNs = 30L * 60 * 1000 * 1000 * 1000
@@ -1431,6 +1441,17 @@ object SparkEntry {
       SELECT user_id, ts::DATE AS day, event_type, count(*) AS n_events,
              round(sum(value), 6) AS sum_value
       FROM events GROUP BY 1, 2, 3
+    """,
+    "q_attribution" -> """
+      WITH e AS (SELECT event_id, user_id, event_type,
+                        epoch_ns(ts) // 1000 AS us
+                 FROM events)
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             (p.us - c.us) AS gap_us
+      FROM e c JOIN e p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.us >= c.us AND p.us <= c.us + 86400000000
     """,
     "q_events_sessionize" -> """
       WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns FROM events),

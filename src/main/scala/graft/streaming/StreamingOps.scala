@@ -134,6 +134,33 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream interval join — click→purchase attribution: pair
+    * each click with the same user's purchases landing within `maxGap`
+    * AFTER it. The interval condition (`p.ts ∈ [c.ts, c.ts+maxGap]`)
+    * plus both watermarks is what lets Structured Streaming bound the
+    * join state: a buffered click is dropped once the purchase-side
+    * watermark passes `c.ts + maxGap`, so state is O(events in the
+    * gap window), never O(history). `withWatermark` is a no-op on
+    * batch frames, so the SAME function is the batch query
+    * (`q_attribution`) and its streaming dual — differentially
+    * spec-tested (StreamingSpec).
+    *
+    * `gap_us` is integer µs arithmetic on the ts_ns column, not
+    * timestamp subtraction, so the oracle reproduces it exactly.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      maxGap: String, watermark: String): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark).alias("c")
+    val p = purchases.withWatermark("ts", watermark).alias("p")
+    c.join(p, expr(
+        s"c.user_id = p.user_id AND p.ts >= c.ts" +
+        s" AND p.ts <= c.ts + interval '$maxGap'"))
+      .select(col("c.user_id").as("user_id"),
+              col("c.event_id").as("click_id"),
+              col("p.event_id").as("purchase_id"),
+              expr("(p.ts_ns - c.ts_ns) div 1000").as("gap_us"))
+  }
+
   /** File-stream reader for the events fixture (nanos handled the same
     * way as the batch loader). The file source requires a DIRECTORY, so
     * the single fixture file is staged into a temp dir once. */

@@ -41,6 +41,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join matches the batch attribution result") {
+    val stream = StreamingOps.eventsStream(spark, dir)
+    val q = StreamingOps.attributionJoin(
+        stream.filter($"event_type" === "click"),
+        stream.filter($"event_type" === "purchase"),
+        "24 hours", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrib")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("attrib")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ev = Tables.events(spark, dir)
+    val batch = StreamingOps.attributionJoin(
+        ev.filter($"event_type" === "click"),
+        ev.filter($"event_type" === "purchase"),
+        "24 hours", "1 hour")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixture must produce attributed pairs")
+    assert(batch.forall { case (_, _, _, gap) =>
+      gap >= 0L && gap <= 86400000000L }, "gap outside the interval")
+  }
+
   test("watermarked streaming dedup removes redelivered events") {
     // stage the SAME fixture file twice — an at-least-once source that
     // redelivers every event exactly once
