@@ -67,5 +67,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("normalize_text"),
       info("normalize_text", "normalize_text(s) — lower, strip non-alnum, collapse ws"),
       (args: Seq[Expression]) => NormalizeText(args.head)))
+    e.injectFunction((FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters",
+        "heavy_hitters(s, k) — Misra-Gries frequent-items sketch of k counters"),
+      (args: Seq[Expression]) => {
+        if (args.length != 2) GraftSqlBridge.analysisError(
+          s"heavy_hitters(s, k) takes exactly 2 arguments, got ${args.length}")
+        val kExpr = args(1)
+        if (!kExpr.foldable) GraftSqlBridge.nonFoldableArgumentError(
+          "heavy_hitters", "k", IntegerType)
+        val integral = kExpr.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               IntegerType | org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }
+        val k = kExpr.eval() match {
+          case i: java.lang.Number
+              if integral && i.longValue == i.intValue.toLong && i.intValue > 0 =>
+            i.intValue
+          case _ => GraftSqlBridge.analysisError(
+            "heavy_hitters(s, k): k must be a positive integral literal, " +
+              s"got ${kExpr.sql} (${kExpr.dataType.catalogString})")
+        }
+        graft.functions.expressions.MisraGriesAgg(args.head, k)
+      }))
   }
 }

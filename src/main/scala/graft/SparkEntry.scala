@@ -296,6 +296,14 @@ object SparkEntry {
                 array_min(col("q")).as("q_min"),
                 array_max(col("q")).as("q_max"))
     }),
+    // heavy-hitter sketch, run in its EXACT regime (capacity 8 > 5
+    // distinct langs ⇒ no decrement ever fires ⇒ oracle = GROUP BY);
+    // the lossy regime's error bounds are spec-pinned (SketchSpec)
+    "q_heavy_hitters" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .agg(graft.functions.Sketches.heavyHitters(col("lang"), 8).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.token").as("token"), col("e.est").as("est"))),
     // RAG passage chunking: 24-token windows every 12 (50% overlap)
     "q_chunk_passages" -> ((s, dir) =>
       graft.functions.TextAnalysis.chunkPassages(
@@ -1087,6 +1095,10 @@ object SparkEntry {
              (list_min(q))::BIGINT AS q_min,
              (list_max(q))::BIGINT AS q_max
       FROM q
+    """,
+    "q_heavy_hitters" -> """
+      SELECT lang AS token, count(*)::BIGINT AS est
+      FROM documents GROUP BY 1
     """,
     "q_chunk_passages" -> """
       WITH d AS (SELECT doc_id,

@@ -68,4 +68,24 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("integral literal"))
   }
+
+  test("heavy_hitters is callable from SQL and validates its k literal") {
+    import org.apache.spark.sql.AnalysisException
+    val rows = spark.sql("""
+      SELECT e.token, e.est
+      FROM (SELECT explode(heavy_hitters(t, 4)) AS e
+            FROM VALUES ('a'), ('b'), ('a'), ('c'), ('a'), ('b') v(t))
+    """).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 1L)),
+      "exact counts, est DESC / token ASC order")
+    val bad = intercept[AnalysisException] {
+      spark.sql("SELECT heavy_hitters(t, 0) FROM VALUES ('a') v(t)").head()
+    }
+    assert(bad.getMessage.contains("positive integral literal"))
+    val nonLit = intercept[AnalysisException] {
+      spark.sql("SELECT heavy_hitters(t, length(t)) FROM VALUES ('a') v(t)").head()
+    }
+    assert(nonLit.getMessage.toLowerCase.contains("foldable") ||
+           nonLit.getMessage.contains("literal"))
+  }
 }
