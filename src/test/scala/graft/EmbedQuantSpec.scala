@@ -41,6 +41,26 @@ class EmbedQuantSpec extends SparkSpec {
     }
   }
 
+  test("quantized top-k recall vs the float baseline is high") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 10
+    def topSets(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(Similarity.cosineTopK(queries, emb, k))
+    val quant = topSets(Similarity.quantizedTopK(queries, emb, k))
+    assert(exact.keySet == quant.keySet)
+    val recalls = exact.keys.toSeq.map { q =>
+      (exact(q) & quant(q)).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.85, s"mean recall@$k = $mean (per-query: $recalls)")
+    // int8 over 64 dims: every query individually stays usable
+    assert(recalls.forall(_ >= 0.6), s"a query collapsed: $recalls")
+  }
+
   test("quantization is deterministic and scale-covariant") {
     def run() = vecs
       .select(col("vec_id"),
