@@ -92,4 +92,26 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       "assignment must not join:\n" + p)
   }
+
+  test("passage chunking is pure generator work — zero exchanges") {
+    val p = plan("q_chunk_passages")
+    assert(p.contains("Generate"), p)
+    assert(count(p, "Exchange") == 0, "chunking must not shuffle:\n" + p)
+  }
+
+  test("attribution plans as an equi-join on user, never a product") {
+    val p = plan("q_attribution")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      "interval condition must ride the user_id equi-join:\n" + p)
+  }
+
+  test("heavy-hitter sketch aggregates partially before the merge") {
+    // two-phase: partial sketches per input partition, ONE merged
+    // row crosses the exchange — the whole point of a mergeable sketch
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_heavy_hitters") ||
+           count(p, "heavy_hitters") >= 2, "no partial aggregation:\n" + p)
+  }
 }
