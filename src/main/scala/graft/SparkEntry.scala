@@ -411,6 +411,11 @@ object SparkEntry {
     "q_chunk_dedup" -> ((s, dir) =>
       graft.functions.Dedup.chunkDupStats(
         Tables.load(s, dir, "documents"), "doc_id", "text", 8)),
+    // cross-document n-gram duplication share (corpus-level
+    // boilerplate signal; integer-exact ppm)
+    "q_crossdoc_dup" -> ((s, dir) =>
+      graft.functions.Dedup.crossDocDupStats(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 3)),
 
     // ---- exact percentiles per group (distribution stats) ----
     "q_percentile" -> ((s, dir) =>
@@ -1406,6 +1411,23 @@ object SparkEntry {
       SELECT doc_id, count(*) AS n_chunks,
              count(*) FILTER (cnt > 1) AS n_dup_chunks
       FROM g GROUP BY doc_id
+    """,
+    "q_crossdoc_dup" -> s"""
+      WITH d AS (SELECT doc_id, $duckToks AS t FROM documents),
+      dg AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+             FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                     range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS g
+                   FROM d WHERE len(t) >= 3)),
+      x AS (SELECT doc_id, count(*) AS n_grams,
+                   count(*) FILTER (df > 1) AS n_shared
+            FROM (SELECT doc_id,
+                         count(*) OVER (PARTITION BY gh) AS df FROM dg)
+            GROUP BY doc_id)
+      SELECT doc.doc_id,
+             coalesce(n_grams, 0)::BIGINT AS n_grams,
+             coalesce(n_shared, 0)::BIGINT AS n_shared_grams,
+             coalesce(n_shared * 1000000 // n_grams, 0)::BIGINT AS shared_ppm
+      FROM documents doc LEFT JOIN x USING (doc_id)
     """,
     "q_percentile" -> """
       SELECT l_returnflag,

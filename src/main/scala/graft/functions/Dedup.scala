@@ -113,6 +113,40 @@ object Dedup {
            count(when(col("cnt") > 1, 1)).as("n_dup_chunks"))
   }
 
+  /** Cross-document n-gram duplication stats — the corpus-level
+    * duplication signal (Gopher/RefinedWeb style): for each document,
+    * how many of its DISTINCT word n-grams also occur in at least one
+    * OTHER document, plus the integer-exact parts-per-million share.
+    * Within-doc repetition ([[TextAnalysis.repetitionStats]]) misses
+    * boilerplate shared ACROSS documents; this is the metric a
+    * curation pass thresholds to drop template-heavy pages.
+    *
+    * Scale shape: grams are distinct per doc before anything moves, so
+    * the window count over the gram hash IS the document frequency;
+    * one shuffle keyed by 8-byte gram hash (strings dropped first, the
+    * PPJoin trick), one rollup keyed by doc — no self-join.
+    */
+  def crossDocDupStats(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), explode(array_distinct(
+        TextAnalysis.shingles(col(textCol), n))).as("g"))
+      .select(col("doc_id"), md5Hash60(col("g")).as("gh"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    val stats = grams
+      .withColumn("df", count(lit(1)).over(wg))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           count(when(col("df") > 1, 1)).as("n_shared_grams"))
+      .withColumn("shared_ppm",
+        expr("n_shared_grams * 1000000 div n_grams"))
+    docs.select(col(idCol).as("doc_id")).join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        coalesce(col("shared_ppm"), lit(0L)).as("shared_ppm"))
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** Mersenne prime 2^31−1: keeps a*x+b inside 63 bits (no ANSI

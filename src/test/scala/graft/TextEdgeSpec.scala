@@ -116,6 +116,26 @@ class TextEdgeSpec extends SparkSpec {
     assert(got(2L).toSeq == Seq((2L, 0, 0, 3L, "one two three")))
   }
 
+  test("crossDocDupStats counts grams shared with OTHER docs only") {
+    import graft.functions.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),      // grams: abc, bcd (shared: abc w/ doc2)
+      (2L, "alpha beta gamma epsilon"),    // grams: abc, bce (shared: abc)
+      (3L, "zeta eta theta iota"),         // disjoint
+      (4L, "alpha beta gamma delta"),      // exact copy of doc 1 ⇒ all shared
+      (5L, "")).toDF("doc_id", "text")     // no grams
+    val got = Dedup.crossDocDupStats(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc1 == doc4, so BOTH of doc1's grams are shared (with doc4);
+    // "alpha beta gamma" additionally occurs in doc2
+    assert(got(1L) == ((2L, 2L, 1000000L)))
+    assert(got(2L) == ((2L, 1L, 500000L)), "only 'alpha beta gamma' shared")
+    assert(got(3L) == ((2L, 0L, 0L)), "disjoint doc shares nothing")
+    assert(got(4L) == ((2L, 2L, 1000000L)))
+    assert(got(5L) == ((0L, 0L, 0L)), "gram-less doc reports zeros")
+  }
+
   test("chunkPassages rejects bad window parameters") {
     intercept[IllegalArgumentException] {
       TextAnalysis.chunkPassages(edgy, "doc_id", "text", 10, 11)
