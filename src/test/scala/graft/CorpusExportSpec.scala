@@ -35,6 +35,18 @@ class CorpusExportSpec extends SparkSpec {
     assert(got.size == 6, "every input doc gets a report row")
   }
 
+  test("decontamination against an empty or gram-less benchmark flags nothing") {
+    val docs = Seq((0L, "the quick brown fox")).toDF("doc_id", "text")
+    val empty = Seq.empty[String].toDF("snippet")
+    val gotEmpty = Decontam.report(docs, "doc_id", "text", empty, "snippet", 3)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(gotEmpty == Seq((0L, 0L, false)))
+    val short = Seq("too short").toDF("snippet") // < n tokens ⇒ no grams
+    val gotShort = Decontam.report(docs, "doc_id", "text", short, "snippet", 3)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(gotShort == Seq((0L, 0L, false)))
+  }
+
   test("decontamination counts DISTINCT hit grams, not occurrences") {
     val docs = Seq((0L, "alpha beta gamma then alpha beta gamma again"))
       .toDF("doc_id", "text")
