@@ -48,7 +48,11 @@ object Bench {
     }
     val (p1, p2) = (timedPass(), timedPass())
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision: the driver captures only a bounded tail of
+    // stdout, and 79 queries at full double precision overflow it — the
+    // round-3 bench line was truncated mid-JSON and never parsed
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Incremental-vs-batch replay (skipped under SPARK_GRAFT_ONLY):
@@ -63,7 +67,7 @@ object Bench {
           s"${e.getClass.getName}: ${e.getMessage}")
         ""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$incrJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$incrJson}""")
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (name, msg) =>
@@ -137,7 +141,8 @@ object Bench {
     // the delta-proportional part (trigger_sec − floor_sec)
     stage(hhEnc.filter(lit(false)), "e")
     val floorSec = runTrigger()
-    s""""incremental":{"batch_sec":$batchSec,"bootstrap_sec":$bootstrapSec,""" +
-      s""""trigger_sec":$triggerSec,"floor_sec":$floorSec,"delta_frac":0.01}"""
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    s""""incremental":{"batch_sec":${f(batchSec)},"bootstrap_sec":${f(bootstrapSec)},""" +
+      s""""trigger_sec":${f(triggerSec)},"floor_sec":${f(floorSec)},"delta_frac":0.01}"""
   }
 }

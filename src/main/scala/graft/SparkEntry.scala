@@ -1364,7 +1364,7 @@ object SparkEntry {
         WHERE len(t) >= 2
       ),
       c AS (SELECT doc_id, bigram, count(*) AS c FROM g GROUP BY 1, 2)
-      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS max_bigram_count,
+      SELECT doc_id, (sum(c))::BIGINT AS n_bigrams, max(c) AS max_bigram_count,
              ((max(c) * 1000000) // sum(c))::BIGINT AS ratio_micro
       FROM c GROUP BY doc_id
     """,
