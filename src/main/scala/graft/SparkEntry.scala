@@ -737,6 +737,59 @@ object SparkEntry {
                  col("cur.admit_date").as("admit_date"))
         .agg(count(lit(1)).as("n_prior"))
     }),
+
+    // ---- ordered-step funnel over the event stream ----
+    "q_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.funnel(
+        Tables.events(s, dir), "user_id", "event_type", "ts_ns",
+        Seq("view", "click", "purchase"))),
+
+    // ---- first-seen-month cohort retention grid ----
+    "q_cohort" -> ((s, dir) =>
+      graft.operators.Cohort.retentionGrid(
+        Tables.load(s, dir, "orders"), "o_custkey", "o_orderdate")),
+
+    // ---- SCD2 validity intervals from the event log ----
+    "q_scd2" -> ((s, dir) =>
+      graft.operators.ChangeCapture.scd2(
+        Tables.events(s, dir), "user_id", "event_type", "ts_ns",
+        "event_id")),
+
+    // ---- CDC latest-per-key compaction (delete-aware) ----
+    "q_cdc_latest" -> ((s, dir) =>
+      graft.operators.ChangeCapture.cdcLatest(
+        Tables.events(s, dir), "user_id", "event_type", "ts_ns",
+        "event_id", deleteState = "error")),
+
+    // ---- bloom-prefiltered join (runtime semi-join filter as a
+    //      library operator; results exact, oracle = plain join) ----
+    "q_bloom_join" -> ((s, dir) =>
+      graft.operators.BloomJoin.prefilteredJoin(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+                  col("l_quantity")),
+        Tables.load(s, dir, "orders")
+          .filter(col("o_totalprice") > 480000.0)
+          .select(col("o_orderkey"), col("o_totalprice")),
+        "l_orderkey", "o_orderkey", expectedItems = 1L << 16)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("o_totalprice"))),
+
+    // ---- inverted index build + conjunctive search ----
+    "q_inverted_index" -> ((s, dir) =>
+      graft.functions.InvertedIndex.index(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        minDf = 1L, maxDf = 400L)),
+    "q_index_search" -> ((s, dir) =>
+      graft.functions.InvertedIndex.searchAll(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "stream"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    // ---- exact k-NN self-join (all-pairs baseline for the ANN ops) ----
+    "q_knn_join" -> ((s, dir) =>
+      graft.functions.Similarity.knnJoin(
+        Tables.load(s, dir, "embeddings"), 3)),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -1729,6 +1782,103 @@ object SparkEntry {
        AND prv.admit_date < cur.admit_date
        AND prv.admit_date >= cur.admit_date - 365
       GROUP BY 1, 2
+    """,
+    "q_funnel" -> """
+      WITH e AS (SELECT user_id, event_type, event_id,
+                        (epoch_ns(ts) // 1000) * 1000 AS ts_ns FROM events),
+      s1 AS (SELECT user_id, min(ts_ns) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts_ns) AS t2, min(s1.t1) AS t1
+             FROM e JOIN s1 ON e.user_id = s1.user_id AND e.ts_ns > s1.t1
+             WHERE e.event_type = 'click' GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts_ns) AS t3, min(s2.t1) AS t1
+             FROM e JOIN s2 ON e.user_id = s2.user_id AND e.ts_ns > s2.t2
+             WHERE e.event_type = 'purchase' GROUP BY 1)
+      SELECT 1 AS step_idx, 'view' AS step, count(*) AS users,
+             0::BIGINT AS total_lag FROM s1
+      UNION ALL SELECT 2, 'click', count(*),
+             coalesce(sum(t2 - t1), 0)::BIGINT FROM s2
+      UNION ALL SELECT 3, 'purchase', count(*),
+             coalesce(sum(t3 - t1), 0)::BIGINT FROM s3
+    """,
+    "q_cohort" -> """
+      WITH a AS (SELECT o_custkey AS k,
+                        (year(o_orderdate) * 12 + month(o_orderdate)) AS m
+                 FROM orders),
+      c AS (SELECT k, min(m) AS m0 FROM a GROUP BY 1)
+      SELECT make_date(((m0 - 1) // 12)::INT, ((m0 - 1) % 12 + 1)::INT, 1)
+               AS cohort_month,
+             offset_m, active, events
+      FROM (SELECT m0, m - m0 AS offset_m, count(DISTINCT k) AS active,
+                   count(*) AS events
+            FROM a JOIN c USING (k) GROUP BY 1, 2)
+    """,
+    "q_scd2" -> """
+      WITH e AS (SELECT user_id, event_type, event_id,
+                        (epoch_ns(ts) // 1000) * 1000 AS ts_ns FROM events),
+      ch AS (SELECT user_id, event_type AS state, ts_ns, event_id FROM (
+               SELECT user_id, event_type, ts_ns, event_id,
+                      lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts_ns, event_id) AS prev
+               FROM e)
+             WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, state,
+             row_number() OVER w AS version,
+             ts_ns AS valid_from,
+             lead(ts_ns) OVER w AS valid_to,
+             lead(ts_ns) OVER w IS NULL AS is_current
+      FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+    """,
+    "q_cdc_latest" -> """
+      WITH e AS (SELECT user_id, event_type, event_id,
+                        (epoch_ns(ts) // 1000) * 1000 AS ts_ns FROM events)
+      SELECT user_id, state, last_ts FROM (
+        SELECT user_id, event_type AS state, ts_ns AS last_ts,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts_ns DESC, event_id DESC) AS rn
+        FROM e)
+      WHERE rn = 1 AND state <> 'error'
+    """,
+    "q_bloom_join" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 480000.0
+    """,
+    "q_inverted_index" -> s"""
+      WITH p AS (
+        SELECT term, doc_id, count(*) AS tf FROM (
+          SELECT doc_id, unnest($duckToks) AS term FROM documents)
+        WHERE term <> '' GROUP BY 1, 2)
+      SELECT term, df, tf_total, posting_list FROM (
+        SELECT term, count(*) AS df, sum(tf)::BIGINT AS tf_total,
+               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                 AS posting_list
+        FROM p GROUP BY 1)
+      WHERE df BETWEEN 1 AND 400
+    """,
+    "q_index_search" -> s"""
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE list_contains($duckToks, 'spark')
+        AND list_contains($duckToks, 'window')
+        AND list_contains($duckToks, 'stream')
+    """,
+    "q_knn_join" -> s"""
+      WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(range(1, 65),
+                 i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               round(list_sum(list_transform(range(1, 65),
+                       i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                     / nullif(a.nrm * b.nrm, 0), 6) AS cos
+        FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+      SELECT vec_id, neighbor_id, cos, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 3
     """,
   )
 

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inverted index over a document corpus: term → posting list, plus
+  * conjunctive (AND) keyword search expressed as posting-list
+  * intersection.
+  *
+  * The reference's engine-side is literally a search index (ES bool/
+  * term/range queries — reference HouseholdRetentionProcessing.scala:
+  * 167-186 build the query DSL); this is the other direction: BUILD
+  * the index relationally. The postings relation is the thing a 100 TB
+  * deployment persists bucketed by `term` — then every search is a
+  * bucket-pruned scan of |query terms| buckets and the intersection an
+  * exchange-free partial aggregate, never a full-corpus text scan.
+  */
+object InvertedIndex {
+
+  /** Normalized, empty-free tokens — same canonical form as
+    * [[TextAnalysis.normalized]] so the SQL oracle tokenizes
+    * identically (`string_split` of the trimmed normalization). */
+  def termsOf(text: Column): Column =
+    filter(split(TextAnalysis.normalized(text), " "), t => t =!= "")
+
+  /** The postings relation: one row per (term, doc) with the term
+    * frequency. This is the scale-out layout (bucket by `term`);
+    * [[index]] is its per-term rollup. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(termsOf(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-term index rollup: document frequency, total term frequency,
+    * and the sorted posting list (stringified — the cross-engine-
+    * stable surface for an array aggregate). `minDf`/`maxDf` drop
+    * hapaxes and stopword-grade terms — the standard cap that keeps a
+    * web-scale index's heaviest posting lists out of a single task. */
+  def index(docs: DataFrame, idCol: String, textCol: String,
+            minDf: Long = 1L, maxDf: Long = Long.MaxValue): DataFrame =
+    postings(docs, idCol, textCol)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+           concat_ws(",",
+             transform(array_sort(collect_list(col(idCol))),
+                       x => x.cast("string"))).as("posting_list"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+
+  /** Conjunctive search: documents containing EVERY query term, via
+    * posting-list intersection — a doc qualifies iff it appears in all
+    * |terms| posting sets. One aggregate keyed on the doc id; no text
+    * rescan, no join explosion. */
+  def searchAll(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one term")
+    require(terms.distinct.size == terms.size, "query terms must be distinct")
+    val hits = postings(docs, idCol, textCol)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === terms.size)
+    docs.join(hits.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+}

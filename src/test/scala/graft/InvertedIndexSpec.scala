@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{InvertedIndex, Similarity}
+
+/** Inverted-index build/search and the exact k-NN self-join. */
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "Spark streams data"),
+    (2L, "spark SPARK spark"),          // tf 3, one doc
+    (3L, "data data lakes"),
+    (4L, ""),                          // empty → no postings
+    (5L, "spark-data; spark!! data")   // punctuation folds away
+  ).toDF("doc_id", "text")
+
+  test("index rolls up df / tf_total / sorted posting list") {
+    val idx = InvertedIndex.index(docs, "doc_id", "text")
+      .as[(String, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(idx("spark") == ((3L, 6L, "1,2,5")))
+    assert(idx("data") == ((3L, 5L, "1,3,5")))
+    assert(idx("lakes") == ((1L, 1L, "3")))
+    assert(!idx.contains(""))
+  }
+
+  test("maxDf caps stopword-grade terms out of the index") {
+    val idx = InvertedIndex.index(docs, "doc_id", "text", minDf = 1, maxDf = 2)
+      .select("term").as[String].collect().toSet
+    assert(idx == Set("streams", "lakes"))
+  }
+
+  test("conjunctive search equals the brute-force text filter") {
+    val viaIndex = InvertedIndex
+      .searchAll(docs, "doc_id", "text", Seq("spark", "data"))
+      .select("doc_id").as[Long].collect().toSet
+    val brute = docs.filter(
+        array_contains(InvertedIndex.termsOf($"text"), "spark") &&
+        array_contains(InvertedIndex.termsOf($"text"), "data"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIndex == brute && viaIndex == Set(1L, 5L))
+  }
+
+  test("knnJoin matches brute-force cosine ranking (composed HOF path)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(60).cache()
+    val fused = Similarity.knnJoin(emb, 2)
+      .select("vec_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // independent formulation: portable HOF cosine + window rank
+    val a = emb.select($"vec_id", $"embedding")
+    val b = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ne"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy($"cos".desc, $"neighbor_id")
+    val brute = a.join(b, $"vec_id" =!= $"neighbor_id")
+      .select($"vec_id", $"neighbor_id",
+              round(Similarity.cosine($"embedding", $"ne"), 6).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(fused == brute)
+  }
+
+  test("knnJoin emits exactly k neighbors per vector") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(30)
+    val counts = Similarity.knnJoin(emb, 3)
+      .groupBy("vec_id").count().select("count").as[Long].collect()
+    assert(counts.nonEmpty && counts.forall(_ == 3L))
+  }
+}
