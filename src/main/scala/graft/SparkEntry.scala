@@ -790,6 +790,42 @@ object SparkEntry {
     "q_knn_join" -> ((s, dir) =>
       graft.functions.Similarity.knnJoin(
         Tables.load(s, dir, "embeddings"), 3)),
+
+    // ---- TPC-H Q5-shape star join: one fact chain, four broadcast
+    //      dims, Catalyst picks the join order. Revenue in integer
+    //      cents: the per-row product is one deterministic IEEE
+    //      expression, the SUM is then order-independent BIGINT ----
+    "q_star_join" -> ((s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"),
+              col("c_custkey") === col("o_custkey"))
+        .join(Tables.load(s, dir, "lineitem"),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "supplier"),
+              col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+        .join(Tables.load(s, dir, "nation"),
+              col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.load(s, dir, "region"),
+              col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+                year(col("o_orderdate")) === 1996)
+        .groupBy(col("n_name"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+                       * 100 + 0.5).cast("long")).as("revenue_cents"),
+             count(lit(1)).as("n_items"))),
+
+    // ---- wide→long unpivot (Dataset.unpivot / SQL UNPIVOT) ----
+    "q_unpivot" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_quantity").as("quantity"),
+                col("l_extendedprice").as("price"),
+                col("l_discount").as("discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+                 Array(col("quantity"), col("price"), col("discount")),
+                 "measure", "value")),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -1879,6 +1915,27 @@ object SparkEntry {
                     ORDER BY cos DESC, neighbor_id) AS rank
         FROM scored)
       WHERE rank <= 3
+    """,
+    "q_star_join" -> """
+      SELECT n_name,
+             sum(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                 ::BIGINT)::BIGINT AS revenue_cents,
+             count(*) AS n_items
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+      GROUP BY n_name
+    """,
+    "q_unpivot" -> """
+      SELECT l_orderkey, l_linenumber, measure, value FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity AS quantity,
+               l_extendedprice AS price, l_discount AS discount
+        FROM lineitem WHERE l_orderkey < 1000)
+      UNPIVOT (value FOR measure IN (quantity, price, discount))
     """,
   )
 

@@ -28,7 +28,8 @@ object Funnel {
     * joins thereafter. No windows, no sorts.
     */
   def stepFrames(events: DataFrame, userCol: String, typeCol: String,
-                 tsCol: String, steps: Seq[String]): Seq[DataFrame] = {
+                 tsCol: String, steps: Seq[String],
+                 materialize: Boolean = false): Seq[DataFrame] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     steps.zipWithIndex.foldLeft(Vector.empty[DataFrame]) {
       case (acc, (step, i)) =>
@@ -47,17 +48,32 @@ object Funnel {
               .groupBy(col(userCol))
               .agg(aggs.head, aggs.tail: _*)
           }
-        acc :+ frame
+        // materialize INSIDE the fold so frame i+1 builds on the
+        // materialized rows — otherwise each frame's lineage re-embeds
+        // the whole prefix chain and the event source is rescanned
+        // O(steps²) times across the chain + report branches
+        acc :+ (if (materialize) frame.localCheckpoint() else frame)
     }
   }
 
   /** Funnel report: one row per step with the surviving-user count and
     * the total time-to-reach (sum over users of t(k) − t1, in the
     * timestamp column's own unit — integer-exact when `tsCol` is an
-    * epoch integer). */
+    * epoch integer).
+    *
+    * Each step frame (≤ one row per user) is materialized with
+    * `localCheckpoint` before the report union: every union branch
+    * embeds its whole step-prefix chain, and AQE's exchange reuse does
+    * NOT collapse the re-analyzed copies (plan-spec-verified), so the
+    * lazy form would rescan the event source O(steps²) times — with
+    * the checkpoint it is scanned once per step, and each branch reads
+    * the materialized per-user rows. `materialize = false` keeps the
+    * fully-lazy single-DAG form for callers that aggregate one step. */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
-             tsCol: String, steps: Seq[String]): DataFrame =
-    stepFrames(events, userCol, typeCol, tsCol, steps).zipWithIndex.map {
+             tsCol: String, steps: Seq[String],
+             materialize: Boolean = true): DataFrame = {
+    val frames = stepFrames(events, userCol, typeCol, tsCol, steps, materialize)
+    frames.zipWithIndex.map {
       case (f, i) =>
         f.select((col(s"t${i + 1}") - col("t1")).as("lag"))
           .agg(count(lit(1)).as("users"),
@@ -65,6 +81,7 @@ object Funnel {
           .select(lit(i + 1).as("step_idx"), lit(steps(i)).as("step"),
                   col("users"), col("total_lag"))
     }.reduce(_ unionByName _)
+  }
 }
 
 /** Cohort retention grid: bucket each key by its first-activity month,

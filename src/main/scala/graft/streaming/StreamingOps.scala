@@ -9,6 +9,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class BandRow(doc_id: Long, band: Int, sig: String)
 case class DocAnchor(doc_id: Long, anchor: Long)
 
+case class FunnelEvent(user_id: Long, event_type: String, ts_ns: Long)
+case class FunnelState(times: Seq[Long])
+case class FunnelAdvance(user_id: Long, step_idx: Int, step: String,
+                         t_ns: Long, lag_ns: Long)
+
 case class SessionEvent(user_id: Long, event_id: Long, ts_ns: Long)
 case class SessionState(sessionStartNs: Long, lastNs: Long, n: Long)
 case class SessionOut(user_id: Long, session_start_ns: Long,
@@ -79,6 +84,46 @@ object StreamingOps {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Live ordered-step funnel — the streaming dual of
+    * [[graft.operators.Funnel]]. Per-user state is the prefix of step
+    * times reached so far (≤ |steps| longs — bounded, unlike buffering
+    * the event history); each microbatch advances the prefix through
+    * its ts-sorted events and emits one FunnelAdvance per step crossed.
+    *
+    * Equality with the batch earliest-completion chain: processed in
+    * timestamp order, "first step-k event strictly after t(k−1)" IS
+    * "min step-k event strictly after t(k−1)", so per-user in-order
+    * greedy ≡ batch greedy. Within a microbatch the group iterator is
+    * sorted here; ACROSS microbatches the source must not split a
+    * user's events out of time order (true of replay and of any
+    * event-time-partitioned ingest; a late straggler beyond that needs
+    * the batch query — same caveat as any streaming funnel).
+    */
+  def funnelAdvances(events: Dataset[FunnelEvent], steps: Seq[String])
+      : Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, it, state: GroupState[FunnelState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_ns, e.event_type))
+          var times = state.getOption.map(_.times).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[FunnelAdvance]
+          sorted.foreach { e =>
+            val k = times.length
+            if (k < steps.length && e.event_type == steps(k) &&
+                (k == 0 || e.ts_ns > times(k - 1))) {
+              times = times :+ e.ts_ns
+              out += FunnelAdvance(uid, k + 1, steps(k), e.ts_ns,
+                                   e.ts_ns - times.head)
+            }
+          }
+          if (times.nonEmpty) state.update(FunnelState(times))
+          out.result().iterator
       }
   }
 

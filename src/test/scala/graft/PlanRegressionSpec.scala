@@ -114,4 +114,39 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("partial_heavy_hitters") ||
            count(p, "heavy_hitters") >= 2, "no partial aggregation:\n" + p)
   }
+
+  test("star join broadcasts every dimension — no dim-side shuffle") {
+    val p = plan("q_star_join")
+    // supplier/nation/region (and the order side under AQE thresholds)
+    // must come in as broadcasts; a shuffled dim would repartition the
+    // fact chain once per dimension at 100 TB
+    assert(count(p, "BroadcastHashJoin") >= 3, p)
+    assert(count(p, "SortMergeJoin") <= 2, "dim joined by shuffle:\n" + p)
+  }
+
+  test("cdc compaction aggregates partially — no per-partition sort") {
+    val p = plan("q_cdc_latest")
+    assert(count(p, "Exchange") == 1, "one exchange on the key:\n" + p)
+    assert(!p.contains("Window"), "must be the aggregate form:\n" + p)
+    assert(p.contains("partial"), "no map-side combine:\n" + p)
+  }
+
+  test("knn join broadcasts the corpus — the only exchange is the top-k window") {
+    val p = plan("q_knn_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // non-equi self pair
+    assert(count(p, "Exchange hashpartitioning") <= 1, p)
+    assert(p.contains("WindowGroupLimit"), "top-k must bound window state:\n" + p)
+  }
+
+  test("funnel materializes step frames — the report never rescans events") {
+    // each union branch embeds its step-prefix chain and AQE does NOT
+    // collapse the re-analyzed copies, so the lazy form would rescan
+    // the event source O(steps²) times; the materialized frames must
+    // leave the report plan free of any file scan
+    val df = SparkEntry.queries("q_funnel")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan") && !p.contains("BatchScan"),
+      "report must read materialized step frames only:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -115,6 +115,50 @@ class StreamingSpec extends SparkSpec {
     assert(out("2021-01-01 13:00:00") == 1L)
   }
 
+  test("stateful streaming funnel matches the batch funnel report") {
+    import graft.streaming.FunnelEvent
+    val steps = Seq("view", "click", "purchase")
+    val batch = graft.operators.Funnel.funnel(
+        Tables.events(spark, dir), "user_id", "event_type", "ts_ns", steps)
+      .select("step_idx", "users", "total_lag")
+      .as[(Int, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val stream = StreamingOps.eventsStream(spark, dir)
+      .select($"user_id", $"event_type", $"ts_ns").as[FunnelEvent]
+    val q = StreamingOps.funnelAdvances(stream, steps)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("funnel")
+      .groupBy("step_idx")
+      .agg(count(lit(1)).as("users"), sum("lag_ns").as("total_lag"))
+      .as[(Int, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(streamed == batch)
+    assert(batch.keySet == Set(1, 2, 3) && batch(3)._1 > 0,
+      "fixture must drive users through the whole funnel")
+  }
+
+  test("streaming funnel state advances across microbatches") {
+    import graft.streaming.FunnelEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[FunnelEvent]
+    val q = StreamingOps.funnelAdvances(src.toDS(), Seq("view", "click"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_mb").start()
+    src.addData(FunnelEvent(1L, "view", 100L),
+                FunnelEvent(1L, "click", 50L))   // too early: before view
+    q.processAllAvailable()
+    src.addData(FunnelEvent(1L, "click", 200L))  // crosses in batch 2
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("funnel_mb")
+      .select("step_idx", "t_ns", "lag_ns")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(out == Set((1, 100L, 0L), (2, 200L, 100L)))
+  }
+
   test("stateful sessionization matches the batch gaps-and-islands result") {
     val gapNs = 30L * 60 * 1000 * 1000 * 1000
     val events = Tables.events(spark, dir)
