@@ -43,6 +43,13 @@ class CodegenOnlySpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
                                              else Some(r.getDouble(1)))).toMap
       assert(cos(1L).exists(_ > 0.7) && cos(2L).isEmpty && cos(3L).isEmpty)
+      // DotProduct incl. the zero-vector (non-null) and mismatch paths
+      val dot = vecs.select($"id",
+          Similarity.dotFused($"a", $"b").as("d"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+                                             else Some(r.getDouble(1)))).toMap
+      assert(dot(1L).contains(4.0) && dot(2L).contains(0.0) &&
+             dot(3L).isEmpty)
     }
   }
 }

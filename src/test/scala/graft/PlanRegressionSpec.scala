@@ -131,9 +131,14 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("partial"), "no map-side combine:\n" + p)
   }
 
-  test("knn join broadcasts the corpus — the only exchange is the top-k window") {
+  test("knn join: mirrored halves read materialized pairs; top-k bounded") {
+    // the half-pair scoring (BroadcastNestedLoopJoin under vec_id <
+    // neighbor_id) runs once into a localCheckpoint; the final plan
+    // must read the materialized rows twice (union of mirror
+    // projections) — not re-run the join — and bound the ranking
     val p = plan("q_knn_join")
-    assert(p.contains("BroadcastNestedLoopJoin"), p) // non-equi self pair
+    assert(!p.contains("Join"), "pair join must be materialized:\n" + p)
+    assert(!p.contains("FileScan") && !p.contains("BatchScan"), p)
     assert(count(p, "Exchange hashpartitioning") <= 1, p)
     assert(p.contains("WindowGroupLimit"), "top-k must bound window state:\n" + p)
   }
