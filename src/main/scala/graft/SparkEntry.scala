@@ -826,6 +826,58 @@ object SparkEntry {
         .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
                  Array(col("quantity"), col("price"), col("discount")),
                  "measure", "value")),
+
+    // ---- recursive CTE (Spark 4 UnionLoop): ancestor walk over the
+    //      implicit c_custkey div 2 binary-tree hierarchy ----
+    "q_recursive_cte" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH RECURSIVE anc(node, parent, depth) AS (
+          SELECT c_custkey, c_custkey div 2, 1
+          FROM customer WHERE c_custkey > 1 AND c_custkey < 200
+          UNION ALL
+          SELECT node, parent div 2, depth + 1 FROM anc WHERE parent > 1
+        )
+        SELECT node, max(depth) AS depth_to_root FROM anc GROUP BY node
+      """)
+    }),
+
+    // ---- correlated LATERAL subquery: per-customer top-2 orders
+    //      (the join-then-rank alternative to a window) ----
+    "q_lateral" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      """)
+    }),
+
+    // ---- running distinct count over a window (Spark lacks DISTINCT
+    //      window aggregates; size∘collect_set is the idiomatic dual
+    //      of the oracle's count(DISTINCT) OVER) ----
+    "q_window_distinct" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "lineitem").filter(col("l_orderkey") < 3000)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+                size(collect_set(col("l_partkey")).over(w))
+                  .as("distinct_parts"))
+    }),
+
+    // ---- equi-width histogram via integer binning (floor of an IEEE
+    //      division — deterministic cross-engine, unlike width_bucket
+    //      edge semantics) ----
+    "q_histogram" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy((floor(col("o_totalprice") / 50000) * 50000)
+                   .cast("long").as("bucket_lo"))
+        .agg(count(lit(1)).as("n"),
+             min(col("o_totalprice")).as("min_price"),
+             max(col("o_totalprice")).as("max_price"))),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -1936,6 +1988,36 @@ object SparkEntry {
                l_extendedprice AS price, l_discount AS discount
         FROM lineitem WHERE l_orderkey < 1000)
       UNPIVOT (value FOR measure IN (quantity, price, discount))
+    """,
+    "q_recursive_cte" -> """
+      WITH RECURSIVE anc(node, parent, depth) AS (
+        SELECT c_custkey, c_custkey // 2, 1
+        FROM customer WHERE c_custkey > 1 AND c_custkey < 200
+        UNION ALL
+        SELECT node, parent // 2, depth + 1 FROM anc WHERE parent > 1
+      )
+      SELECT node, max(depth) AS depth_to_root FROM anc GROUP BY node
+    """,
+    "q_lateral" -> """
+      SELECT c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+    "q_window_distinct" -> """
+      SELECT l_returnflag, l_orderkey, l_linenumber,
+             count(DISTINCT l_partkey) OVER (PARTITION BY l_returnflag
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS distinct_parts
+      FROM lineitem WHERE l_orderkey < 3000
+    """,
+    "q_histogram" -> """
+      SELECT (floor(o_totalprice / 50000) * 50000)::BIGINT AS bucket_lo,
+             count(*) AS n, min(o_totalprice) AS min_price,
+             max(o_totalprice) AS max_price
+      FROM orders GROUP BY 1
     """,
   )
 
