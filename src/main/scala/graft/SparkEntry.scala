@@ -868,6 +868,13 @@ object SparkEntry {
                   .as("distinct_parts"))
     }),
 
+    // ---- deterministic quantized k-means: computes the coarse cells
+    //      q_sim_ann_ivf otherwise takes as given; integer-exact
+    //      iterations, oracle unrolls them as CTE stages ----
+    "q_kmeans" -> ((s, dir) =>
+      graft.functions.Similarity.kmeansQuantized(
+        Tables.load(s, dir, "embeddings"), 8, 2)),
+
     // ---- equi-width histogram via integer binning (floor of an IEEE
     //      division — deterministic cross-engine, unlike width_bucket
     //      edge semantics) ----
@@ -2019,7 +2026,64 @@ object SparkEntry {
              max(o_totalprice) AS max_price
       FROM orders GROUP BY 1
     """,
+    "q_kmeans" -> kmeansOracle(8, 2),
   )
+
+  /** DuckDB mirror of [[graft.functions.Similarity.kmeansQuantized]]:
+    * the fixed iteration count lets the loop unroll into CTE stages
+    * (assign aᵢ → update cᵢ₊₁); every quantity is an integer-valued
+    * double, so assignments and floor-mean centroids match the Spark
+    * run bit-for-bit. */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    def dotq(x: String, c: String) =
+      s"list_sum(list_transform(range(1, 65), i -> $x[i] * $c[i]))"
+    val head = s"""
+      WITH sc AS (SELECT vec_id,
+                    CAST(list_max(list_transform(embedding, x -> abs(x)))
+                         AS DOUBLE) AS s
+                  FROM embeddings),
+      qv AS (SELECT e.vec_id,
+               CASE WHEN sc.s = 0
+                    THEN list_transform(e.embedding, x -> 0.0)
+                    ELSE list_transform(e.embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / sc.s + 0.5)
+                                AS DOUBLE))
+               END AS embedding
+             FROM embeddings e JOIN sc USING (vec_id)),
+      xx AS (SELECT vec_id, embedding,
+                    ${dotq("embedding", "embedding")} AS xx FROM qv),
+      c0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS cid,
+                    embedding AS ce
+             FROM (SELECT vec_id, embedding,
+                     ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+                   FROM qv ORDER BY h, vec_id LIMIT $k))"""
+    val stages = (0 until iters).map { i => s""",
+      a$i AS (SELECT vec_id, embedding, cid FROM (
+          SELECT q.vec_id, q.embedding, s.cid,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY q.xx - 2 * ${dotq("q.embedding", "s.ce")} + s.cc,
+                            s.cid) AS rn
+          FROM xx q CROSS JOIN (SELECT cid, ce, ${dotq("ce", "ce")} AS cc
+                                FROM c$i) s)
+        WHERE rn = 1),
+      c${i + 1} AS (SELECT cid, list(c ORDER BY pos) AS ce FROM (
+          SELECT cid, pos, floor(sum(x) / count(*)) AS c FROM (
+            SELECT cid, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS pos FROM a$i)
+          GROUP BY cid, pos) GROUP BY cid)"""
+    }.mkString
+    head + stages + s"""
+      SELECT vec_id, cid, d::BIGINT AS dist_q FROM (
+        SELECT q.vec_id, s.cid,
+               q.xx - 2 * ${dotq("q.embedding", "s.ce")} + s.cc AS d,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY q.xx - 2 * ${dotq("q.embedding", "s.ce")} + s.cc,
+                          s.cid) AS rn
+        FROM xx q CROSS JOIN (SELECT cid, ce, ${dotq("ce", "ce")} AS cc
+                              FROM c$iters) s)
+      WHERE rn = 1
+    """
+  }
 
   /** Shared CTE chain producing MinHash-LSH candidate pairs as
     * `lsh_pairs(doc_a, doc_b)` over `table(doc_id, text)` — used by the

@@ -157,6 +157,70 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Deterministic Lloyd's k-means over the int8-quantized corpus —
+    * computes the coarse cells [[annIvf]] otherwise takes as given,
+    * completing the cluster→assign→probe ANN pipeline.
+    *
+    * Every quantity is integer-valued, so the WHOLE iteration is
+    * bit-reproducible cross-engine (DuckDB oracle unrolls the same
+    * iterations as CTE stages): vectors are int8-quantized
+    * ([[quantizedEmbeddings]]); squared distance = x·x − 2x·c + c·c
+    * over integer-valued doubles (exact — every partial sum is an
+    * integer far inside 2⁵³); centroid update is the FLOOR of the
+    * coordinate mean (exact double division of exact integers, then
+    * floor); seeds are the k vectors with smallest md5(vec_id) (the
+    * cross-engine-stable "random" pick); ties on distance break to the
+    * smaller cell id. Iteration count is fixed, not convergence-gated
+    * — the reproducibility contract a curation pipeline wants anyway.
+    *
+    * Scale shape: centroids broadcast (k·d doubles); assignment is
+    * map-side scoring against the broadcast (one fused dot per cell);
+    * the update is a (cell, dim)-keyed partial aggregate — n·d rows
+    * shuffle as (cid, pos, x) triples. At 100 TB swap the posexplode
+    * update for a vector-sum `TypedImperativeAggregate` (the
+    * MisraGriesAgg pattern) to keep the shuffle at n rows; the
+    * assignment side needs no change.
+    */
+  def kmeansQuantized(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    registerExpressions(emb.sparkSession)
+    val q = quantizedEmbeddings(emb)
+    val withXx = q.select(col("vec_id"), col("embedding"),
+        dotFused(col("embedding"), col("embedding")).as("xx"))
+      .localCheckpoint()  // scored once per iteration — don't re-quantize
+    def assign(cent: DataFrame): DataFrame =
+      withXx.crossJoin(broadcast(cent.select(col("cid"), col("ce"),
+          dotFused(col("ce"), col("ce")).as("cc"))))
+        .select(col("vec_id"), col("embedding"),
+                struct((col("xx") - lit(2.0) *
+                        dotFused(col("embedding"), col("ce")) + col("cc"))
+                         .as("dist"),
+                       col("cid")).as("dc"))
+        .groupBy("vec_id")
+        .agg(first(col("embedding")).as("embedding"),  // constant per key
+             min(col("dc")).as("dc"))
+        .select(col("vec_id"), col("embedding"),
+                col("dc.cid").as("cid"), col("dc.dist").as("dist"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        // Spark floor → BIGINT; back to double so the fused dot (which
+        // requires ARRAY<DOUBLE>) scores the next round's centroids
+        .agg(floor(sum(col("x")) / count(lit(1))).cast("double").as("c"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+                       s => s.getField("c")).as("ce"))
+    var centroids = q
+      .withColumn("h", Dedup.md5Hash60(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("h"), col("vec_id"))))
+      .select(col("cid"), col("embedding").as("ce"))
+    for (_ <- 1 to iters)
+      centroids = update(assign(centroids)).localCheckpoint()
+    assign(centroids)
+      .select(col("vec_id"), col("cid"), col("dist").cast("long").as("dist_q"))
+  }
+
   /** Near-duplicate pairs by cosine ≥ threshold, blocked on a coarse
     * key (here the pre-assigned cluster label) so candidate generation
     * is an equi-join, not a cross join. */

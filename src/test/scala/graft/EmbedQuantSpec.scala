@@ -61,6 +61,24 @@ class EmbedQuantSpec extends SparkSpec {
     assert(recalls.forall(_ >= 0.6), s"a query collapsed: $recalls")
   }
 
+  test("kmeans: partition property, WCSS improves, partitioning-invariant") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val r2 = Similarity.kmeansQuantized(emb, 8, 2)
+      .as[(Long, Int, Long)].collect()
+    // each vector lands in exactly one cell
+    assert(r2.map(_._1).distinct.length == r2.length)
+    assert(r2.map(_._2).distinct.length > 1, "degenerate single cluster")
+    // Lloyd's monotonicity: 2 update rounds never worsen total WCSS
+    val r0 = Similarity.kmeansQuantized(emb, 8, 0)
+      .as[(Long, Int, Long)].collect()
+    assert(r2.map(_._3).sum <= r0.map(_._3).sum)
+    // integer-exact arithmetic ⇒ identical output under any input
+    // partitioning (the property that makes the DuckDB oracle possible)
+    val rp = Similarity.kmeansQuantized(emb.repartition(7), 8, 2)
+      .as[(Long, Int, Long)].collect()
+    assert(rp.sortBy(_._1).toSeq == r2.sortBy(_._1).toSeq)
+  }
+
   test("quantization is deterministic and scale-covariant") {
     def run() = vecs
       .select(col("vec_id"),
