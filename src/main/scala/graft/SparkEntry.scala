@@ -874,6 +874,12 @@ object SparkEntry {
     "q_kmeans" -> ((s, dir) =>
       graft.functions.Similarity.kmeansQuantized(
         Tables.load(s, dir, "embeddings"), 8, 2)),
+    // the composed pipeline: quantize → cluster → probe nearest cells
+    "q_sim_ann_kmeans" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.functions.Similarity.annIvfKmeans(
+        emb.filter(col("vec_id") < 5), emb, 8, 2, 2, 5)
+    }),
 
     // ---- equi-width histogram via integer binning (floor of an IEEE
     //      division — deterministic cross-engine, unlike width_bucket
@@ -2026,15 +2032,41 @@ object SparkEntry {
              max(o_totalprice) AS max_price
       FROM orders GROUP BY 1
     """,
-    "q_kmeans" -> kmeansOracle(8, 2),
+    "q_kmeans" -> (kmeansCtes(8, 2) + """
+      SELECT vec_id, cid, dist::BIGINT AS dist_q FROM a2
+    """),
+    "q_sim_ann_kmeans" -> (kmeansCtes(8, 2) + s""",
+      q AS (SELECT vec_id AS query_id, embedding AS qe, xx
+            FROM xx WHERE vec_id < 5),
+      probe AS (SELECT query_id, qe, cid FROM (
+          SELECT q.query_id, q.qe, s.cid,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY q.xx - 2 * list_sum(list_transform(range(1, 65),
+                              i -> q.qe[i] * s.ce[i])) + s.cc,
+                            s.cid) AS crank
+          FROM q CROSS JOIN (SELECT cid, ce,
+                  list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i]))
+                    AS cc FROM c2) s)
+        WHERE crank <= 2),
+      scored AS (SELECT query_id, a.vec_id AS neighbor_id,
+                        ${duckCos("qe", "a.embedding")} AS cos
+                 FROM probe p JOIN a2 a ON a.cid = p.cid
+                 WHERE a.vec_id <> p.query_id)
+      SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 5
+    """),
   )
 
-  /** DuckDB mirror of [[graft.functions.Similarity.kmeansQuantized]]:
-    * the fixed iteration count lets the loop unroll into CTE stages
-    * (assign aᵢ → update cᵢ₊₁); every quantity is an integer-valued
+  /** DuckDB mirror of [[graft.functions.Similarity.kmeansModel]]: the
+    * fixed iteration count lets the loop unroll into CTE stages
+    * (assign aᵢ → update cᵢ₊₁, final assignment a_iters carries the
+    * exact squared distance); every quantity is an integer-valued
     * double, so assignments and floor-mean centroids match the Spark
     * run bit-for-bit. */
-  private def kmeansOracle(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int): String = {
     def dotq(x: String, c: String) =
       s"list_sum(list_transform(range(1, 65), i -> $x[i] * $c[i]))"
     val head = s"""
@@ -2057,32 +2089,25 @@ object SparkEntry {
              FROM (SELECT vec_id, embedding,
                      ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
                    FROM qv ORDER BY h, vec_id LIMIT $k))"""
-    val stages = (0 until iters).map { i => s""",
-      a$i AS (SELECT vec_id, embedding, cid FROM (
+    def assignStage(i: Int) = s""",
+      a$i AS (SELECT vec_id, embedding, cid, d AS dist FROM (
           SELECT q.vec_id, q.embedding, s.cid,
+                 q.xx - 2 * ${dotq("q.embedding", "s.ce")} + s.cc AS d,
                  row_number() OVER (PARTITION BY q.vec_id
                    ORDER BY q.xx - 2 * ${dotq("q.embedding", "s.ce")} + s.cc,
                             s.cid) AS rn
           FROM xx q CROSS JOIN (SELECT cid, ce, ${dotq("ce", "ce")} AS cc
                                 FROM c$i) s)
-        WHERE rn = 1),
+        WHERE rn = 1)"""
+    val stages = (0 until iters).map { i =>
+      assignStage(i) + s""",
       c${i + 1} AS (SELECT cid, list(c ORDER BY pos) AS ce FROM (
           SELECT cid, pos, floor(sum(x) / count(*)) AS c FROM (
             SELECT cid, unnest(embedding) AS x,
                    generate_subscripts(embedding, 1) AS pos FROM a$i)
           GROUP BY cid, pos) GROUP BY cid)"""
     }.mkString
-    head + stages + s"""
-      SELECT vec_id, cid, d::BIGINT AS dist_q FROM (
-        SELECT q.vec_id, s.cid,
-               q.xx - 2 * ${dotq("q.embedding", "s.ce")} + s.cc AS d,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY q.xx - 2 * ${dotq("q.embedding", "s.ce")} + s.cc,
-                          s.cid) AS rn
-        FROM xx q CROSS JOIN (SELECT cid, ce, ${dotq("ce", "ce")} AS cc
-                              FROM c$iters) s)
-      WHERE rn = 1
-    """
+    head + stages + assignStage(iters)
   }
 
   /** Shared CTE chain producing MinHash-LSH candidate pairs as

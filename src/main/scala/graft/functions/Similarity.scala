@@ -181,7 +181,15 @@ object Similarity {
     * MisraGriesAgg pattern) to keep the shuffle at n rows; the
     * assignment side needs no change.
     */
-  def kmeansQuantized(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansQuantized(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansModel(emb, k, iters)._1
+      .select(col("vec_id"), col("cid"), col("dist").cast("long").as("dist_q"))
+
+  /** The full k-means model: (final assignments with quantized vectors
+    * and exact squared distances, final centroids) — the pieces
+    * [[annIvfKmeans]] probes. */
+  def kmeansModel(emb: DataFrame, k: Int, iters: Int)
+      : (DataFrame, DataFrame) = {
     registerExpressions(emb.sparkSession)
     val q = quantizedEmbeddings(emb)
     val withXx = q.select(col("vec_id"), col("embedding"),
@@ -217,8 +225,40 @@ object Similarity {
       .select(col("cid"), col("embedding").as("ce"))
     for (_ <- 1 to iters)
       centroids = update(assign(centroids)).localCheckpoint()
-    assign(centroids)
-      .select(col("vec_id"), col("cid"), col("dist").cast("long").as("dist_q"))
+    (assign(centroids), centroids)
+  }
+
+  /** IVF probe over SELF-COMPUTED cells: quantize → k-means cluster →
+    * rank cells by exact integer distance → score only the `nprobe`
+    * nearest cells' members. The end-to-end ANN pipeline with no
+    * pre-assigned labels ([[annIvf]] is the given-cells variant) —
+    * integer-exact throughout, so the oracle unrolls it. At 100 TB the
+    * cell id is the partition key: each probe touches nprobe
+    * partitions, the broadcast is k·d doubles. */
+  def annIvfKmeans(queries: DataFrame, corpus: DataFrame, kCells: Int,
+                   iters: Int, nprobe: Int, k: Int): DataFrame = {
+    val (assigned, cents) = kmeansModel(corpus, kCells, iters)
+    val qxx = quantizedEmbeddings(queries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("xx", dotFused(col("qe"), col("qe")))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("cdist"), col("cid"))
+    val probed = qxx.crossJoin(broadcast(cents.select(col("cid"), col("ce"),
+        dotFused(col("ce"), col("ce")).as("cc"))))
+      .select(col("query_id"), col("qe"), col("cid"),
+              (col("xx") - lit(2.0) * dotFused(col("qe"), col("ce")) +
+               col("cc")).as("cdist"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "qe", "cid")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probed.join(assigned.select(col("vec_id").as("neighbor_id"), col("cid"),
+                                col("embedding").as("ne")), "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+              round(cosineFused(col("qe"), col("ne")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Near-duplicate pairs by cosine ≥ threshold, blocked on a coarse

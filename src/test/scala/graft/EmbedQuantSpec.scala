@@ -79,6 +79,23 @@ class EmbedQuantSpec extends SparkSpec {
     assert(rp.sortBy(_._1).toSeq == r2.sortBy(_._1).toSeq)
   }
 
+  test("kmeans-cell ANN recall vs the exact quantized ranking") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def recallAt(nprobe: Int): Double = {
+      val ann = Similarity.annIvfKmeans(emb.filter($"vec_id" < 10), emb,
+          8, 2, nprobe, 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val exact = Similarity.quantizedTopK(emb.filter($"vec_id" < 10), emb, 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (ann intersect exact).size.toDouble / exact.size
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8) // probing every cell ⇒ the exact ranking
+    info(f"recall nprobe=2: $r2%.2f, nprobe=8: $r8%.2f")
+    assert(r2 >= 0.3 && r2 < 1.0, "nprobe=2 should trade recall for cost")
+    assert(r8 == 1.0, "probing all cells must recover the exact top-k")
+  }
+
   test("quantization is deterministic and scale-covariant") {
     def run() = vecs
       .select(col("vec_id"),
