@@ -881,6 +881,23 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), emb, 8, 2, 2, 5)
     }),
 
+    // ---- RANGE window frame (value-based, not row-count): 30-day
+    //      rolling spend per customer; integer day index + cents so
+    //      frame contents and sums are deterministic cross-engine ----
+    "q_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("d"))
+        .rangeBetween(-29, 0)
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+                datediff(to_date(col("o_orderdate")),
+                         lit("1990-01-01").cast("date")).as("d"),
+                floor(col("o_totalprice") * 100 + 0.5).cast("long")
+                  .as("cents"))
+        .select(col("o_custkey"), col("o_orderkey"), col("d"),
+                count(lit(1)).over(w).as("n_30d"),
+                sum(col("cents")).over(w).as("spend_cents_30d"))
+    }),
+
     // ---- equi-width histogram via integer binning (floor of an IEEE
     //      division — deterministic cross-engine, unlike width_bucket
     //      edge semantics) ----
@@ -2031,6 +2048,18 @@ object SparkEntry {
              count(*) AS n, min(o_totalprice) AS min_price,
              max(o_totalprice) AS max_price
       FROM orders GROUP BY 1
+    """,
+    "q_range_frame" -> """
+      WITH o AS (SELECT o_custkey, o_orderkey,
+                   date_diff('day', DATE '1990-01-01', o_orderdate::DATE)
+                     AS d,
+                   floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+                 FROM orders)
+      SELECT o_custkey, o_orderkey, d,
+             count(*) OVER w AS n_30d,
+             (sum(cents) OVER w)::BIGINT AS spend_cents_30d
+      FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                          RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
     """,
     "q_kmeans" -> (kmeansCtes(8, 2) + """
       SELECT vec_id, cid, dist::BIGINT AS dist_q FROM a2
