@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.expressions.{CosineSimilarity, NormalizeText, SimHash60, WordShingles}
+import graft.functions.expressions.{CosineSimilarity, DotProduct, NormalizeText, SimHash60, WordShingles}
 
 /** Session-extension entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so a pure-SQL user gets the whole
@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) — fused cosine over ARRAY<FLOAT|DOUBLE>"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) — fused dot over ARRAY<FLOAT|DOUBLE>"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(tokens, n) — word n-grams of ARRAY<STRING>"),
       (args: Seq[Expression]) => {

@@ -27,12 +27,14 @@ class ExtensionsSpec extends AnyFunSuite {
     val row = spark.sql("""
       SELECT simhash60(array('the', 'quick', 'fox')) AS sh,
              cosine_sim(array(1.0F, 2.0F), array(1.0F, 2.0F)) AS cs,
+             dot_product(array(1.0F, 2.0F), array(3.0D, 4.0D)) AS dp,
              word_shingles(array('a', 'b', 'c'), 2) AS ws,
              normalize_text('  Hello,  WORLD!! 42 ') AS nt
     """).head()
     assert(row.getAs[Long]("sh") != 0L)
     assert(math.abs(row.getAs[Double]("cs") - 1.0) < 1e-12)
-    assert(row.getSeq[String](2).toList == List("a b", "b c"))
+    assert(row.getAs[Double]("dp") == 11.0)
+    assert(row.getSeq[String](3).toList == List("a b", "b c"))
     assert(row.getAs[String]("nt") == "hello world 42")
   }
 
