@@ -396,6 +396,10 @@ object SparkEntry {
     "q_sim_lsh_buckets" -> ((s, dir) =>
       graft.functions.Similarity.hyperplaneLshBuckets(
         Tables.load(s, dir, "embeddings"), 16, 4)),
+    // one-call semantic dedup: near-dup pairs → components → survivors
+    "q_semantic_dedup" -> ((s, dir) =>
+      graft.functions.Similarity.semanticDedup(
+        Tables.load(s, dir, "embeddings"), 0.4)),
     "q_sim_ann_ivf" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       graft.functions.Similarity.annIvf(
@@ -1474,6 +1478,25 @@ object SparkEntry {
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id)
       WHERE cos >= 0.4
+    """,
+    "q_semantic_dedup" -> s"""
+      WITH RECURSIVE pairs AS (
+        SELECT vec_a, vec_b FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 ${duckCos("a.embedding", "b.embedding")} AS cos
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id)
+        WHERE cos >= 0.4),
+      sym AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+              UNION SELECT vec_b, vec_a FROM pairs),
+      reach(a, b) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u),
+      comp AS (SELECT a AS vec_id, min(b) AS component FROM reach GROUP BY a)
+      SELECT e.vec_id, e.label
+      FROM embeddings e JOIN comp c USING (vec_id)
+      WHERE c.component = e.vec_id
     """,
     "q_sim_ann_ivf" -> s"""
       WITH cent AS (

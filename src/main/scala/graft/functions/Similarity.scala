@@ -275,6 +275,21 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** One-call semantic dedup over an embedding corpus: cosine near-dup
+    * pairs (label-blocked candidate generation) → connected components
+    * → keep each component's min-id vector — the embedding-space dual
+    * of [[Dedup.dropNearDuplicates]]. Same scale shape: candidates are
+    * an equi-join on the blocking key, components iterate only the
+    * candidate node set. */
+  def semanticDedup(emb: DataFrame, threshold: Double): DataFrame = {
+    val pairs = labelBlockedNearDup(emb, threshold)
+    val comps = graft.operators.ConnectedComponents.run(
+      emb.select(col("vec_id").as("node")), pairs.select("vec_a", "vec_b"))
+    emb.join(comps, emb("vec_id") === comps("node"))
+      .filter(col("component") === col("vec_id"))
+      .select(col("vec_id"), col("label"))
+  }
+
   /** Sign-random-projection (hyperplane) LSH bucket ids: `planes`
     * pseudo-random hyperplanes per band; bucket = the sign-bit pattern
     * of the vector's dot products. Cross-engine determinism: plane
