@@ -125,6 +125,27 @@ class BehaviorSpec extends SparkSpec {
     assert(plan.contains("bloom_might_contain"), plan)
   }
 
+  test("funnel supports repeated step types (view → view = two views)") {
+    val ev = Seq((1L, "v", 10L), (1L, "v", 20L),
+                 (2L, "v", 10L),
+                 (3L, "v", 10L), (3L, "v", 10L)) // simultaneous ⇒ no 2nd
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnel.funnel(ev, "user_id", "event_type", "ts", Seq("v", "v"))
+      .orderBy("step_idx").as[(Int, String, Long, Long)].collect().toSeq
+    assert(out == Seq((1, "v", 3L, 0L), (2, "v", 1L, 10L)))
+  }
+
+  test("bloom join treats null probe keys exactly like the plain join") {
+    val probe = Seq(Some(1L), None, Some(2L), None, Some(99L))
+      .toDF("pk").select($"pk", monotonically_increasing_id().as("row"))
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("dk", "name")
+    val plain = probe.join(dim, $"pk" === $"dk")
+      .select($"pk", $"name").as[(Long, String)].collect().toSet
+    val pre = BloomJoin.prefilteredJoin(probe, dim, "pk", "dk", 64)
+      .select($"pk", $"name").as[(Long, String)].collect().toSet
+    assert(pre == plain && plain == Set((1L, "a"), (2L, "b")))
+  }
+
   test("bloom filter actually rejects most non-matching keys") {
     val dim = (0L until 100L).map(k => (k, k)).toDF("dk", "y")
     val bytes = BloomJoin.bloomBytes(dim, "dk", 1024, 0.01)
