@@ -765,6 +765,35 @@ object SparkEntry {
         Tables.events(s, dir), "user_id", "event_type", "ts_ns",
         "event_id", deleteState = "error")),
 
+    // ---- temporal (point-in-time) join: each event labeled with its
+    //      active SCD2 version — the native as-of join against the
+    //      windowed interval build (valid_from ≤ ts, greatest wins) ----
+    "q_temporal_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_ns"))
+      val versions = graft.operators.ChangeCapture.scd2(
+          Tables.events(s, dir), "user_id", "event_type", "ts_ns",
+          "event_id")
+        .select(col("user_id"), col("valid_from"), col("state"),
+                col("version"))
+      graft.plans.AsOfJoinNative.joinAsOf(
+          ev, versions, Seq("user_id"), "ts_ns", "valid_from",
+          Seq("state", "version"))
+        .select(col("event_id"), col("user_id"), col("ts_ns"),
+                col("state"), col("version"))
+    }),
+
+    // ---- state-transition (Markov) counts over the event stream ----
+    "q_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      Tables.events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+                 col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // ---- bloom-prefiltered join (runtime semi-join filter as a
     //      library operator; results exact, oracle = plain join) ----
     "q_bloom_join" -> ((s, dir) =>
@@ -1979,6 +2008,36 @@ object SparkEntry {
                  ORDER BY ts_ns DESC, event_id DESC) AS rn
         FROM e)
       WHERE rn = 1 AND state <> 'error'
+    """,
+    "q_temporal_join" -> """
+      WITH e AS (SELECT user_id, event_type, event_id,
+                        (epoch_ns(ts) // 1000) * 1000 AS ts_ns FROM events),
+      ch AS (SELECT user_id, event_type AS state, ts_ns, event_id FROM (
+               SELECT user_id, event_type, ts_ns, event_id,
+                      lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts_ns, event_id) AS prev
+               FROM e)
+             WHERE prev IS NULL OR prev <> event_type),
+      v AS (SELECT user_id, state, ts_ns AS valid_from,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts_ns, event_id) AS version
+            FROM ch)
+      SELECT e.event_id, e.user_id, e.ts_ns, x.state, x.version
+      FROM e, LATERAL (SELECT state, version FROM v
+                       WHERE v.user_id = e.user_id
+                         AND v.valid_from <= e.ts_ns
+                       ORDER BY v.valid_from DESC LIMIT 1) x
+    """,
+    "q_transitions" -> """
+      WITH e AS (SELECT user_id, event_type, event_id,
+                        (epoch_ns(ts) // 1000) * 1000 AS ts_ns FROM events)
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM (SELECT event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts_ns, event_id) AS next_type
+            FROM e)
+      WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
     """,
     "q_bloom_join" -> """
       SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
