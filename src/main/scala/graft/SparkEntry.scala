@@ -783,6 +783,22 @@ object SparkEntry {
                 col("state"), col("version"))
     }),
 
+    // ---- integer-exact PageRank over the customer↔supplier graph
+    //      (disjoint node ids: cust·2, supp·2+1); fixed iterations,
+    //      oracle unrolls them — the kmeans recipe for graphs ----
+    "q_pagerank" -> ((s, dir) => {
+      // orderkey-bounded like q_cc_path: the measured object is the
+      // iteration mechanics, not bulk edge volume
+      val edges = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 60000)
+        .join(Tables.load(s, dir, "lineitem"),
+              col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("u"),
+                (col("l_suppkey") * 2 + 1).as("v"))
+      graft.operators.PageRank.integerPageRank(
+        edges.union(edges.select(col("v").as("u"), col("u").as("v"))), 3)
+    }),
+
     // ---- state-transition (Markov) counts over the event stream ----
     "q_transitions" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
@@ -2039,6 +2055,7 @@ object SparkEntry {
       WHERE next_type IS NOT NULL
       GROUP BY 1, 2
     """,
+    "q_pagerank" -> pageRankOracle(3),
     "q_bloom_join" -> """
       SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -2170,6 +2187,33 @@ object SparkEntry {
       WHERE rank <= 5
     """),
   )
+
+  /** DuckDB mirror of [[graft.operators.PageRank.integerPageRank]] on
+    * the bipartite customer↔supplier graph: integer micro-unit
+    * contributions make every round exact, so the fixed iterations
+    * unroll into CTE stages (positive operands ⇒ Spark `div` ≡ DuckDB
+    * `//`). */
+  private def pageRankOracle(iters: Int): String = {
+    val head = """
+      WITH be AS (SELECT DISTINCT (o_custkey * 2) AS u,
+                         (l_suppkey * 2 + 1) AS v
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                  WHERE o_orderkey < 60000),
+      e AS (SELECT u, v FROM be UNION SELECT v, u FROM be),
+      deg AS (SELECT u, count(*) AS outdeg FROM e GROUP BY 1),
+      nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+      p0 AS (SELECT node, 1000000::BIGINT AS pr FROM nodes)"""
+    val stages = (0 until iters).map { i => s""",
+      c$i AS (SELECT e.v AS node, (p.pr * 850) // (1000 * d.outdeg) AS c
+              FROM e JOIN deg d USING (u) JOIN p$i p ON p.node = e.u),
+      p${i + 1} AS (SELECT n.node, (150000 + coalesce(s.s, 0))::BIGINT AS pr
+              FROM nodes n LEFT JOIN (SELECT node, sum(c) AS s FROM c$i
+                                      GROUP BY 1) s USING (node))"""
+    }.mkString
+    head + stages + s"""
+      SELECT node, pr FROM p$iters
+    """
+  }
 
   /** DuckDB mirror of [[graft.functions.Similarity.kmeansModel]]: the
     * fixed iteration count lets the loop unroll into CTE stages

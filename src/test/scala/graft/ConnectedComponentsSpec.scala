@@ -30,6 +30,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labels.forall(_._2 == 0L), "all path nodes reach min label 0")
   }
 
+  test("integer pagerank: floor, mass bound, hub ranking, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // star graph: hub 0 ↔ leaves 1..20, plus an isolated edge 100↔101
+    val base = ((1L to 20L).map(l => (0L, l)) ++ Seq((100L, 101L))).toDF("u", "v")
+    val edges = base.union(base.select(col("v"), col("u")))
+    val pr = graft.operators.PageRank.integerPageRank(edges, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(pr.values.forall(_ >= 150000L), "teleport floor violated")
+    // dangling-free graph: total mass stays ≤ initial (23 nodes × 1e6)
+    assert(pr.size == 23 && pr.values.sum <= 23L * 1000000L)
+    assert(pr(0L) > pr(1L) * 5, s"hub must dominate leaves: $pr")
+    assert((1L to 20L).map(pr).distinct.size == 1, "leaves must tie exactly")
+    val pr2 = graft.operators.PageRank.integerPageRank(
+      edges.repartition(7), 3).as[(Long, Long)].collect().toMap
+    assert(pr2 == pr, "integer arithmetic must be partition-invariant")
+  }
+
   test("two disjoint paths + singletons label independently") {
     import spark.implicits._
     val nodes = spark.range(250).toDF("id")
