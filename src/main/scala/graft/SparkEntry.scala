@@ -834,6 +834,15 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "window", "stream"))
         .select(col("doc_id"), col("lang"), col("n_chars"))),
+    "q_phrase_search" -> ((s, dir) =>
+      graft.functions.InvertedIndex.phraseSearch(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window"))
+        .select(col("doc_id"), col("lang"))),
+    "q_ranked_search" -> ((s, dir) =>
+      graft.functions.InvertedIndex.rankedSearch(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "stream"), 10)),
 
     // ---- exact k-NN self-join (all-pairs baseline for the ANN ops) ----
     "q_knn_join" -> ((s, dir) =>
@@ -2078,6 +2087,24 @@ object SparkEntry {
       WHERE list_contains($duckToks, 'spark')
         AND list_contains($duckToks, 'window')
         AND list_contains($duckToks, 'stream')
+    """,
+    "q_phrase_search" -> """
+      SELECT doc_id, lang FROM documents
+      WHERE ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+            || ' ' LIKE '% spark window %'
+    """,
+    "q_ranked_search" -> s"""
+      WITH p AS (
+        SELECT term, doc_id, count(*) AS tf FROM (
+          SELECT doc_id, unnest($duckToks) AS term FROM documents)
+        WHERE term <> '' GROUP BY 1, 2),
+      h AS (SELECT doc_id, tf,
+                   count(*) OVER (PARTITION BY term) AS df
+            FROM p WHERE term IN ('spark', 'window', 'stream'))
+      SELECT doc_id, sum((tf * 1000000) // df)::BIGINT AS score_micro,
+             count(*) AS n_terms
+      FROM h GROUP BY 1
+      ORDER BY score_micro DESC, doc_id LIMIT 10
     """,
     "q_knn_join" -> s"""
       WITH n AS (

@@ -46,6 +46,53 @@ object InvertedIndex {
                        x => x.cast("string"))).as("posting_list"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
 
+  /** Positional postings: one row per (doc, position, term) over the
+    * normalized token sequence — the layout phrase queries need
+    * (bucket by term at scale, positions ride along as payload). */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol),
+                posexplode(termsOf(col(textCol))).as(Seq("pos", "term")))
+
+  /** Phrase search: documents containing the exact consecutive token
+    * sequence. Each term's postings shift their positions back by the
+    * term's phrase offset; a phrase start exists where ALL shifted
+    * sets agree on (doc, position) — equi-joins on (doc, pos), no text
+    * rescan. Handles repeated terms (each offset joins the posting set
+    * independently). */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val p = positionalPostings(docs, idCol, textCol)
+    val frames = phrase.zipWithIndex.map { case (t, i) =>
+      p.filter(col("term") === t)
+        .select(col(idCol), (col("pos") - i).as("p0"))
+    }
+    val starts = frames.reduce((a, b) => a.join(b, Seq(idCol, "p0")))
+    docs.join(starts.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+  }
+
+  /** Disjunctive ranked search: integer tf-idf-surface score
+    * (`tf·10⁶ div df`, the cross-engine-exact ranking used by
+    * [[TextAnalysis]] term stats) summed over matched query terms;
+    * global top-k plans as TakeOrderedAndProject. df is counted over
+    * the query terms' postings only — filter first, then count — so
+    * the scan touches |query terms| posting buckets, not the corpus. */
+  def rankedSearch(docs: DataFrame, idCol: String, textCol: String,
+                   terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size)
+    import org.apache.spark.sql.expressions.Window
+    val hits = postings(docs, idCol, textCol)
+      .filter(col("term").isin(terms: _*))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("score_micro", expr("tf * 1000000 div df"))
+    hits.groupBy(col(idCol))
+      .agg(sum(col("score_micro")).as("score_micro"),
+           count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Conjunctive search: documents containing EVERY query term, via
     * posting-list intersection — a doc qualifies iff it appears in all
     * |terms| posting sets. One aggregate keyed on the doc id; no text

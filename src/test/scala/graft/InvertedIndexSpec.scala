@@ -43,6 +43,39 @@ class InvertedIndexSpec extends SparkSpec {
     assert(viaIndex == brute && viaIndex == Set(1L, 5L))
   }
 
+  test("phrase search finds exact consecutive sequences only") {
+    val d = Seq(
+      (1L, "big data lake house"),
+      (2L, "data big lake"),          // both terms, wrong order
+      (3L, "big, DATA!"),             // punctuation/case folds away
+      (4L, "big x data"),             // not consecutive
+      (5L, "big big data")            // repeated prefix still matches
+    ).toDF("doc_id", "text")
+    val hits = InvertedIndex.phraseSearch(d, "doc_id", "text",
+        Seq("big", "data")).select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 3L, 5L))
+    val rep = InvertedIndex.phraseSearch(d, "doc_id", "text",
+        Seq("big", "big")).select("doc_id").as[Long].collect().toSet
+    assert(rep == Set(5L), "repeated-term phrase needs ADJACENT repeats")
+  }
+
+  test("ranked search orders by the exact integer tf-idf surface") {
+    val d = Seq(
+      (1L, "spark spark spark rare"),  // high tf on a common term
+      (2L, "rare"),                    // rare term only
+      (3L, "spark rare"),
+      (4L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val out = InvertedIndex.rankedSearch(d, "doc_id", "text",
+        Seq("spark", "rare"), 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    // df(spark)=2, df(rare)=3 ⇒ scores: d1 = 3·1e6/2 + 1e6/3,
+    // d3 = 1e6/2 + 1e6/3, d2 = 1e6/3; d4 absent
+    assert(out.map(_._1) == Seq(1L, 3L, 2L))
+    assert(out.map(_._3) == Seq(2L, 2L, 1L))
+    assert(out(0)._2 == 3L * 1000000 / 2 + 1000000 / 3)
+  }
+
   test("knnJoin matches brute-force cosine ranking (composed HOF path)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .limit(60).cache()
