@@ -966,6 +966,76 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
              min(col("o_totalprice")).as("min_price"),
              max(col("o_totalprice")).as("max_price"))),
+
+    // ---- ordered-series family (operators.Series): one window pass
+    //      each, no self-joins ----
+    // forward fill: carry the last purchase amount (integer millis —
+    // floor(x*1000) is IEEE-exact cross-engine) onto every later event
+    "q_gap_fill" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "purchase",
+            floor(col("value") * 1000).cast("long")).as("pv"))
+      graft.operators.Series
+        .forwardFill(e, "user_id", "pv", "filled_milli",
+                     col("ts"), col("event_id"))
+        .select("event_id", "user_id", "filled_milli")
+    }),
+    // merge overlapping spans: event intervals [ts, ts + (id%7+1) min)
+    // in integer epoch-micros, coalesced per user
+    "q_interval_merge" -> ((s, dir) => {
+      val start = unix_micros(col("ts"))
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), start.as("start_us"),
+          (start + (pmod(col("event_id"), lit(7)) + 1) * 60000000L)
+            .as("end_us"))
+      graft.operators.Series
+        .mergeIntervals(iv, "user_id", "start_us", "end_us", col("event_id"))
+    }),
+    // 2-sigma spend outliers per user, float-free (the k-sigma test
+    // multiplied through by n² stays in BIGINT)
+    "q_anomaly" -> ((s, dir) =>
+      graft.operators.Series.sigmaOutliers(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+                  floor(col("value") * 1000).cast("long").as("v_milli"))
+          .filter(col("v_milli").isNotNull),
+        "user_id", "v_milli", 2, 10)
+        .select("user_id", "event_id", "v_milli", "n_key_rows")),
+
+    // ---- graph: triangle count over the supplier co-occurrence graph
+    //      (suppliers sharing ≥3 orders), degree-ordered wedge join ----
+    "q_triangles" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+        .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 3).select("u", "v")
+      graft.operators.Triangles.count(edges)
+    }),
+
+    // ---- oracle-exact sketches (functions.Sketches): the sketch
+    //      CONTENTS reproduce cross-engine via the md5-derived hash ----
+    "q_hll_registers" -> ((s, dir) =>
+      graft.functions.Sketches.hllRegisters(
+        Tables.load(s, dir, "lineitem").select(col("l_partkey")),
+        "l_partkey", 8)),
+    "q_countmin" -> ((s, dir) =>
+      graft.functions.Sketches.countMinEstimates(
+        Tables.events(s, dir)
+          .select(concat(col("event_type"), lit(":"),
+            pmod(col("user_id"), lit(100)).cast("string")).as("k")),
+        "k", 4, 256)),
+
+    // ---- asymmetric near-dup: n-gram containment (quote/subset
+    //      detection), stopgram-capped posting join ----
+    "q_containment" -> ((s, dir) =>
+      graft.functions.Dedup.containmentPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        3, 600000L, 50)),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -2213,6 +2283,110 @@ object SparkEntry {
         FROM scored)
       WHERE rank <= 5
     """),
+
+    "q_gap_fill" -> """
+      WITH e AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor("value" * 1000) AS BIGINT) END AS pv
+        FROM events),
+      g AS (SELECT event_id, user_id, pv,
+                   count(pv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+            FROM e)
+      SELECT event_id, user_id,
+             max(pv) OVER (PARTITION BY user_id, grp) AS filled_milli
+      FROM g
+    """,
+
+    "q_interval_merge" -> """
+      WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS start_us,
+               epoch_us(ts) + ((event_id % 7) + 1) * 60000000 AS end_us
+        FROM events),
+      m AS (SELECT *, max(end_us) OVER (
+                        PARTITION BY user_id ORDER BY start_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS max_end FROM iv),
+      f AS (SELECT *, CASE WHEN max_end IS NULL OR start_us > max_end
+                           THEN 1 ELSE 0 END AS newi FROM m),
+      i AS (SELECT *, sum(newi) OVER (
+                        PARTITION BY user_id ORDER BY start_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island FROM f)
+      SELECT user_id, island::BIGINT AS island,
+             min(start_us) AS span_start, max(end_us) AS span_end,
+             count(*) AS n_merged
+      FROM i GROUP BY user_id, island
+    """,
+
+    "q_anomaly" -> """
+      WITH e AS (
+        SELECT user_id, event_id, CAST(floor("value" * 1000) AS BIGINT) AS v_milli
+        FROM events WHERE "value" IS NOT NULL),
+      s AS (SELECT *, count(*) OVER w AS n, sum(v_milli) OVER w AS s1,
+                   sum(v_milli * v_milli) OVER w AS s2
+            FROM e WINDOW w AS (PARTITION BY user_id))
+      SELECT user_id, event_id, v_milli, n::BIGINT AS n_key_rows
+      FROM s
+      WHERE n >= 10
+        AND (n * v_milli - s1) * (n * v_milli - s1) > 4 * (n * s2 - s1 * s1)
+    """,
+
+    "q_triangles" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      e0 AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_suppkey < b.l_suppkey
+             GROUP BY 1, 2),
+      e AS (SELECT u, v FROM e0 WHERE w >= 3)
+      SELECT (SELECT count(*) FROM
+                (SELECT u AS x FROM e UNION SELECT v FROM e)) AS n_nodes,
+             (SELECT count(*) FROM e) AS n_edges,
+             (SELECT count(*) FROM e e1
+                JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+
+    "q_hll_registers" -> """
+      WITH h AS (SELECT ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT
+                   AS h FROM lineitem)
+      SELECT (h % 256)::BIGINT AS register,
+             max(CASE WHEN (h >> 8) = 0 THEN 53
+                      ELSE 53 - length(bin(h >> 8)) END)::BIGINT AS max_rho
+      FROM h GROUP BY 1
+    """,
+
+    "q_countmin" -> """
+      WITH t AS (SELECT event_type || ':' || (user_id % 100)::VARCHAR AS key,
+                        count(*) AS true_cnt
+                 FROM events GROUP BY 1),
+      sal AS (SELECT key, true_cnt, j,
+                     ('0x' || substr(md5(j::VARCHAR || ':' || key), 1, 15))::BIGINT
+                       % 256 AS b
+              FROM t CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+      cells AS (SELECT j, b, sum(true_cnt) AS cell FROM sal GROUP BY 1, 2)
+      SELECT key, max(true_cnt)::BIGINT AS true_cnt, min(cell)::BIGINT AS cm_est
+      FROM sal JOIN cells USING (j, b) GROUP BY key
+    """,
+
+    "q_containment" -> s"""
+      WITH d AS (SELECT doc_id, $duckToks AS t FROM documents),
+      g AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+            FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS g
+                  FROM d WHERE len(t) >= 3)),
+      r AS (SELECT doc_id, gh FROM
+              (SELECT doc_id, gh, count(*) OVER (PARTITION BY gh) AS df FROM g)
+            WHERE df <= 50),
+      sz AS (SELECT doc_id, count(*) AS sz FROM r GROUP BY 1),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM r a JOIN r b ON a.gh = b.gh AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b, inter, sz.sz AS sz_a,
+             (inter * 1000000 // sz.sz) AS cont_ppm
+      FROM inter JOIN sz ON sz.doc_id = doc_a
+      WHERE (inter * 1000000 // sz.sz) >= 600000
+    """,
   )
 
   /** DuckDB mirror of [[graft.operators.PageRank.integerPageRank]] on

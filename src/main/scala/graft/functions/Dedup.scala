@@ -84,6 +84,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directed n-gram containment pairs: C(A→B) = |A∩B| / |A| over
+    * word-n-gram sets — the asymmetric near-dup measure that catches
+    * what Jaccard misses: a short document quoted wholesale inside a
+    * long one scores containment ≈ 1 while its Jaccard stays tiny
+    * (|A∩B|/|A∪B| is diluted by the long side). The pretraining use is
+    * subset/quote detection: drop docs whose content is already inside
+    * another kept doc.
+    *
+    * Grams with document frequency > `maxDf` are dropped before
+    * pairing ("stopgrams"): boilerplate n-grams appear in thousands of
+    * docs and would both (a) fan out df² candidate pairs per gram —
+    * the quadratic hub blow-up that kills posting joins at scale — and
+    * (b) make every template-sharing pair look like containment.
+    * Containment is then measured over each doc's REMAINING (rare)
+    * grams — sizes and intersections count post-filter grams, so the
+    * DuckDB oracle reproduces the exact same integers.
+    *
+    * Scale shape: one shuffle keyed by 8-byte gram hash (strings
+    * dropped at the scan), df via the same window, bounded self-join
+    * (≤ maxDf² pairs per gram), one rollup keyed by the pair. Output:
+    * (doc_a, doc_b, inter, sz_a, cont_ppm) with cont_ppm =
+    * inter·10⁶ div sz_a ≥ `thresholdPpm`, both directions emitted.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, thresholdPpm: Long, maxDf: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), explode(array_distinct(
+        TextAnalysis.shingles(col(textCol), n))).as("g"))
+      .select(col("doc_id"), md5Hash60(col("g")).as("gh"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    val rare = grams.withColumn("df", count(lit(1)).over(wg))
+      .filter(col("df") <= maxDf)
+      .select("doc_id", "gh")
+    val sz = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = rare.as("a").join(rare.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .withColumn("cont_ppm", expr("inter * 1000000 div sz_a"))
+      .filter(col("cont_ppm") >= thresholdPpm)
+  }
+
   /** Chunk-granularity duplication stats: split each document into
     * consecutive `chunkTokens`-token passages, fingerprint each, and
     * report per document how many of its chunks occur more than once

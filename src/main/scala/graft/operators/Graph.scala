@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting over an undirected graph — the standard graph
+  * health/community statistic (clustering coefficient numerator), and
+  * a building block for motif-based near-dup analysis on candidate
+  * graphs. Beyond the reference (which has no graph ops); sits beside
+  * [[PageRank]] and [[ConnectedComponents]] in the graph family.
+  *
+  * Algorithm: degree-ordered wedge join (the MapReduce-classic of
+  * Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+  * Last Reducer", WWW'11). Orient every edge from the lower-ranked
+  * endpoint to the higher-ranked one, rank = (degree, id); then each
+  * triangle is counted exactly once, and — the scale point — wedges
+  * are generated at their LOWEST-degree vertex, so a hub with degree d
+  * produces O(d) oriented out-edges instead of O(d²) wedges. Both
+  * steps are plain equi-joins: wedge generation self-joins oriented
+  * edges on the source, closure checks wedge endpoints against the
+  * oriented edge set. No iteration, three shuffles total regardless
+  * of graph size.
+  */
+object Triangles {
+
+  /** `edges`: two numeric columns, undirected (duplicates/self-loops/
+    * either orientation tolerated). Returns one row:
+    * (n_nodes, n_edges, n_triangles) over the canonicalized graph.
+    */
+  def count(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("u", "v").filter(col("u") =!= col("v"))
+    val canon = e.select(least(col("u"), col("v")).as("u"),
+                         greatest(col("u"), col("v")).as("v")).distinct()
+    val deg = canon.select(col("u").as("node"))
+      .union(canon.select(col("v").as("node")))
+      .groupBy("node").agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+    // total order: lexicographic (deg, node) — ties broken by id so
+    // orientation is acyclic (a DAG), which is what makes each
+    // triangle appear once. Compared as tuples directly: a global
+    // row_number() rank would serialize all nodes through ONE window
+    // partition, the exact bottleneck this operator exists to avoid.
+    val oriented = canon
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("b"))
+    // wedges at the lowest-ranked vertex; the id-order guard b1 < b2
+    // emits each unordered endpoint pair once, in exactly the
+    // id-canonical (u < v) form the edge set already has — so triangle
+    // closure is a semi-join straight against `canon`
+    val o1 = oriented.select(col("a"), col("b").as("b1"))
+    val o2 = oriented.select(col("a"), col("b").as("b2"))
+    val wedges = o1.join(o2, "a").filter(col("b1") < col("b2"))
+    val tri = wedges.join(
+      canon.select(col("u").as("b1"), col("v").as("b2")),
+      Seq("b1", "b2"), "left_semi")
+    deg.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_nodes"))
+      .crossJoin(canon.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_edges")))
+      .crossJoin(tri.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles")))
+  }
+}

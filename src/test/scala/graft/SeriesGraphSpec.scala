@@ -1,0 +1,216 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Sketches}
+import graft.operators.{Series, Triangles}
+
+/** Ordered-series operators (forward fill, interval merge, k-sigma
+  * outliers), triangle counting, oracle-exact sketches (HLL registers,
+  * Count-Min), and containment pairs — differential against
+  * brute-force Scala references on randomized inputs, plus the
+  * structural guarantees each operator advertises. */
+class SeriesGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(7)
+
+  // ---- forward fill -----------------------------------------------------
+
+  test("forwardFill equals per-key scan-carry reference") {
+    val rows = (1 to 500).map { i =>
+      (i.toLong, (i % 13).toLong,
+       if (rnd.nextInt(4) == 0) Some(rnd.nextInt(100).toLong) else None)
+    }
+    val df = rows.toDF("id", "k", "obs")
+    val got = Series.forwardFill(df, "k", "obs", "filled", col("id"))
+      .select("id", "filled").as[(Long, Option[Long])].collect().toMap
+    val want = rows.groupBy(_._2).flatMap { case (_, g) =>
+      var carry: Option[Long] = None
+      g.sortBy(_._1).map { case (id, _, obs) =>
+        carry = obs.orElse(carry); id -> carry
+      }
+    }
+    assert(got == want)
+  }
+
+  test("forwardFill leaves rows before the first observation null") {
+    val df = Seq((1L, 1L, None: Option[Long]), (2L, 1L, Some(5L)),
+                 (3L, 1L, None: Option[Long])).toDF("id", "k", "obs")
+    val got = Series.forwardFill(df, "k", "obs", "filled", col("id"))
+      .orderBy("id").select("filled").as[Option[Long]].collect()
+    assert(got.toSeq == Seq(None, Some(5L), Some(5L)))
+  }
+
+  // ---- interval merge ---------------------------------------------------
+
+  test("mergeIntervals equals brute-force sweep on random intervals") {
+    val ivs = (1 to 400).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (i.toLong, (i % 7).toLong, s, s + 1 + rnd.nextInt(30))
+    }
+    val got = Series.mergeIntervals(
+        ivs.toDF("id", "k", "s", "e"), "k", "s", "e", col("id"))
+      .select("k", "span_start", "span_end", "n_merged")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = ivs.groupBy(_._2).flatMap { case (k, g) =>
+      val sorted = g.map(t => (t._3, t._4)).sortBy(identity)
+      val spans = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      for ((s, e) <- sorted) {
+        if (spans.nonEmpty && s <= spans.last._2)
+          spans(spans.size - 1) = (spans.last._1,
+            math.max(spans.last._2, e), spans.last._3 + 1)
+        else spans += ((s, e, 1L))
+      }
+      spans.map(sp => (k, sp._1, sp._2, sp._3))
+    }.toSet
+    assert(got == want)
+  }
+
+  test("mergeIntervals: touching-at-boundary intervals merge (start == maxEnd)") {
+    val df = Seq((1L, 1L, 0L, 10L), (2L, 1L, 10L, 20L), (3L, 1L, 21L, 30L))
+      .toDF("id", "k", "s", "e")
+    val got = Series.mergeIntervals(df, "k", "s", "e", col("id"))
+      .select("span_start", "span_end", "n_merged")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 20L, 2L), (21L, 30L, 1L)))
+  }
+
+  // ---- k-sigma outliers -------------------------------------------------
+
+  test("sigmaOutliers matches float k-sigma on nondegenerate data") {
+    val rows = (1 to 600).map { i =>
+      val k = (i % 5).toLong
+      val base = 100L * (k + 1)
+      val v = if (i % 97 == 0) base * 20 else base + rnd.nextInt(20)
+      (i.toLong, k, v)
+    }
+    val got = Series.sigmaOutliers(
+        rows.toDF("id", "k", "v"), "k", "v", 2, 10)
+      .select("id").as[Long].collect().toSet
+    val want = rows.groupBy(_._2).flatMap { case (_, g) =>
+      val vs = g.map(_._3.toDouble)
+      val n = vs.size
+      val mu = vs.sum / n
+      val sig2 = vs.map(x => (x - mu) * (x - mu)).sum / n
+      g.filter { case (_, _, v) => (v - mu) * (v - mu) > 4 * sig2 }
+        .map(_._1)
+    }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("sigmaOutliers skips keys below minN") {
+    val df = (1 to 5).map(i => (i.toLong, 1L, if (i == 5) 1000L else 1L))
+      .toDF("id", "k", "v")
+    assert(Series.sigmaOutliers(df, "k", "v", 2, 10).isEmpty)
+  }
+
+  // ---- triangles --------------------------------------------------------
+
+  test("triangle count equals brute-force on random graphs") {
+    for (trial <- 1 to 3) {
+      val n = 40
+      val edges = (1 to 300).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val canon = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val nodes = canon.flatMap(e => Seq(e._1, e._2))
+      val want = nodes.toSeq.combinations(3).count { c =>
+        val Seq(a, b, cc) = c.sorted
+        canon((a, b)) && canon((b, cc)) && canon((a, cc))
+      }
+      val got = Triangles.count(edges.toDF("u", "v"))
+        .as[(Long, Long, Long)].head()
+      assert(got == ((nodes.size.toLong, canon.size.toLong, want.toLong)),
+        s"trial $trial")
+    }
+  }
+
+  test("triangles: a hub star has none; closing one edge makes exactly one") {
+    val star = (1 to 20).map(i => (0L, i.toLong))
+    assert(Triangles.count(star.toDF("u", "v"))
+      .as[(Long, Long, Long)].head() == ((21L, 20L, 0L)))
+    val plus = star :+ ((1L, 2L))
+    assert(Triangles.count(plus.toDF("u", "v"))
+      .as[(Long, Long, Long)].head() == ((21L, 21L, 1L)))
+  }
+
+  // ---- oracle-exact sketches --------------------------------------------
+
+  test("hllRegisters: ≤ 2^p rows, registers in range, merge = max") {
+    val df = (1 to 5000).map(i => s"key$i").toDF("k")
+    val regs = Sketches.hllRegisters(df, "k", 6)
+      .as[(Long, Long)].collect()
+    assert(regs.size <= 64)
+    assert(regs.forall { case (r, rho) => r >= 0 && r < 64 && rho >= 1 })
+    // sketch of a union = register-wise max of the sketches
+    val a = Sketches.hllRegisters((1 to 2500).map(i => s"key$i").toDF("k"), "k", 6)
+      .as[(Long, Long)].collect().toMap
+    val b = Sketches.hllRegisters((2000 to 5000).map(i => s"key$i").toDF("k"), "k", 6)
+      .as[(Long, Long)].collect().toMap
+    val merged = (a.keySet ++ b.keySet).map(r =>
+      r -> math.max(a.getOrElse(r, 0L), b.getOrElse(r, 0L))).toMap
+    assert(merged == regs.toMap)
+  }
+
+  test("hllRegisters estimate lands within 3 standard errors") {
+    val p = 8
+    val m = 256
+    val trueN = 20000
+    val regs = Sketches.hllRegisters(
+      (1 to trueN).map(i => s"u$i").toDF("k"), "k", p)
+      .as[(Long, Long)].collect().toMap
+    val zeros = m - regs.size
+    val sum = (0 until m).map(r =>
+      math.pow(2.0, -regs.getOrElse(r.toLong, 0L).toDouble)).sum
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val raw = alpha * m * m / sum
+    val est = if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+              else raw
+    val rel = math.abs(est - trueN) / trueN
+    assert(rel < 3 * 1.04 / math.sqrt(m.toDouble), s"est=$est rel=$rel")
+  }
+
+  test("countMin estimates never underestimate and are exact for most keys") {
+    val df = (1 to 8000).map(i => s"k${i % 300}").toDF("k")
+    val got = Sketches.countMinEstimates(df, "k", 4, 256)
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 300)
+    assert(got.forall { case (_, t, e) => e >= t })
+    // a key is exact iff ANY of its 4 rows is collision-free; per row
+    // P(collide) = 1-(1-1/256)^299 ≈ .69, so P(exact) ≈ 1-.69⁴ ≈ .77
+    // — assert a safely-below-expectation floor, not a vibe
+    assert(got.count { case (_, t, e) => e == t } >= 180)
+  }
+
+  // ---- containment ------------------------------------------------------
+
+  test("containmentPairs flags a full quote asymmetrically") {
+    val short = "quick brown foxes jump over lazy dogs daily basis"
+    val long = ("completely unrelated opening words " + short +
+      " and then much more trailing material follows here beyond")
+    val docs = Seq((1L, short), (2L, long),
+                   (3L, "nothing in common with either text at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 3, 600000L, 50)
+      .select("doc_a", "doc_b", "cont_ppm")
+      .as[(Long, Long, Long)].collect()
+    // 1 ⊂ 2: every 3-gram of the short doc occurs in the long one
+    assert(got.exists { case (a, b, ppm) => a == 1L && b == 2L && ppm == 1000000L })
+    // but 2 ⊄ 1, and doc 3 pairs with nobody
+    assert(!got.exists { case (a, b, _) => a == 2L && b == 1L })
+    assert(!got.exists { case (a, b, _) => a == 3L || b == 3L })
+  }
+
+  test("containmentPairs drops stopgrams before pairing") {
+    // one template gram shared by everyone (df=4 > maxDf=3) must not
+    // produce pairs on its own
+    val t = "common template header line for all documents"
+    val docs = (1 to 4).map(i => (i.toLong, s"$t unique tail $i ${"x" * i}"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 3, 100000L, 3)
+    assert(got.isEmpty)
+  }
+}
