@@ -1036,6 +1036,46 @@ object SparkEntry {
       graft.functions.Dedup.containmentPairs(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         3, 600000L, 50)),
+
+    // ---- skew-salted two-stage aggregation: 6 hot keys spread over
+    //      16 salts; the RESULT is the plain GROUP BY (salting is pure
+    //      execution strategy, which is exactly what the oracle pins) ----
+    "q_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedSumCount(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag").as("rf"),
+                  floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+                    .as("cents")),
+        Seq("rf"), "cents", 16)),
+
+    // ---- weight-proportional systematic sampling per stratum: take
+    //      the doc that crosses each 500-token stride of the per-lang
+    //      cumulative token count — deterministic, one window pass ----
+    "q_systematic_sample" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("wt"))
+        .withColumn("cum", sum("wt").over(w))
+        .filter(expr("cum div 500") > expr("(cum - wt) div 500"))
+    }),
+
+    // ---- content-defined chunking (Rabin rolling hash, custom
+    //      one-pass codegen expression; oracle rehashes each window
+    //      from scratch — same value mod M) ----
+    "q_cdc_chunks" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          graft.functions.TextAnalysis.cdcBoundaries(col("text"), 16, 64)
+            .as("b"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("b")).cast("long").as("n_boundaries"),
+          (size(col("b")) + 1).cast("long").as("n_chunks"),
+          aggregate(col("b"), lit(0L), (a, x) => a + x).as("boundary_sum"),
+          coalesce(try_element_at(col("b"), lit(1)).cast("long"), lit(0L))
+            .as("first_cut"))),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -2387,6 +2427,46 @@ object SparkEntry {
       FROM inter JOIN sz ON sz.doc_id = doc_a
       WHERE (inter * 1000000 // sz.sz) >= 600000
     """,
+
+    "q_salted_agg" -> """
+      SELECT l_returnflag AS rf,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT
+               AS sum_cents,
+             count(*) AS count_cents
+      FROM lineitem GROUP BY 1
+    """,
+
+    "q_systematic_sample" -> """
+      WITH d AS (
+        SELECT doc_id, lang,
+               (CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+'))
+                END)::BIGINT AS wt
+        FROM documents),
+      c AS (SELECT *, sum(wt) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+            FROM d)
+      SELECT doc_id, lang, wt, cum::BIGINT AS cum FROM c
+      WHERE cum // 500 > (cum - wt) // 500
+    """,
+
+    "q_cdc_chunks" -> s"""
+      WITH pos AS (
+        SELECT doc_id, e,
+               list_sum(list_transform(range(0, 16), j ->
+                 ord(substr(text, e - 15 + j, 1))::BIGINT * $rabinPows[j + 1]))
+                 % 2147483647 AS h
+        FROM (SELECT doc_id, text, unnest(range(16, length(text) + 1)) AS e
+              FROM documents)),
+      agg AS (SELECT doc_id, count(*) AS nb, sum(e) AS bsum, min(e) AS fc
+              FROM pos WHERE h % 64 = 0 GROUP BY 1)
+      SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
+             coalesce(nb, 0)::BIGINT AS n_boundaries,
+             (coalesce(nb, 0) + 1)::BIGINT AS n_chunks,
+             coalesce(bsum, 0)::BIGINT AS boundary_sum,
+             coalesce(fc, 0)::BIGINT AS first_cut
+      FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
   )
 
   /** DuckDB mirror of [[graft.operators.PageRank.integerPageRank]] on
@@ -2503,6 +2583,14 @@ object SparkEntry {
     def d(x: String, y: String) =
       s"list_sum(list_transform(range(1, 65), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
     s"round(${d(a, b)} / nullif(sqrt(${d(a, a)}) * sqrt(${d(b, b)}), 0), 6)"
+  }
+
+  /** DuckDB literal list of Rabin powers B^15..B^0 mod M (B = 257,
+    * M = 2³¹−1) — the per-window polynomial weights mirroring
+    * [[graft.functions.expressions.RabinBoundaries]]'s rolled value. */
+  private val rabinPows: String = {
+    val M = 2147483647L
+    Array.iterate(1L, 16)(p => p * 257L % M).reverse.mkString("[", ", ", "]")
   }
 
   /** DuckDB snippet: normalized whitespace tokens of `text`. */

@@ -73,6 +73,14 @@ object TextAnalysis {
     * standard "normalize then hash" exact-near-dup key. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Content-defined chunk boundary positions (Rabin rolling hash) —
+    * see [[expressions.RabinBoundaries]] for the contract and why it
+    * is a custom one-pass Expression. */
+  def cdcBoundaries(text: Column, w: Int, div: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      expressions.RabinBoundaries(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), w, div))
+
   /** Word n-grams (shingles) over normalized tokens, via the fused
     * [[expressions.WordShingles]] Catalyst expression (the equivalent
     * transform∘slice∘concat_ws composition is interpreted and ~30×

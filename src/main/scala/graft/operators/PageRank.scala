@@ -25,15 +25,20 @@ object PageRank {
   /** `edges`: two columns (src, dst), directed. Returns (node, pr)
     * with pr in micro-units after `iters` rounds. */
   def integerPageRank(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.toDF("u", "v").distinct()
+    val e0 = edges.toDF("u", "v").distinct()
+    val deg = e0.groupBy("u").agg(count(lit(1)).as("outdeg"))
+    // outdeg is a PROPERTY OF THE EDGE SET — fold it into the edge rows
+    // once, outside the loop, so each iteration joins pr against ONE
+    // pre-partitioned (u, v, outdeg) table instead of re-aggregating
+    // and re-joining the degree table every round
+    val e = e0.join(deg, "u")
       .repartition(col("u")).localCheckpoint()
-    val deg = e.groupBy("u").agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct()
       .localCheckpoint()
     var pr = nodes.withColumn("pr", lit(1000000L))
     for (_ <- 1 to iters) {
-      val contrib = e.join(deg, "u")
+      val contrib = e
         .join(pr.withColumnRenamed("node", "u"), "u")
         .select(col("v").as("node"),
                 expr("(pr * 850) div (1000 * outdeg)").as("c"))

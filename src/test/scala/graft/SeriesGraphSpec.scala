@@ -204,6 +204,81 @@ class SeriesGraphSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => a == 3L || b == 3L })
   }
 
+  // ---- content-defined chunking ----------------------------------------
+
+  test("rabin boundaries: rolling hash equals from-scratch window hash") {
+    val B = 257L; val M = 2147483647L; val w = 16; val div = 64
+    def direct(s: String): Seq[Int] = {
+      val cps = s.codePoints().toArray
+      (w to cps.length).filter { e =>
+        val h = cps.slice(e - w, e).foldLeft(0L)((a, c) => (a * B + c) % M)
+        h % div == 0
+      }
+    }
+    val texts = Seq(
+      "a" * 200,
+      (1 to 300).map(i => ('a' + i % 26).toChar).mkString,
+      "short", "", "exactly sixteen!",
+      (1 to 500).map(i => ('0' + i % 10).toChar).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), graft.functions.TextAnalysis
+        .cdcBoundaries(col("text"), w, div).as("b"))
+    val got = df.as[(Long, Seq[Int])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == direct(t), s"text $i")
+    }
+  }
+
+  test("rabin boundaries are content-stable: cuts far after an edit just shift") {
+    val base = {
+      var x = 42L
+      (1 to 800).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ('a' + Math.floorMod(x >>> 33, 26)).toChar
+      }.mkString
+    }
+    val edited = base.substring(0, 50) + "X" + base.substring(50)
+    val cut = (s: String) => spark.createDataset(Seq(s)).toDF("text")
+      .select(graft.functions.TextAnalysis.cdcBoundaries(col("text"), 16, 64)
+        .as("b")).as[Seq[Int]].head()
+    val b0 = cut(base).filter(_ > 66).toSet        // past the edit + window
+    val b1 = cut(edited).filter(_ > 67).map(_ - 1).toSet
+    assert(b0 == b1 && (b0.nonEmpty || cut(base).nonEmpty))
+  }
+
+  // ---- salted aggregation / systematic sampling ------------------------
+
+  test("saltedSumCount equals the plain groupBy whatever the salt count") {
+    val df = (1 to 3000).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
+    val want = df.groupBy("k").agg(sum("v").as("sum_v"),
+        count(lit(1)).as("count_v"))
+      .as[(String, Long, Long)].collect().toSet
+    for (salts <- Seq(1, 4, 32)) {
+      val got = graft.operators.Skew.saltedSumCount(df, Seq("k"), "v", salts)
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want, s"salts=$salts")
+    }
+  }
+
+  test("systematic sampling picks exactly the stride-crossing rows") {
+    val rows = (1 to 200).map(i => (i.toLong, 1L + i % 7))
+    val df = rows.toDF("id", "wt")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val got = df.withColumn("cum", sum("wt").over(w))
+      .filter(expr("cum div 100") > expr("(cum - wt) div 100"))
+      .select("id").as[Long].collect().toSet
+    // reference: walk the cumulative weight, pick first row at/after
+    // each 100 boundary
+    var cum = 0L
+    val want = rows.flatMap { case (id, wt) =>
+      val before = cum / 100; cum += wt
+      if (cum / 100 > before) Some(id) else None
+    }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("containmentPairs drops stopgrams before pairing") {
     // one template gram shared by everyone (df=4 > maxDf=3) must not
     // produce pairs on its own
