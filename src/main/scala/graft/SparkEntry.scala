@@ -1076,6 +1076,18 @@ object SparkEntry {
           aggregate(col("b"), lit(0L), (a, x) => a + x).as("boundary_sum"),
           coalesce(try_element_at(col("b"), lit(1)).cast("long"), lit(0L))
             .as("first_cut"))),
+
+    // ---- per-group top-k via the bounded-heap aggregate (NOT a
+    //      row_number window: no per-group sort, k-row partial aggs
+    //      map-side) — top-3 orders by price per (custkey mod 64) ----
+    "q_topk_agg" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(pmod(col("o_custkey"), lit(64)).as("grp"))
+        .agg(graft.functions.Sketches.topKPairs(
+          col("o_totalprice"), col("o_orderkey"), 3).as("tk"))
+        .select(col("grp"), posexplode(col("tk")))
+        .select(col("grp"), (col("pos") + 1).cast("long").as("rank"),
+                col("col.score").as("price"), col("col.id").as("okey"))),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -2466,6 +2478,15 @@ object SparkEntry {
              coalesce(bsum, 0)::BIGINT AS boundary_sum,
              coalesce(fc, 0)::BIGINT AS first_cut
       FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+
+    "q_topk_agg" -> """
+      SELECT grp, rank, o_totalprice AS price, o_orderkey AS okey FROM (
+        SELECT o_custkey % 64 AS grp, o_totalprice, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey % 64
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders)
+      WHERE rank <= 3
     """,
   )
 

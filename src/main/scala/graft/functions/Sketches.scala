@@ -21,6 +21,16 @@ object Sketches {
       MisraGriesAgg(org.apache.spark.sql.GraftSqlBridge.expression(col),
         capacity).toAggregateExpression())
 
+  /** Bounded-heap per-group top-k — see [[expressions.TopKPairsAgg]]
+    * for why this beats the `row_number` window idiom at scale.
+    * Returns `array<struct<score,id>>`, score DESC / id ASC. */
+  def topKPairs(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      expressions.TopKPairsAgg(
+        org.apache.spark.sql.GraftSqlBridge.expression(score),
+        org.apache.spark.sql.GraftSqlBridge.expression(id),
+        k).toAggregateExpression())
+
   /** HyperLogLog register table over `keyCol` strings, built on the
     * cross-engine md5-derived 60-bit hash ([[Dedup.md5Hash60]]) so the
     * SKETCH ITSELF is oracle-checkable — unlike

@@ -185,6 +185,44 @@ class SeriesGraphSpec extends SparkSpec {
     assert(got.count { case (_, t, e) => e == t } >= 180)
   }
 
+  // ---- bounded-heap top-k aggregate -------------------------------------
+
+  test("topKPairs equals the row_number window under any partitioning") {
+    val rows = (1 to 2000).map { i =>
+      ((i % 11).toLong, (i % 37).toDouble, i.toLong) // heavy score ties
+    }
+    val df = rows.toDF("g", "score", "id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(col("score").desc, col("id"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("g", "score", "id", "rn")
+      .as[(Long, Double, Long, Int)].collect().toSet
+    for (parts <- Seq(1, 3, 32)) {
+      val got = df.repartition(parts)
+        .groupBy("g")
+        .agg(graft.functions.Sketches.topKPairs(col("score"), col("id"), 5)
+          .as("tk"))
+        .select(col("g"), posexplode(col("tk")))
+        .select(col("g"), col("col.score"), col("col.id"),
+                (col("pos") + 1).cast("int"))
+        .as[(Long, Double, Long, Int)].collect().toSet
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("topKPairs ignores NaN and null, returns all rows when group < k") {
+    val df = Seq((1L, Some(2.0), Some(10L)), (1L, Some(Double.NaN), Some(11L)),
+                 (1L, None, Some(12L)), (1L, Some(1.0), None),
+                 (1L, Some(3.0), Some(13L)))
+      .toDF("g", "score", "id")
+    val got = df.groupBy("g")
+      .agg(graft.functions.Sketches.topKPairs(col("score"), col("id"), 10)
+        .as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.score"), col("e.id")).as[(Double, Long)].collect().toSeq
+    assert(got == Seq((3.0, 13L), (2.0, 10L)))
+  }
+
   // ---- containment ------------------------------------------------------
 
   test("containmentPairs flags a full quote asymmetrically") {
