@@ -25,6 +25,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
+  /** Shared validation for expression-parameterizing arguments: a
+    * foldable positive integral literal that fits in INT (accepting
+    * any integral literal type — 2, 2L, CAST(2 AS SMALLINT), ...),
+    * with an analysis-time error instead of a CCE at builder time. */
+  private def posIntLit(fn: String, arg: String, e: Expression): Int = {
+    if (!e.foldable) GraftSqlBridge.nonFoldableArgumentError(fn, arg, IntegerType)
+    val integral = e.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    e.eval() match {
+      case i: java.lang.Number
+          if integral && i.longValue == i.intValue.toLong && i.intValue > 0 =>
+        i.intValue
+      case _ => GraftSqlBridge.analysisError(
+        s"$fn: $arg must be a positive integral literal that fits in INT, " +
+          s"got ${e.sql} (${e.dataType.catalogString})")
+    }
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) GraftSqlBridge.analysisError(
+      s"$fn takes exactly $n arguments, got ${args.length}")
+
   override def apply(e: SparkSessionExtensions): Unit = {
     // whole-operator tier: the native as-of join's planner strategy +
     // the pruning rule Catalyst can't derive for an unknown node
@@ -94,6 +120,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"got ${kExpr.sql} (${kExpr.dataType.catalogString})")
         }
         graft.functions.expressions.MisraGriesAgg(args.head, k)
+      }))
+    e.injectFunction((FunctionIdentifier("rabin_boundaries"),
+      info("rabin_boundaries",
+        "rabin_boundaries(text, w, div) — content-defined chunk cut " +
+          "positions (rolling-hash windows of w chars, cut where " +
+          "hash mod div = 0)"),
+      (args: Seq[Expression]) => {
+        arity("rabin_boundaries(text, w, div)", args, 3)
+        graft.functions.expressions.RabinBoundaries(args.head,
+          posIntLit("rabin_boundaries", "w", args(1)),
+          posIntLit("rabin_boundaries", "div", args(2)))
+      }))
+    e.injectFunction((FunctionIdentifier("topk_pairs"),
+      info("topk_pairs",
+        "topk_pairs(score, id, k) — bounded-heap per-group top-k of " +
+          "(DOUBLE, BIGINT) pairs, score DESC / id ASC"),
+      (args: Seq[Expression]) => {
+        arity("topk_pairs(score, id, k)", args, 3)
+        graft.functions.expressions.TopKPairsAgg(args(0), args(1),
+          posIntLit("topk_pairs", "k", args(2)))
       }))
   }
 }

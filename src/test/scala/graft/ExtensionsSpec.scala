@@ -38,6 +38,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[String]("nt") == "hello world 42")
   }
 
+  test("rabin_boundaries and topk_pairs are callable from SQL") {
+    val r = spark.sql("""
+      SELECT rabin_boundaries(repeat('abcdefghij', 40), 16, 8) AS rb,
+             g, topk_pairs(s, i, 2) AS tk
+      FROM VALUES (1, 5.0D, 10L), (1, 7.0D, 11L), (1, 7.0D, 9L),
+                  (1, 1.0D, 12L) AS t(g, s, i)
+      GROUP BY g
+    """).head()
+    assert(r.getSeq[Int](0).nonEmpty)
+    val tk = r.getSeq[org.apache.spark.sql.Row](2)
+      .map(x => (x.getDouble(0), x.getLong(1)))
+    assert(tk.toList == List((7.0, 9L), (7.0, 11L)))
+    // parameter validation is analysis-time, not a builder-time CCE
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT topk_pairs(1.0D, 1L, 0)").head()
+    }
+    assert(e.getMessage.contains("positive integral literal"))
+  }
+
   test("word_shingles n: integral literals of any width are accepted") {
     val r = spark.sql(
       "SELECT word_shingles(array('a','b','c'), 2L) AS l, " +
