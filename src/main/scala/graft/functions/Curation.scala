@@ -35,12 +35,18 @@ object Curation {
       .filter(length(regexp_replace(col("text"), "[^A-Za-z]", "")) * 2 >=
               length(col("text")))
       .filter(TextAnalysis.langId(col("text")) === lang)
-    // 3: exact dedup on the normalized fingerprint (one window pass)
+    // 3: exact dedup on the normalized fingerprint (one window pass).
+    // Materialized: three consumers follow (LSH pairs, the CC node
+    // set, the final representative join), and unlike the cheap
+    // recompute-don't-cache call in ngramJaccardPairs this subtree
+    // ends in a SHUFFLE (the fingerprint window) that would otherwise
+    // re-run per consumer.
     val wFp = Window.partitionBy(TextAnalysis.fingerprint(col("text")))
     val exact = gated
       .withColumn("_keep", min(col("doc_id")).over(wFp))
       .filter(col("doc_id") === col("_keep"))
       .select("doc_id", "text", "n_tokens")
+      .localCheckpoint()
     // 4: near-dup clustering over LSH candidates; keep each
     // component's min id
     val pairs = Dedup.lshCandidatePairs(exact, "doc_id", "text", 3, 16, 4)
