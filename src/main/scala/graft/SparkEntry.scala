@@ -1088,6 +1088,44 @@ object SparkEntry {
         .select(col("grp"), posexplode(col("tk")))
         .select(col("grp"), (col("pos") + 1).cast("long").as("rank"),
                 col("col.score").as("price"), col("col.id").as("okey"))),
+
+    // ---- mergeable per-group HLL (native aggregate) beside the exact
+    //      distinct it approximates — integer-only state crosses the
+    //      oracle; the float estimate stays consumer-side ----
+    "q_hll_groups" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(graft.functions.Sketches
+               .hllDistinct(col("user_id").cast("string"), 8).as("h"),
+             countDistinct(col("user_id")).as("exact_distinct"))
+        .select(col("event_type"), col("h.n_zero_registers"),
+                col("h.sum_rho"), col("h.inv_scaled"),
+                col("exact_distinct"))),
+
+    // ---- per-node local clustering coefficient over the supplier
+    //      co-occurrence graph (same edge rule as q_triangles) ----
+    "q_cluster_coeff" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+        .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 3).select("u", "v")
+      graft.operators.Triangles.clusteringCoefficient(edges)
+    }),
+
+    // ---- bitmask membership aggregation: which order-priority
+    //      classes each customer has used, as one BIGINT mask ----
+    "q_bitmap_membership" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          substring(col("o_orderpriority"), 1, 1).cast("int").as("pri"))
+        .groupBy("o_custkey")
+        .agg(expr("bit_or(1 << (pri - 1))").cast("long").as("pri_mask"),
+             count(lit(1)).as("n_orders"))
+        .withColumn("n_priorities", expr("bit_count(pri_mask)").cast("long"))),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -2487,6 +2525,64 @@ object SparkEntry {
                  ORDER BY o_totalprice DESC, o_orderkey) AS rank
         FROM orders)
       WHERE rank <= 3
+    """,
+
+    "q_hll_groups" -> """
+      WITH h AS (SELECT event_type,
+                        ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+                          AS h
+                 FROM events WHERE user_id IS NOT NULL),
+      r AS (SELECT event_type, h % 256 AS reg,
+                   max(CASE WHEN (h >> 8) = 0 THEN 53
+                            ELSE 53 - length(bin(h >> 8)) END) AS rho
+            FROM h GROUP BY 1, 2),
+      sk AS (SELECT event_type,
+                    (256 - count(*))::BIGINT AS n_zero_registers,
+                    sum(rho)::BIGINT AS sum_rho,
+                    (sum(1::BIGINT << (53 - rho))
+                     + (256 - count(*)) * (1::BIGINT << 53))::BIGINT
+                      AS inv_scaled
+             FROM r GROUP BY 1),
+      ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+             FROM events GROUP BY 1)
+      SELECT sk.event_type, n_zero_registers, sum_rho, inv_scaled,
+             exact_distinct
+      FROM sk JOIN ex USING (event_type)
+    """,
+
+    "q_cluster_coeff" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      e0 AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_suppkey < b.l_suppkey
+             GROUP BY 1, 2),
+      e AS (SELECT u, v FROM e0 WHERE w >= 3),
+      deg AS (SELECT node, count(*)::BIGINT AS deg FROM
+                (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY 1),
+      t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1 JOIN e e2 ON e2.u = e1.v
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      tp AS (SELECT node, count(*)::BIGINT AS n_tri FROM
+               (SELECT a AS node FROM t UNION ALL
+                SELECT b FROM t UNION ALL SELECT c FROM t)
+             GROUP BY 1)
+      SELECT d.node, d.deg, coalesce(tp.n_tri, 0)::BIGINT AS n_tri,
+             CASE WHEN d.deg < 2 THEN 0
+                  ELSE coalesce(tp.n_tri, 0) * 2000000 // (d.deg * (d.deg - 1))
+             END::BIGINT AS coeff_ppm
+      FROM deg d LEFT JOIN tp ON tp.node = d.node
+    """,
+
+    "q_bitmap_membership" -> """
+      SELECT o_custkey,
+             bit_or(1::BIGINT << (substr(o_orderpriority, 1, 1)::INT - 1))
+               ::BIGINT AS pri_mask,
+             count(*) AS n_orders,
+             bit_count(bit_or(1::BIGINT <<
+               (substr(o_orderpriority, 1, 1)::INT - 1)))::BIGINT
+               AS n_priorities
+      FROM orders GROUP BY 1
     """,
   )
 

@@ -31,6 +31,35 @@ object Sketches {
         org.apache.spark.sql.GraftSqlBridge.expression(id),
         k).toAggregateExpression())
 
+  /** Mergeable per-group HyperLogLog distinct-count sketch — see
+    * [[expressions.HllAgg]]. Returns
+    * `struct<n_zero_registers,sum_rho,inv_scaled>` (integer-exact
+    * state; estimate via [[hllEstimate]]). */
+  def hllDistinct(key: Column, p: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      expressions.HllAgg(
+        org.apache.spark.sql.GraftSqlBridge.expression(key), p)
+        .toAggregateExpression())
+
+  /** The standard HLL estimator over [[hllDistinct]]'s integer state:
+    * alpha·m²/Σ2^-rho with the small-range linear-counting switch —
+    * driver/consumer-side floats, deliberately OUTSIDE the oracle
+    * surface (see [[expressions.HllAgg]] scaladoc). */
+  def hllEstimate(nZeroRegisters: Long, invScaled: Long, p: Int): Double = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val invSum = invScaled.toDouble / Math.scalb(1.0, 61 - p)
+    val raw = alpha * m * m / invSum
+    if (raw <= 2.5 * m && nZeroRegisters > 0)
+      m * math.log(m.toDouble / nZeroRegisters)
+    else raw
+  }
+
   /** HyperLogLog register table over `keyCol` strings, built on the
     * cross-engine md5-derived 60-bit hash ([[Dedup.md5Hash60]]) so the
     * SKETCH ITSELF is oracle-checkable — unlike

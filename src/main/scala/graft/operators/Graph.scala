@@ -23,11 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** `edges`: two numeric columns, undirected (duplicates/self-loops/
-    * either orientation tolerated). Returns one row:
-    * (n_nodes, n_edges, n_triangles) over the canonicalized graph.
-    */
-  def count(edges: DataFrame): DataFrame = {
+  /** Canonicalized edge set (u < v), per-node degree table, and the
+    * triangle list (a, b1, b2) — shared by [[count]] and
+    * [[clusteringCoefficient]]. */
+  private def core(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val e = edges.toDF("u", "v").filter(col("u") =!= col("v"))
     val canon = e.select(least(col("u"), col("v")).as("u"),
                          greatest(col("u"), col("v")).as("v")).distinct()
@@ -59,8 +58,37 @@ object Triangles {
     val tri = wedges.join(
       canon.select(col("u").as("b1"), col("v").as("b2")),
       Seq("b1", "b2"), "left_semi")
+    (canon, deg, tri)
+  }
+
+  /** `edges`: two numeric columns, undirected (duplicates/self-loops/
+    * either orientation tolerated). Returns one row:
+    * (n_nodes, n_edges, n_triangles) over the canonicalized graph.
+    */
+  def count(edges: DataFrame): DataFrame = {
+    val (canon, deg, tri) = core(edges)
     deg.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_nodes"))
       .crossJoin(canon.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_edges")))
       .crossJoin(tri.agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles")))
+  }
+
+  /** Per-node triangle participation and local clustering coefficient
+    * (integer parts-per-million: 10⁶ · 2·t / (deg·(deg−1)), the
+    * float-free form a SQL oracle reproduces exactly). Every triangle
+    * (a, b1, b2) credits all three corners — one explode of the
+    * triangle list, one count keyed by node. Degree-1 nodes have no
+    * possible wedge: coeff is 0 by convention.
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val (_, deg, tri) = core(edges)
+    val corners = tri.select(explode(array(col("a"), col("b1"), col("b2")))
+      .as("node"))
+    val triPerNode = corners.groupBy("node")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_tri"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .select(col("node"), col("deg"), col("n_tri"),
+        when(col("deg") < 2, lit(0L)).otherwise(
+          expr("n_tri * 2000000 div (deg * (deg - 1))")).as("coeff_ppm"))
   }
 }

@@ -137,6 +137,57 @@ class SeriesGraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].head() == ((21L, 21L, 1L)))
   }
 
+  test("clusteringCoefficient: brute force on random graphs; clique = 1e6 ppm") {
+    val n = 25
+    val edges = (1 to 150).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val adj = canon.flatMap(e => Seq(e, (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val got = graft.operators.Triangles
+      .clusteringCoefficient(edges.toDF("u", "v"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    adj.foreach { case (node, nbrs) =>
+      val d = nbrs.size.toLong
+      val t = nbrs.toSeq.combinations(2).count { case Seq(x, y) =>
+        canon((math.min(x, y), math.max(x, y)))
+      }.toLong
+      val ppm = if (d < 2) 0L else t * 2000000L / (d * (d - 1))
+      assert(got(node) == ((d, t, ppm)), s"node $node")
+    }
+    // 5-clique: every node's coefficient is exactly 1e6 ppm
+    val k5 = (0 until 5).flatMap(i => (i + 1 until 5).map(j => (i.toLong, j.toLong)))
+    graft.operators.Triangles.clusteringCoefficient(k5.toDF("u", "v"))
+      .as[(Long, Long, Long, Long)].collect()
+      .foreach { r => assert(r._2 == 4L && r._3 == 6L && r._4 == 1000000L) }
+  }
+
+  test("hllDistinct: partitioning-independent state, estimate within 3 stderr") {
+    val df = (1 to 30000).map(i => (s"g${i % 3}", s"user${i % 9000}"))
+      .toDF("g", "k")
+    val ref = df.repartition(1).groupBy("g")
+      .agg(graft.functions.Sketches.hllDistinct(col("k"), 8).as("h"))
+      .select(col("g"), col("h.n_zero_registers"), col("h.sum_rho"),
+              col("h.inv_scaled"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    for (parts <- Seq(4, 32)) {
+      val got = df.repartition(parts).groupBy("g")
+        .agg(graft.functions.Sketches.hllDistinct(col("k"), 8).as("h"))
+        .select(col("g"), col("h.n_zero_registers"), col("h.sum_rho"),
+                col("h.inv_scaled"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == ref, s"parts=$parts")
+    }
+    // each group sees 3000 distinct users (i%9000 stratified by i%3)
+    ref.foreach { case (g, zeros, _, inv) =>
+      val est = graft.functions.Sketches.hllEstimate(zeros, inv, 8)
+      val rel = math.abs(est - 3000.0) / 3000.0
+      assert(rel < 3 * 1.04 / 16.0, s"group $g est=$est")
+    }
+  }
+
   // ---- oracle-exact sketches --------------------------------------------
 
   test("hllRegisters: ≤ 2^p rows, registers in range, merge = max") {
