@@ -1126,6 +1126,40 @@ object SparkEntry {
         .agg(expr("bit_or(1 << (pri - 1))").cast("long").as("pri_mask"),
              count(lit(1)).as("n_orders"))
         .withColumn("n_priorities", expr("bit_count(pri_mask)").cast("long"))),
+
+    // ---- as-of join directions (pandas merge_asof parity): the next
+    //      checkpoint at-or-after each event, and the closer of the
+    //      two — same data shape as q_asof_join ----
+    "q_asof_fwd" -> ((s, dir) => {
+      val dayNs = 86400L * 1000 * 1000 * 1000
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("ts_ns"))
+      val cp = ev
+        .withColumn("cp_ns", (col("ts_ns") / dayNs).cast("long") * dayNs)
+        .groupBy("user_id", "cp_ns")
+        .agg(count(lit(1)).as("cp_events"))
+        .filter(col("cp_events") >= 5)
+      graft.operators.AsOfJoin.joinAsOfForward(
+          ev, cp, Seq("user_id"), "ts_ns", "cp_ns", Seq("cp_ns", "cp_events"))
+        .select(col("event_id"), col("user_id"), col("ts_ns"),
+                coalesce(col("cp_ns"), lit(-1L)).as("cp_ns"),
+                coalesce(col("cp_events"), lit(-1L)).as("cp_events"))
+    }),
+    "q_asof_nearest" -> ((s, dir) => {
+      val dayNs = 86400L * 1000 * 1000 * 1000
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("ts_ns"))
+      val cp = ev
+        .withColumn("cp_ns", (col("ts_ns") / dayNs).cast("long") * dayNs)
+        .groupBy("user_id", "cp_ns")
+        .agg(count(lit(1)).as("cp_events"))
+        .filter(col("cp_events") >= 5)
+      graft.operators.AsOfJoin.joinAsOfNearest(
+          ev, cp, Seq("user_id"), "ts_ns", "cp_ns", Seq("cp_ns", "cp_events"))
+        .select(col("event_id"), col("user_id"), col("ts_ns"),
+                coalesce(col("cp_ns"), lit(-1L)).as("cp_ns"),
+                coalesce(col("cp_events"), lit(-1L)).as("cp_events"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -2583,6 +2617,54 @@ object SparkEntry {
                (substr(o_orderpriority, 1, 1)::INT - 1)))::BIGINT
                AS n_priorities
       FROM orders GROUP BY 1
+    """,
+
+    "q_asof_fwd" -> """
+      WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns FROM events),
+      cp AS (SELECT user_id,
+                    (epoch_ns(ts) // 86400000000000) * 86400000000000 AS cp_ns,
+                    count(*) AS cp_events
+             FROM events
+             GROUP BY user_id, (epoch_ns(ts) // 86400000000000) * 86400000000000
+             HAVING count(*) >= 5),
+      nxt AS (SELECT e.event_id, min(c.cp_ns) AS cp_ns
+              FROM ev e JOIN cp c ON c.user_id = e.user_id
+                                 AND c.cp_ns >= e.ts_ns
+              GROUP BY 1)
+      SELECT e.event_id, e.user_id, e.ts_ns,
+             coalesce(n.cp_ns, -1) AS cp_ns,
+             coalesce(c.cp_events, -1) AS cp_events
+      FROM ev e LEFT JOIN nxt n USING (event_id)
+                LEFT JOIN cp c ON c.user_id = e.user_id AND c.cp_ns = n.cp_ns
+    """,
+
+    "q_asof_nearest" -> """
+      WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns FROM events),
+      cp AS (SELECT user_id,
+                    (epoch_ns(ts) // 86400000000000) * 86400000000000 AS cp_ns,
+                    count(*) AS cp_events
+             FROM events
+             GROUP BY user_id, (epoch_ns(ts) // 86400000000000) * 86400000000000
+             HAVING count(*) >= 5),
+      prv AS (SELECT e.event_id, max(c.cp_ns) AS p
+              FROM ev e JOIN cp c ON c.user_id = e.user_id
+                                 AND c.cp_ns <= e.ts_ns
+              GROUP BY 1),
+      nx AS (SELECT e.event_id, min(c.cp_ns) AS n
+             FROM ev e JOIN cp c ON c.user_id = e.user_id
+                                AND c.cp_ns > e.ts_ns
+             GROUP BY 1),
+      pick AS (SELECT e.event_id, e.user_id, e.ts_ns,
+                      CASE WHEN p IS NOT NULL AND
+                                (n IS NULL OR (e.ts_ns - p) <= (n - e.ts_ns))
+                           THEN p ELSE n END AS cp_ns
+               FROM ev e LEFT JOIN prv USING (event_id)
+                         LEFT JOIN nx USING (event_id))
+      SELECT k.event_id, k.user_id, k.ts_ns,
+             coalesce(k.cp_ns, -1) AS cp_ns,
+             coalesce(c.cp_events, -1) AS cp_events
+      FROM pick k LEFT JOIN cp c ON c.user_id = k.user_id
+                              AND c.cp_ns = k.cp_ns
     """,
   )
 
