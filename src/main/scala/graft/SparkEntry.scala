@@ -1160,6 +1160,22 @@ object SparkEntry {
                 coalesce(col("cp_ns"), lit(-1L)).as("cp_ns"),
                 coalesce(col("cp_events"), lit(-1L)).as("cp_events"))
     }),
+
+    // ---- time-decayed engagement, float-free: half-life = 1 day as a
+    //      power-of-two weight 2^(40−age_days) — exponential decay in
+    //      exact BIGINTs (weights > 40 days old round to zero, which a
+    //      decayed counter does anyway) ----
+    "q_decayed_count" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        expr("ts_ns div 86400000000000").as("day"))
+      ev.crossJoin(ev.agg(max(col("day")).as("anchor")))
+        .withColumn("age", col("anchor") - col("day"))
+        .filter(col("age") <= 40)
+        .groupBy("user_id")
+        .agg(sum(expr("shiftleft(cast(1 as bigint), cast(40 - age as int))"))
+               .as("decayed_e40"),
+             count(lit(1)).as("n_recent"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -2665,6 +2681,18 @@ object SparkEntry {
              coalesce(c.cp_events, -1) AS cp_events
       FROM pick k LEFT JOIN cp c ON c.user_id = k.user_id
                               AND c.cp_ns = k.cp_ns
+    """,
+
+    "q_decayed_count" -> """
+      WITH ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+                  FROM events),
+      a AS (SELECT max(day) AS anchor FROM ev)
+      SELECT user_id,
+             sum(1::BIGINT << ((40 - (anchor - day))::INT))::BIGINT
+               AS decayed_e40,
+             count(*) AS n_recent
+      FROM ev, a WHERE anchor - day <= 40
+      GROUP BY user_id
     """,
   )
 

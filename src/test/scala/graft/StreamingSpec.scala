@@ -25,6 +25,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch) // every event lands in exactly one window
   }
 
+  test("mergeable sketch aggregates run IN streaming and match batch state") {
+    // HllAgg / TopKPairsAgg partial states merge associatively, so the
+    // same aggregate works as an incrementally-maintained streaming
+    // aggregation — the property that replaces a nightly batch
+    // distinct-count/top-k at 100 TB. Replay the fixture as a stream
+    // and require bit-identical final state vs the one-shot batch.
+    val stream = StreamingOps.eventsStream(spark, dir)
+    val q = stream
+      .groupBy("event_type")
+      .agg(graft.functions.Sketches
+             .hllDistinct($"user_id".cast("string"), 6).as("h"),
+           graft.functions.Sketches
+             .topKPairs($"value", $"event_id", 4).as("tk"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sketches")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sketches")
+      .select($"event_type", $"h.n_zero_registers", $"h.sum_rho",
+              $"h.inv_scaled", $"tk".cast("string"))
+      .as[(String, Long, Long, Long, String)].collect().toSet
+    val batch = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(graft.functions.Sketches
+             .hllDistinct($"user_id".cast("string"), 6).as("h"),
+           graft.functions.Sketches
+             .topKPairs($"value", $"event_id", 4).as("tk"))
+      .select($"event_type", $"h.n_zero_registers", $"h.sum_rho",
+              $"h.inv_scaled", $"tk".cast("string"))
+      .as[(String, Long, Long, Long, String)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stream-static enrichment join matches the batch join") {
     val dim = Tables.events(spark, dir).select($"user_id").distinct()
       .withColumn("bucket", pmod($"user_id", lit(7)))
