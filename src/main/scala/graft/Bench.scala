@@ -46,7 +46,17 @@ object Bench {
         run1(name, fn)
         name -> (System.nanoTime() - t0) / 1e9
     }
-    val (p1, p2) = (timedPass(), timedPass())
+    // Between passes, nudge the driver GC: iterative queries
+    // (components/pagerank/kmeans) localCheckpoint per round, and those
+    // blocks are only freed when the ContextCleaner sees the RDDs
+    // become unreachable — across 119 queries × 3 passes the block
+    // manager otherwise fills with dead checkpoints and the
+    // latency-bound queries pay the memory pressure, not their own cost
+    def gcPause(): Unit = { System.gc(); Thread.sleep(200) }
+    gcPause()
+    val p1 = timedPass()
+    gcPause()
+    val p2 = timedPass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0

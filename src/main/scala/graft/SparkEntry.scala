@@ -1004,7 +1004,10 @@ object SparkEntry {
         .select("user_id", "event_id", "v_milli", "n_key_rows")),
 
     // ---- graph: triangle count over the supplier co-occurrence graph
-    //      (suppliers sharing ≥3 orders), degree-ordered wedge join ----
+    //      (suppliers sharing ≥5 orders — at sf0.1 the ≥3 graph has
+    //      avg degree 428 and ~22M wedges; ≥5 keeps the sf0.01
+    //      correctness graph near-complete while the bench graph
+    //      stays wedge-bounded), degree-ordered wedge join ----
     "q_triangles" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey")).distinct()
@@ -1013,7 +1016,7 @@ object SparkEntry {
           col("a.l_suppkey") < col("b.l_suppkey"))
         .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
         .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 3).select("u", "v")
+        .filter(col("w") >= 5).select("u", "v")
       graft.operators.Triangles.count(edges)
     }),
 
@@ -1112,7 +1115,7 @@ object SparkEntry {
           col("a.l_suppkey") < col("b.l_suppkey"))
         .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
         .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 3).select("u", "v")
+        .filter(col("w") >= 5).select("u", "v")
       graft.operators.Triangles.clusteringCoefficient(edges)
     }),
 
@@ -2478,7 +2481,7 @@ object SparkEntry {
              FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
                                 AND a.l_suppkey < b.l_suppkey
              GROUP BY 1, 2),
-      e AS (SELECT u, v FROM e0 WHERE w >= 3)
+      e AS (SELECT u, v FROM e0 WHERE w >= 5)
       SELECT (SELECT count(*) FROM
                 (SELECT u AS x FROM e UNION SELECT v FROM e)) AS n_nodes,
              (SELECT count(*) FROM e) AS n_edges,
@@ -2606,7 +2609,7 @@ object SparkEntry {
              FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
                                 AND a.l_suppkey < b.l_suppkey
              GROUP BY 1, 2),
-      e AS (SELECT u, v FROM e0 WHERE w >= 3),
+      e AS (SELECT u, v FROM e0 WHERE w >= 5),
       deg AS (SELECT node, count(*)::BIGINT AS deg FROM
                 (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
               GROUP BY 1),

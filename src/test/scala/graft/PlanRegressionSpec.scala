@@ -154,4 +154,51 @@ class PlanRegressionSpec extends SparkSpec {
       "report must read materialized step frames only:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("topk_pairs plans as a partial object-hash agg, not a window sort") {
+    // the whole point vs row_number(): k-row partial heaps cross the
+    // exchange, no per-group sort of the full row set
+    val p = plan("q_topk_agg")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(count(p, "topk_pairs") >= 2, "no partial aggregation:\n" + p)
+    assert(!p.contains("Window"), "top-k must not fall back to a window:\n" + p)
+  }
+
+  test("per-group HLL crosses the exchange as merged sketch state") {
+    val p = plan("q_hll_groups")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(count(p, "hll_distinct") >= 2, "no partial aggregation:\n" + p)
+  }
+
+  test("salted aggregation is two hash-agg phases with one exchange between") {
+    val p = plan("q_salted_agg")
+    // partial(+final) over (keys, salt), then partial(+final) over keys:
+    // ≥2 HashAggregate pairs and no more than 2 exchanges total
+    assert(count(p, "HashAggregate") >= 4, p)
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
+  test("series ops are one window pass: exactly one exchange each") {
+    for (q <- Seq("q_gap_fill", "q_anomaly")) {
+      val p = plan(q)
+      assert(count(p, "Exchange") <= 1, s"$q should shuffle once:\n" + p)
+    }
+    // interval merge adds the final per-island aggregation on the same
+    // keyed partitioning: the agg must NOT re-exchange
+    val p = plan("q_interval_merge")
+    assert(count(p, "Exchange") <= 2, p)
+  }
+
+  test("rabin chunking is pure generator work — zero exchanges") {
+    val p = plan("q_cdc_chunks")
+    assert(count(p, "Exchange") == 0, p)
+    assert(p.contains("rabin_boundaries"), p)
+  }
+
+  test("triangle counting never plans a cartesian product") {
+    for (q <- Seq("q_triangles", "q_cluster_coeff")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p)
+    }
+  }
 }
