@@ -1164,6 +1164,90 @@ object SparkEntry {
                 coalesce(col("cp_events"), lit(-1L)).as("cp_events"))
     }),
 
+    // ---- binned interval-overlap join: the equi-join rewrite of the
+    //      interval theta-join (no BroadcastNestedLoopJoin) — which
+    //      event intervals overlap, per user ----
+    "q_range_join" -> ((s, dir) => {
+      val start = unix_micros(col("ts"))
+      val iv = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        start.as("s"),
+        (start + (pmod(col("event_id"), lit(7)) + 1) * 60000000L).as("e"))
+      graft.operators.RangeJoin
+        .overlapJoin(iv, iv, "user_id", "event_id", "s", "e", 300000000L)
+        .filter(col("l_id") < col("r_id"))
+    }),
+
+    // ---- link prediction scores: common-neighbor count + resource-
+    //      allocation index (integer micro-units, 10⁶ div deg) for
+    //      every 2-hop pair, flagged is_edge — consumers filter
+    //      is_edge = 0 for candidate links (co-occurrence density
+    //      varies with sf, so the non-edge set alone can be empty at
+    //      small scale; scoring both classes keeps the oracle
+    //      non-vacuous everywhere) ----
+    "q_link_predict" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val canon = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+        .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 8).select("u", "v")
+      val sym = canon.union(canon.select(col("v").as("u"), col("u").as("v")))
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      val adj = sym.join(deg, "u")
+        .select(col("u").as("z"), col("v").as("n"), col("deg"))
+      val wedges = adj.as("x").join(adj.as("y"),
+          col("x.z") === col("y.z") && col("x.n") < col("y.n"))
+        .select(col("x.n").as("n1"), col("y.n").as("n2"),
+                col("x.deg").as("zdeg"))
+      wedges.groupBy("n1", "n2")
+        .agg(count(lit(1)).as("cn"),
+             sum(expr("1000000 div zdeg")).as("ra_micro"))
+        .filter(col("cn") >= 2)
+        .join(canon.select(col("u").as("n1"), col("v").as("n2"),
+                           lit(1L).as("is_edge")),
+              Seq("n1", "n2"), "left")
+        .withColumn("is_edge", coalesce(col("is_edge"), lit(0L)))
+    }),
+
+    // ---- weighted median per group, integer-exact: smallest value
+    //      whose doubled cumulative weight reaches the total ----
+    "q_weighted_median" -> ((s, dir) => {
+      val byVal = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy("rf", "cents").agg(sum("qty").as("w"))
+      val wc = Window.partitionBy("rf").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("rf")
+      byVal
+        .withColumn("cum", sum("w").over(wc))
+        .withColumn("total", sum("w").over(wt))
+        .filter(col("cum") * 2 >= col("total"))
+        .groupBy("rf")
+        .agg(min("cents").as("median_cents"), max("total").as("total_weight"))
+    }),
+
+    // ---- keyed pseudonymization (GDPR-style): stable md5 surrogate
+    //      keys that preserve referential integrity across tables ----
+    "q_pseudonymize" -> ((s, dir) => {
+      def pseud(c: org.apache.spark.sql.Column) = graft.functions.Dedup.md5Hash60(
+        concat(lit("v1:"), c.cast("string")))
+      val cust = Tables.load(s, dir, "customer")
+        .select(pseud(col("c_custkey")).as("pid"),
+                col("c_nationkey").as("nation"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(pseud(col("o_custkey")).as("pid"))
+      cust.join(ord.groupBy("pid").agg(count(lit(1)).as("n_orders")),
+                Seq("pid"), "left")
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_customers"),
+             sum(coalesce(col("n_orders"), lit(0L))).as("n_orders"),
+             min("pid").as("min_pid"), max("pid").as("max_pid"))
+    }),
+
     // ---- time-decayed engagement, float-free: half-life = 1 day as a
     //      power-of-two weight 2^(40−age_days) — exponential decay in
     //      exact BIGINTs (weights > 40 days old round to zero, which a
@@ -2684,6 +2768,71 @@ object SparkEntry {
              coalesce(c.cp_events, -1) AS cp_events
       FROM pick k LEFT JOIN cp c ON c.user_id = k.user_id
                               AND c.cp_ns = k.cp_ns
+    """,
+
+    "q_range_join" -> """
+      WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+                         epoch_us(ts) + ((event_id % 7) + 1) * 60000000 AS e
+                  FROM events)
+      SELECT a.user_id, a.event_id AS l_id, b.event_id AS r_id,
+             a.s AS l_start, a.e AS l_end, b.s AS r_start, b.e AS r_end,
+             (least(a.e, b.e) - greatest(a.s, b.s)) AS overlap_len
+      FROM iv a JOIN iv b ON a.user_id = b.user_id
+                         AND a.event_id < b.event_id
+                         AND a.s < b.e AND b.s < a.e
+    """,
+
+    "q_link_predict" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      e0 AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_suppkey < b.l_suppkey
+             GROUP BY 1, 2),
+      e AS (SELECT u, v FROM e0 WHERE w >= 8),
+      sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
+      adj AS (SELECT s.u AS z, s.v AS n, d.deg FROM sym s JOIN deg d
+              ON d.u = s.u),
+      wedge AS (SELECT x.n AS n1, y.n AS n2, x.deg AS zdeg
+                FROM adj x JOIN adj y ON x.z = y.z AND x.n < y.n),
+      scored AS (SELECT n1, n2, count(*) AS cn,
+                        sum(1000000 // zdeg)::BIGINT AS ra_micro
+                 FROM wedge GROUP BY 1, 2)
+      SELECT s.n1, s.n2, s.cn, s.ra_micro,
+             (CASE WHEN e.u IS NULL THEN 0 ELSE 1 END)::BIGINT AS is_edge
+      FROM scored s LEFT JOIN e ON e.u = s.n1 AND e.v = s.n2
+      WHERE s.cn >= 2
+    """,
+
+    "q_weighted_median" -> """
+      WITH bv AS (SELECT l_returnflag AS rf,
+                         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           AS cents,
+                         sum(l_quantity::BIGINT) AS w
+                  FROM lineitem GROUP BY 1, 2),
+      c AS (SELECT *, sum(w) OVER (PARTITION BY rf ORDER BY cents
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(w) OVER (PARTITION BY rf) AS total
+            FROM bv)
+      SELECT rf, min(cents)::BIGINT AS median_cents,
+             max(total)::BIGINT AS total_weight
+      FROM c WHERE cum * 2 >= total GROUP BY rf
+    """,
+
+    "q_pseudonymize" -> """
+      WITH cust AS (SELECT ('0x' || substr(md5('v1:' || c_custkey::VARCHAR),
+                              1, 15))::BIGINT AS pid,
+                           c_nationkey AS nation
+                    FROM customer),
+      ord AS (SELECT ('0x' || substr(md5('v1:' || o_custkey::VARCHAR),
+                        1, 15))::BIGINT AS pid
+              FROM orders),
+      oc AS (SELECT pid, count(*) AS n_orders FROM ord GROUP BY 1)
+      SELECT nation, count(*) AS n_customers,
+             sum(coalesce(n_orders, 0))::BIGINT AS n_orders,
+             min(pid) AS min_pid, max(pid) AS max_pid
+      FROM cust LEFT JOIN oc USING (pid)
+      GROUP BY nation
     """,
 
     "q_decayed_count" -> """
