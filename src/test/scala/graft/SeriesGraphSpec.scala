@@ -236,6 +236,64 @@ class SeriesGraphSpec extends SparkSpec {
     assert(got.count { case (_, t, e) => e == t } >= 180)
   }
 
+  // ---- binned range join -----------------------------------------------
+
+  test("overlapJoin equals the brute-force theta join at any bin width") {
+    val ivs = (1 to 300).map { i =>
+      val s = rnd.nextInt(500).toLong
+      (i.toLong, (i % 5).toLong, s, s + 1 + rnd.nextInt(60))
+    }
+    val df = ivs.toDF("id", "k", "s", "e")
+    val want = (for {
+      a <- ivs; b <- ivs
+      if a._2 == b._2 && a._1 != b._1 && a._3 < b._4 && b._3 < a._4
+    } yield (a._1, b._1)).toSet
+    for (width <- Seq(7L, 64L, 1000L)) {
+      val got = graft.operators.RangeJoin
+        .overlapJoin(df, df, "k", "id", "s", "e", width)
+        .filter(col("l_id") =!= col("r_id"))
+        .select("l_id", "r_id").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size,
+        s"width=$width: a pair surfaced from more than one bin")
+      assert(got.toSet == want, s"width=$width")
+    }
+  }
+
+  test("overlapJoin: half-open semantics — touching intervals do not match") {
+    val l = Seq((1L, 1L, 0L, 10L)).toDF("id", "k", "s", "e")
+    val r = Seq((2L, 1L, 10L, 20L), (3L, 1L, 9L, 12L)).toDF("id", "k", "s", "e")
+    val got = graft.operators.RangeJoin
+      .overlapJoin(l, r, "k", "id", "s", "e", 4L)
+      .select("r_id", "overlap_len").as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 1L)))
+  }
+
+  // ---- weighted median ---------------------------------------------------
+
+  test("weighted median query logic matches a scan reference") {
+    val rows = (1 to 500).map(i =>
+      ((i % 3).toLong, (rnd.nextInt(40) + 1).toLong, (rnd.nextInt(9) + 1).toLong))
+    val byVal = rows.toDF("g", "v", "w").groupBy("g", "v")
+      .agg(sum("w").as("w"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy("v").rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val got = byVal.withColumn("cum", sum("w").over(wc))
+      .withColumn("total", sum("w").over(wt))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy("g").agg(min("v").as("m"))
+      .as[(Long, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val total = rs.map(_._3).sum
+      var cum = 0L
+      val m = rs.groupBy(_._2).toSeq.sortBy(_._1).collectFirst {
+        case (v, vs) if { cum += vs.map(_._3).sum; cum * 2 >= total } => v
+      }.get
+      assert(got(g) == m, s"group $g")
+    }
+  }
+
   // ---- bounded-heap top-k aggregate -------------------------------------
 
   test("topKPairs equals the row_number window under any partitioning") {
