@@ -1248,6 +1248,80 @@ object SparkEntry {
              min("pid").as("min_pid"), max("pid").as("max_pid"))
     }),
 
+    // ---- survival/tenure curve: per day-offset k, users whose
+    //      observed lifespan reaches k and users churning exactly at k
+    //      (integer counts only; the survival ratio is a consumer-side
+    //      division) ----
+    "q_survival" -> ((s, dir) => {
+      val life = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+        .groupBy("user_id")
+        .agg((max("day") - min("day")).as("tenure_days"))
+      life.select(col("user_id"), col("tenure_days"),
+          explode(sequence(lit(0L), col("tenure_days"))).as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("at_risk"),
+             count(when(col("tenure_days") === col("k"), 1)).as("churned"))
+    }),
+
+    // ---- data profiling: per-column null rate / distinct count /
+    //      min-max, emitted long-form (one row per column) ----
+    "q_profile" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      def prof(c: String) = o.agg(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        count(when(col(c).isNull, 1)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c).cast("string")).as("min_str"),
+        max(col(c).cast("string")).as("max_str"))
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(prof).reduce(_ unionByName _)
+    }),
+
+    // ---- dbt-style data-quality checks: one row per constraint with
+    //      its violation count (all zero on healthy data — the oracle
+    //      proves the CHECKS, not just the data) ----
+    "q_quality_checks" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val fkViolations = o.join(c, col("o_custkey") === col("c_custkey"),
+          "left_anti")
+        .agg(lit("orders_custkey_fk").as("check_name"),
+             count(lit(1)).as("violations"))
+      val pkDupes = o.groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .agg(lit("orders_orderkey_unique").as("check_name"),
+             count(lit(1)).as("violations"))
+      val notNull = o.agg(lit("orders_orderdate_not_null").as("check_name"),
+        count(when(col("o_orderdate").isNull, 1)).as("violations"))
+      val accepted = o.agg(lit("orders_status_accepted_values").as("check_name"),
+        count(when(!col("o_orderstatus").isin("O", "F", "P"), 1))
+          .as("violations"))
+      Seq(fkViolations, pkDupes, notNull, accepted).reduce(_ unionByName _)
+    }),
+
+    // ---- snapshot diff: keyed added/removed/changed classification
+    //      between two versions of a table (full outer join on key) ----
+    "q_snapshot_diff" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price"))
+      val old = o.filter(pmod(col("k"), lit(10)) < 8)
+        .withColumn("price", when(pmod(col("k"), lit(7)) === 0,
+          col("price") + 1).otherwise(col("price")))
+      val neu = o.filter(pmod(col("k"), lit(10)) < 9)
+      old.select(col("k"), col("price").as("old_price"))
+        .join(neu.select(col("k"), col("price").as("new_price")),
+              Seq("k"), "full_outer")
+        .select(col("k"),
+          when(col("old_price").isNull, lit("added"))
+            .when(col("new_price").isNull, lit("removed"))
+            .when(col("old_price") =!= col("new_price"), lit("changed"))
+            .otherwise(lit("unchanged")).as("change"))
+        .groupBy("change").agg(count(lit(1)).as("n"))
+    }),
+
     // ---- time-decayed engagement, float-free: half-life = 1 day as a
     //      power-of-two weight 2^(40−age_days) — exponential decay in
     //      exact BIGINTs (weights > 40 days old round to zero, which a
@@ -2833,6 +2907,81 @@ object SparkEntry {
              min(pid) AS min_pid, max(pid) AS max_pid
       FROM cust LEFT JOIN oc USING (pid)
       GROUP BY nation
+    """,
+
+    "q_survival" -> """
+      WITH life AS (SELECT user_id,
+                           max(epoch_ns(ts) // 86400000000000) -
+                           min(epoch_ns(ts) // 86400000000000) AS tenure_days
+                    FROM events GROUP BY 1),
+      expanded AS (SELECT user_id, tenure_days,
+                          unnest(range(0, tenure_days + 1)) AS k
+                   FROM life)
+      SELECT k, count(*) AS at_risk,
+             count(*) FILTER (tenure_days = k) AS churned
+      FROM expanded GROUP BY k
+    """,
+
+    "q_profile" -> """
+      SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+             count(*) FILTER (o_orderkey IS NULL) AS n_null,
+             count(DISTINCT o_orderkey) AS n_distinct,
+             min(o_orderkey::VARCHAR) AS min_str,
+             max(o_orderkey::VARCHAR) AS max_str
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*),
+             count(*) FILTER (o_custkey IS NULL),
+             count(DISTINCT o_custkey),
+             min(o_custkey::VARCHAR), max(o_custkey::VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*),
+             count(*) FILTER (o_orderstatus IS NULL),
+             count(DISTINCT o_orderstatus),
+             min(o_orderstatus), max(o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*),
+             count(*) FILTER (o_orderpriority IS NULL),
+             count(DISTINCT o_orderpriority),
+             min(o_orderpriority), max(o_orderpriority)
+      FROM orders
+    """,
+
+    "q_quality_checks" -> """
+      SELECT 'orders_custkey_fk' AS check_name,
+             count(*) FILTER (c.c_custkey IS NULL) AS violations
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'orders_orderkey_unique',
+             count(*) FROM (SELECT o_orderkey FROM orders
+                            GROUP BY 1 HAVING count(*) > 1)
+      UNION ALL
+      SELECT 'orders_orderdate_not_null',
+             count(*) FILTER (o_orderdate IS NULL) FROM orders
+      UNION ALL
+      SELECT 'orders_status_accepted_values',
+             count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))
+      FROM orders
+    """,
+
+    "q_snapshot_diff" -> """
+      WITH o AS (SELECT o_orderkey AS k,
+                        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS price
+                 FROM orders),
+      old AS (SELECT k, CASE WHEN k % 7 = 0 THEN price + 1 ELSE price END
+                       AS old_price
+              FROM o WHERE k % 10 < 8),
+      neu AS (SELECT k, price AS new_price FROM o WHERE k % 10 < 9)
+      SELECT CASE WHEN old_price IS NULL THEN 'added'
+                  WHEN new_price IS NULL THEN 'removed'
+                  WHEN old_price <> new_price THEN 'changed'
+                  ELSE 'unchanged' END AS change,
+             count(*) AS n
+      FROM old FULL OUTER JOIN neu USING (k)
+      GROUP BY 1
     """,
 
     "q_decayed_count" -> """
