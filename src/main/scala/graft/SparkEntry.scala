@@ -1322,6 +1322,25 @@ object SparkEntry {
         .groupBy("change").agg(count(lit(1)).as("n"))
     }),
 
+    // ---- time-weighted average (metrics/billing): value held over
+    //      [ts, next_ts) intervals; numerator/denominator kept as
+    //      exact BIGINTs (ms durations bound the products ≪ 2^63) ----
+    "q_time_weighted" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns div 1000000").as("ts_ms"),
+          floor(col("value") * 1000).cast("long").as("v_milli"))
+        .withColumn("next_ms", lead(col("ts_ms"), 1).over(w))
+        .filter(col("next_ms").isNotNull)
+        .withColumn("dur", col("next_ms") - col("ts_ms"))
+        .groupBy("user_id")
+        .agg(sum(col("v_milli") * col("dur")).as("twa_num"),
+             sum("dur").as("twa_den"))
+        .filter(col("twa_den") > 0)
+        .withColumn("twa_milli", expr("twa_num div twa_den"))
+    }),
+
     // ---- time-decayed engagement, float-free: half-life = 1 day as a
     //      power-of-two weight 2^(40−age_days) — exponential decay in
     //      exact BIGINTs (weights > 40 days old round to zero, which a
@@ -2982,6 +3001,23 @@ object SparkEntry {
              count(*) AS n
       FROM old FULL OUTER JOIN neu USING (k)
       GROUP BY 1
+    """,
+
+    "q_time_weighted" -> """
+      WITH e AS (SELECT user_id, event_id,
+                        epoch_ns(ts) // 1000000 AS ts_ms,
+                        CAST(floor("value" * 1000) AS BIGINT) AS v_milli
+                 FROM events),
+      l AS (SELECT *, lead(ts_ms) OVER (PARTITION BY user_id
+                                        ORDER BY ts_ms, event_id) AS next_ms
+            FROM e)
+      SELECT user_id,
+             sum(v_milli * (next_ms - ts_ms))::BIGINT AS twa_num,
+             sum(next_ms - ts_ms)::BIGINT AS twa_den,
+             (sum(v_milli * (next_ms - ts_ms)) //
+              sum(next_ms - ts_ms))::BIGINT AS twa_milli
+      FROM l WHERE next_ms IS NOT NULL
+      GROUP BY user_id HAVING sum(next_ms - ts_ms) > 0
     """,
 
     "q_decayed_count" -> """
