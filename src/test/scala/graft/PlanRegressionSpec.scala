@@ -140,7 +140,10 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("Join"), "pair join must be materialized:\n" + p)
     assert(!p.contains("FileScan") && !p.contains("BatchScan"), p)
     assert(count(p, "Exchange hashpartitioning") <= 1, p)
-    assert(p.contains("WindowGroupLimit"), "top-k must bound window state:\n" + p)
+    // top-k now runs through the bounded-heap TopKPairsAgg (O(k) state,
+    // map-side partials) instead of a row_number window sort
+    assert(!p.contains("Window"), "top-k must not sort via a window:\n" + p)
+    assert(p.contains("ObjectHashAggregate"), "heap agg expected:\n" + p)
   }
 
   test("funnel materializes step frames — the report never rescans events") {
