@@ -1356,6 +1356,87 @@ object SparkEntry {
                .as("decayed_e40"),
              count(lit(1)).as("n_recent"))
     }),
+
+    // ---- market-basket association rules over order→brand baskets:
+    //      ppm support/confidence/lift, decimal-exact ----
+    "q_assoc_rules" -> ((s, dir) => {
+      val items = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "part"),
+              col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      graft.operators.MarketBasket.pairRules(
+        items, "l_orderkey", "p_brand", minSupportPpm = 10000L)
+    }),
+
+    // ---- bounded-hop multi-source BFS over the thresholded supplier
+    //      co-occurrence graph (same edge rule as q_triangles) ----
+    "q_shortest_path" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+        .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 5).select("u", "v")
+      val sources = Tables.load(s, dir, "supplier")
+        .filter(col("s_suppkey") < 3).select(col("s_suppkey"))
+      graft.operators.Bfs.boundedDistances(edges, sources, maxHops = 3)
+    }),
+
+    // ---- largest-remainder apportionment of a 1M-token budget across
+    //      document sources by total chars: quotas sum EXACTLY to the
+    //      budget, remainder ties broken by source ----
+    "q_apportion" -> ((s, dir) =>
+      graft.operators.Allocation.largestRemainder(
+        Tables.load(s, dir, "documents").select(col("source"), col("n_chars")),
+        "source", "n_chars", budget = 1000000L)
+        .withColumnRenamed("k", "source")),
+
+    // ---- grouped OLS: price-vs-quantity trend per return flag,
+    //      integer-exact sufficient statistics + fixed-point fit ----
+    "q_regression" -> ((s, dir) =>
+      graft.operators.Stats.linearFitGrouped(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag").as("rf"),
+            col("l_quantity").cast("long").as("qty"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+              .as("cents")),
+        Seq("rf"), col("qty"), col("cents"))),
+
+    // ---- top user-journey trigrams: double-lead over the µs-exact
+    //      event order (ties broken by event_id) ----
+    "q_event_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+                col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("e2").as("s2"),
+                 col("e3").as("s3"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- BPE-style tokenizer-training primitive: adjacent character
+    //      pair counts over the document corpus (first 512 chars,
+    //      lowercased), kept at ≥0.1% relative support ----
+    "q_bpe_merge" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(lower(substring(col("text"), 1, 512)).as("t"))
+        .filter(length(col("t")) >= 2)
+      // aggregate once, derive the total from the (tiny) grouped
+      // result — the support gate never rescans the corpus
+      val g = d.select(explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+        .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true)
+      g.crossJoin(broadcast(g.agg(sum("n").as("total"))))
+        .filter(col("n") * 1000 >= col("total"))
+        .select(col("pair"), col("n"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -3030,6 +3111,119 @@ object SparkEntry {
              count(*) AS n_recent
       FROM ev, a WHERE anchor - day <= 40
       GROUP BY user_id
+    """,
+
+    "q_assoc_rules" -> """
+      WITH it AS (SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+                  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      tot AS (SELECT count(DISTINCT basket) AS n_baskets FROM it),
+      ic AS (SELECT item, count(*) AS item_cnt FROM it GROUP BY 1),
+      p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_cnt
+            FROM it a JOIN it b ON a.basket = b.basket AND a.item < b.item
+            GROUP BY 1, 2)
+      SELECT item_a, item_b, pair_cnt,
+             ca.item_cnt AS cnt_a, cb.item_cnt AS cnt_b,
+             ((pair_cnt::HUGEINT * 1000000) // ca.item_cnt)::BIGINT
+               AS conf_ab_ppm,
+             ((pair_cnt::HUGEINT * 1000000) // cb.item_cnt)::BIGINT
+               AS conf_ba_ppm,
+             ((pair_cnt::HUGEINT * n_baskets * 1000000) //
+              (ca.item_cnt::HUGEINT * cb.item_cnt))::BIGINT AS lift_ppm
+      FROM p JOIN ic ca ON ca.item = p.item_a
+             JOIN ic cb ON cb.item = p.item_b
+             CROSS JOIN tot
+      WHERE pair_cnt * 1000000 >= 10000 * n_baskets
+    """,
+
+    // bounded BFS: the oracle unrolls 3 rounds of full min-distance
+    // relaxation — equivalent to frontier BFS for hop-bounded
+    // distances, but expressible as plain CTE stages
+    "q_shortest_path" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      e0 AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_suppkey < b.l_suppkey
+             GROUP BY 1, 2),
+      e AS (SELECT u, v FROM e0 WHERE w >= 5),
+      sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+      d0 AS (SELECT DISTINCT s_suppkey AS node, 0 AS dist FROM supplier
+             WHERE s_suppkey < 3),
+      r1 AS (SELECT node, min(dist) AS dist FROM (
+               SELECT node, dist FROM d0
+               UNION ALL
+               SELECT sym.v, d0.dist + 1 FROM d0 JOIN sym ON sym.u = d0.node)
+             GROUP BY node),
+      r2 AS (SELECT node, min(dist) AS dist FROM (
+               SELECT node, dist FROM r1
+               UNION ALL
+               SELECT sym.v, r1.dist + 1 FROM r1 JOIN sym ON sym.u = r1.node)
+             GROUP BY node),
+      r3 AS (SELECT node, min(dist) AS dist FROM (
+               SELECT node, dist FROM r2
+               UNION ALL
+               SELECT sym.v, r2.dist + 1 FROM r2 JOIN sym ON sym.u = r2.node)
+             GROUP BY node)
+      SELECT node, dist FROM r3
+    """,
+
+    "q_apportion" -> """
+      WITH w AS (SELECT source AS k, sum(n_chars)::HUGEINT AS wt
+                 FROM documents GROUP BY 1),
+      t AS (SELECT sum(wt) AS tot FROM w),
+      b AS (SELECT k, wt, (wt * 1000000) // tot AS base_quota,
+                   (wt * 1000000) % tot AS rem FROM w, t),
+      u AS (SELECT sum(base_quota) AS used FROM b),
+      r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, k) AS rk FROM b)
+      SELECT k AS source, wt::BIGINT AS weight, base_quota::BIGINT AS base_quota,
+             (base_quota +
+              CASE WHEN rk <= 1000000 - used THEN 1 ELSE 0 END)::BIGINT AS quota
+      FROM r, u
+    """,
+
+    // sign factored out so hugeint floor-div on abs operands matches
+    // Spark's toward-zero `div` exactly
+    "q_regression" -> """
+      WITH d AS (SELECT l_returnflag AS rf, l_quantity::BIGINT AS x,
+                        floor(l_extendedprice * 100 + 0.5)::BIGINT AS y
+                 FROM lineitem),
+      s AS (SELECT rf, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+                   sum(y)::HUGEINT AS sy, sum(x*x)::HUGEINT AS sxx,
+                   sum(x*y)::HUGEINT AS sxy
+            FROM d GROUP BY rf),
+      t AS (SELECT *, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM s)
+      SELECT rf, n::BIGINT AS n, sx::BIGINT AS sx, sy::BIGINT AS sy,
+             sxx::BIGINT AS sxx, sxy::BIGINT AS sxy,
+             (CASE WHEN den = 0 THEN NULL ELSE
+               (CASE WHEN (num < 0) != (den < 0) THEN -1 ELSE 1 END) *
+               ((abs(num) * 1000000) // abs(den)) END)::BIGINT AS slope_ppm,
+             (CASE WHEN den = 0 THEN NULL ELSE
+               (CASE WHEN ((sy*den - num*sx) < 0) != (den < 0)
+                     THEN -1 ELSE 1 END) *
+               ((abs(sy*den - num*sx) * 1000) // abs(n*den)) END)::BIGINT
+               AS intercept_milli
+      FROM t
+    """,
+
+    "q_event_paths" -> """
+      WITH o AS (SELECT user_id, event_type,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id
+                              ORDER BY epoch_ns(ts) // 1000, event_id))
+      SELECT event_type AS s1, e2 AS s2, e3 AS s3, count(*) AS n
+      FROM o WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+    """,
+
+    "q_bpe_merge" -> """
+      WITH d AS (SELECT lower(substring(text, 1, 512)) AS t FROM documents
+                 WHERE length(text) >= 2),
+      p AS (SELECT unnest(list_transform(range(1, length(t)),
+                                         i -> substring(t, i, 2))) AS pair
+            FROM d),
+      tot AS (SELECT count(*) AS total FROM p)
+      SELECT pair, count(*) AS n FROM p, tot
+      GROUP BY pair, total HAVING count(*) * 1000 >= total
     """,
   )
 

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Integer-exact grouped statistics beyond plain aggregates. First
+  * member: simple linear regression (OLS) per group from sufficient
+  * statistics — the "trend per segment" query every analytics engine
+  * grows eventually, here with a fixed-point surface a SQL oracle can
+  * reproduce exactly.
+  *
+  * Beyond the reference; sits beside `Series` (windowed integer-exact
+  * ops) in the numeric family.
+  *
+  * Scale shape: ONE hash aggregate computes (n, Σx, Σy, Σx², Σxy) with
+  * map-side partials — no second pass over the data, no window, no
+  * collect. The slope/intercept algebra runs on the one-row-per-group
+  * result in DECIMAL(38,0):
+  *   slope      = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+  *   intercept  = (Σy·den − num·Σx) / (n·den)
+  * emitted as floor-divided ppm / milli fixed-point with an explicit
+  * sign factor, because Spark's `div` truncates toward zero while
+  * other engines' `//` floors — on `abs` operands the two agree, so
+  * `sign · (abs(num)·scale div abs(den))` is engine-portable.
+  * Inputs must be integral (cast cents / counts upstream); decimals
+  * keep the cross products exact up to ~1e38.
+  */
+object Stats {
+
+  /** Per-group OLS fit of y on x. Emits the sufficient statistics
+    * (n, sx, sy, sxx, sxy as BIGINT — exact at any tested scale) and
+    * `slope_ppm` / `intercept_milli` fixed-point estimates; both are
+    * NULL for degenerate groups (zero x-variance).
+    */
+  def linearFitGrouped(df: DataFrame, groupCols: Seq[String],
+                       xCol: Column, yCol: Column): DataFrame = {
+    val d = df.select(
+      groupCols.map(col) ++ Seq(
+        xCol.cast("decimal(38,0)").as("x"),
+        yCol.cast("decimal(38,0)").as("y")): _*)
+    d.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+           sum("x").as("sx"), sum("y").as("sy"),
+           sum(expr("x * x")).as("sxx"),
+           sum(expr("x * y")).as("sxy"))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("n").cast("long").as("n"),
+          col("sx").cast("long").as("sx"),
+          col("sy").cast("long").as("sy"),
+          col("sxx").cast("long").as("sxx"),
+          col("sxy").cast("long").as("sxy"),
+          expr("""case when den = 0 then null else
+                    (case when (num < 0) != (den < 0) then -1 else 1 end)
+                    * (abs(num) * 1000000 div abs(den)) end""")
+            .as("slope_ppm"),
+          expr("""case when den = 0 then null else
+                    (case when ((sy * den - num * sx) < 0) != (den < 0)
+                          then -1 else 1 end)
+                    * (abs(sy * den - num * sx) * 1000 div abs(n * den)) end""")
+            .as("intercept_milli")): _*)
+  }
+}
