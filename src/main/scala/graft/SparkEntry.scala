@@ -1437,6 +1437,83 @@ object SparkEntry {
         .filter(col("n") * 1000 >= col("total"))
         .select(col("pair"), col("n"))
     }),
+
+    // ---- k-core extraction (3 peels at k=2) on the part
+    //      co-occurrence graph — sparse at every scale, so the peel
+    //      genuinely removes the degree-1 fringe each round ----
+    "q_kcore" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).select("u", "v")
+      graft.operators.KCore.peel(edges, k = 2, rounds = 3)
+    }),
+
+    // ---- robust location/scale per group: median + MAD over price
+    //      cents, crossing-rule exact (no interpolation) ----
+    "q_mad" -> ((s, dir) =>
+      graft.operators.Stats.medianAbsDev(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag").as("rf"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+              .as("cents")),
+        Seq("rf"), col("cents"))),
+
+    // ---- entity resolution: blocked fuzzy name matching — block on
+    //      the noun, bounded edit distance within the block (the
+    //      blocking equi-join IS the 100-TB shape: no all-pairs) ----
+    "q_entity_match" -> ((s, dir) => {
+      val names = Tables.load(s, dir, "part").select(col("p_name")).distinct()
+        .select(col("p_name").as("name"),
+                element_at(split(col("p_name"), " "), -1).as("blk"))
+      names.as("a").join(names.as("b"),
+          col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+        .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+                levenshtein(col("a.name"), col("b.name")).as("dist"))
+        .filter(col("dist") <= 3)
+    }),
+
+    // ---- equi-depth quartile assignment per group: (rank−1)·4 div n
+    //      (ntile semantics differ across engines; the rank formula
+    //      with value-only ties is the portable contract) ----
+    "q_quartile_assign" -> ((s, dir) => {
+      val wr = Window.partitionBy("l_returnflag")
+      val wn = Window.partitionBy("l_returnflag")
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+                col("l_quantity").cast("long").as("qty"))
+        .withColumn("rk", rank().over(wr.orderBy(col("qty"))))
+        .withColumn("n", count(lit(1)).over(wn))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+                col("qty"), expr("(rk - 1) * 4 div n").as("quartile"))
+    }),
+
+    // ---- rolling OLS trend: slope of value over the last 10 events
+    //      per user (event-index x-axis), emitted only on full
+    //      windows; all-BIGINT sufficient statistics ----
+    "q_rolling_slope" -> ((s, dir) => {
+      val wo = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      val wf = wo.rowsBetween(-9, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+                floor(col("value") * 1000).cast("long").as("y"))
+        .withColumn("x", row_number().over(wo).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wf))
+        .withColumn("sx", sum("x").over(wf))
+        .withColumn("sy", sum("y").over(wf))
+        .withColumn("sxy", sum(expr("x * y")).over(wf))
+        .withColumn("sxx", sum(expr("x * x")).over(wf))
+        .filter(col("cnt") === 10)
+        .withColumn("num", expr("10 * sxy - sx * sy"))
+        // den = 10·Σx² − (Σx)² over 10 consecutive ints = 825, constant
+        .select(col("user_id"), col("event_id"),
+          expr("""(case when num < 0 then -1 else 1 end)
+                  * (abs(num) * 1000000 div 825)""").as("slope_ppm"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -3224,6 +3301,91 @@ object SparkEntry {
       tot AS (SELECT count(*) AS total FROM p)
       SELECT pair, count(*) AS n FROM p, tot
       GROUP BY pair, total HAVING count(*) * 1000 >= total
+    """,
+
+    // 3 unrolled peels: degree → survivors → edge restriction
+    "q_kcore" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e0 AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2),
+      e AS (SELECT u, v FROM e0 WHERE w >= 2),
+      s0 AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+      k1 AS (SELECT u FROM s0 GROUP BY u HAVING count(*) >= 2),
+      s1 AS (SELECT u, v FROM s0 WHERE u IN (SELECT u FROM k1)
+                                   AND v IN (SELECT u FROM k1)),
+      k2 AS (SELECT u FROM s1 GROUP BY u HAVING count(*) >= 2),
+      s2 AS (SELECT u, v FROM s1 WHERE u IN (SELECT u FROM k2)
+                                   AND v IN (SELECT u FROM k2)),
+      k3 AS (SELECT u FROM s2 GROUP BY u HAVING count(*) >= 2),
+      s3 AS (SELECT u, v FROM s2 WHERE u IN (SELECT u FROM k3)
+                                   AND v IN (SELECT u FROM k3))
+      SELECT u AS node, count(*) AS deg FROM s3 GROUP BY u
+    """,
+
+    "q_mad" -> """
+      WITH d AS (SELECT l_returnflag AS rf,
+                        floor(l_extendedprice * 100 + 0.5)::BIGINT AS v
+                 FROM lineitem),
+      bv AS (SELECT rf, v, count(*) AS w FROM d GROUP BY 1, 2),
+      c AS (SELECT rf, v,
+                   sum(w) OVER (PARTITION BY rf ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(w) OVER (PARTITION BY rf) AS total
+            FROM bv),
+      med AS (SELECT rf, min(v) AS median FROM c
+              WHERE cum * 2 >= total GROUP BY rf),
+      dev AS (SELECT d.rf, abs(v - median) AS dv
+              FROM d JOIN med ON d.rf = med.rf),
+      bv2 AS (SELECT rf, dv, count(*) AS w FROM dev GROUP BY 1, 2),
+      c2 AS (SELECT rf, dv,
+                    sum(w) OVER (PARTITION BY rf ORDER BY dv
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                    sum(w) OVER (PARTITION BY rf) AS total
+             FROM bv2),
+      mad AS (SELECT rf, min(dv) AS mad FROM c2
+              WHERE cum * 2 >= total GROUP BY rf)
+      SELECT rf, median, mad FROM med JOIN mad USING (rf)
+    """,
+
+    "q_entity_match" -> """
+      WITH n AS (SELECT DISTINCT p_name AS name,
+                        split_part(p_name, ' ', -1) AS blk
+                 FROM part)
+      SELECT a.name AS name_a, b.name AS name_b,
+             levenshtein(a.name, b.name)::INT AS dist
+      FROM n a JOIN n b ON a.blk = b.blk AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 3
+    """,
+
+    "q_quartile_assign" -> """
+      WITH d AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                        l_quantity::BIGINT AS qty
+                 FROM lineitem)
+      SELECT l_orderkey, l_linenumber, l_returnflag, qty,
+             ((rank() OVER (PARTITION BY l_returnflag ORDER BY qty) - 1) * 4
+              // count(*) OVER (PARTITION BY l_returnflag))::BIGINT AS quartile
+      FROM d
+    """,
+
+    "q_rolling_slope" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                        floor(value * 1000)::BIGINT AS y
+                 FROM events),
+      x AS (SELECT *, row_number() OVER w AS x FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      s AS (SELECT user_id, event_id,
+                   count(*) OVER f AS cnt,
+                   sum(x) OVER f AS sx, sum(y) OVER f AS sy,
+                   sum(x * y) OVER f AS sxy
+            FROM x
+            WINDOW f AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+      SELECT user_id, event_id,
+             ((CASE WHEN 10 * sxy - sx * sy < 0 THEN -1 ELSE 1 END) *
+              (abs(10 * sxy - sx * sy) * 1000000 // 825))::BIGINT AS slope_ppm
+      FROM s WHERE cnt = 10
     """,
   )
 

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded k-core peeling: iteratively delete nodes of degree < k and
+  * the edges they carry. The survivors after enough rounds are the
+  * k-core — the standard "dense part of the graph" extraction used to
+  * seed community detection and to prune near-dup candidate graphs
+  * down to the clusters worth exact-verifying.
+  *
+  * Beyond the reference; graph family ([[ConnectedComponents]],
+  * [[PageRank]], [[Triangles]], [[Bfs]]).
+  *
+  * Fixed `rounds` (not run-to-fixpoint) keeps the operator a
+  * deterministic bounded dataflow: each round is one degree aggregate
+  * plus two semi-joins, all keyed on node ids, lineage cut per round.
+  * Peeling converges monotonically (the surviving set only shrinks),
+  * so `rounds` is a precision knob exactly like the fixed iteration
+  * counts in [[PageRank]] — and lets a SQL oracle unroll the rounds
+  * as CTE stages and match bit-for-bit.
+  */
+object KCore {
+
+  /** Surviving (node, deg) pairs — degree measured inside the
+    * surviving subgraph — after `rounds` peels at threshold `k`.
+    * `edges`: two numeric columns, undirected, duplicates/self-loops
+    * tolerated.
+    */
+  def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got $k, $rounds")
+    val e = edges.toDF("u", "v").filter(col("u") =!= col("v"))
+    var sym = e.union(e.select(col("v"), col("u"))).distinct()
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("u")
+      sym = sym
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(eager = true)
+    }
+    sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+  }
+}

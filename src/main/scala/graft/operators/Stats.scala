@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Integer-exact grouped statistics beyond plain aggregates. First
@@ -61,5 +62,41 @@ object Stats {
                           then -1 else 1 end)
                     * (abs(sy * den - num * sx) * 1000 div abs(n * den)) end""")
             .as("intercept_milli")): _*)
+  }
+
+  /** Per-group median and median absolute deviation — the robust
+    * location/scale pair (outlier-resistant alternative to mean/σ,
+    * the robust cousin of `Series.sigmaOutliers`' threshold inputs).
+    *
+    * Integer-exact: "median" is the smallest value whose doubled
+    * cumulative count reaches the group total (the `q_weighted_median`
+    * crossing rule — no interpolation), applied twice: once to the
+    * values, once to |value − median|. Each pass is one per-value
+    * pre-aggregate (so the window walks DISTINCT values, not rows)
+    * plus one cumulative window; the median table is group-cardinality
+    * sized, so the join back is a broadcast at any data scale.
+    */
+  def medianAbsDev(df: DataFrame, groupCols: Seq[String],
+                   valueCol: Column): DataFrame = {
+    val d = df.select(groupCols.map(col) :+ valueCol.cast("long").as("v"): _*)
+
+    def crossing(t: DataFrame, vc: String, out: String): DataFrame = {
+      val byVal = t.groupBy(groupCols.map(col) :+ col(vc): _*)
+        .agg(count(lit(1)).as("w"))
+      val wc = Window.partitionBy(groupCols.map(col): _*).orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(groupCols.map(col): _*)
+      byVal.withColumn("cum", sum("w").over(wc))
+        .withColumn("total", sum("w").over(wt))
+        .filter(col("cum") * 2 >= col("total"))
+        .groupBy(groupCols.map(col): _*)
+        .agg(min(vc).as(out))
+    }
+
+    val med = crossing(d, "v", "median")
+    val dev = d.join(broadcast(med), groupCols)
+      .select(groupCols.map(col) :+ abs(col("v") - col("median")).as("dev"): _*)
+    crossing(dev, "dev", "mad").join(broadcast(med), groupCols)
+      .select(groupCols.map(col) ++ Seq(col("median"), col("mad")): _*)
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
-import graft.operators.{Allocation, Bfs, MarketBasket, Stats}
+import graft.operators.{Allocation, Bfs, KCore, MarketBasket, Stats}
 
 /** Contracts for the round-5 batch: market-basket rules, bounded BFS,
   * largest-remainder apportionment, grouped integer-exact OLS. */
@@ -66,6 +66,26 @@ class BasketGraphStatsSpec extends SparkSpec {
     assert(only === Map(0 -> 0))
   }
 
+  // ---- KCore --------------------------------------------------------
+
+  test("peel at k=2 dissolves a path but preserves a cycle") {
+    val path = (0 to 6).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("u", "v")
+    // each round strips both endpoints: 7 → 5 → 3 → 1 → no edges left
+    assert(KCore.peel(path, 2, 3).isEmpty)
+    val cycle = ((0 to 5).sliding(2).map(p => (p(0), p(1))).toSeq :+ (5, 0))
+      .toDF("u", "v")
+    val kept = KCore.peel(cycle, 2, 3).as[(Int, Long)].collect().toMap
+    assert(kept === (0 to 5).map(_ -> 2L).toMap)
+  }
+
+  test("peel removes a pendant vertex but keeps the clique it hangs off") {
+    val clique = for { i <- 0 to 3; j <- 0 to 3 if i < j } yield (i, j)
+    val edges = (clique :+ (3, 99)).toDF("u", "v")
+    val kept = KCore.peel(edges, 3, 2).as[(Int, Long)].collect().toMap
+    // 99 (deg 1) peels in round 1; the K4 members keep degree 3
+    assert(kept === Map(0 -> 3L, 1 -> 3L, 2 -> 3L, 3 -> 3L))
+  }
+
   // ---- Allocation ---------------------------------------------------
 
   test("largestRemainder: hand-checked Hamilton example") {
@@ -118,6 +138,20 @@ class BasketGraphStatsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Long]("slope_ppm") - slope * 1e6) <= 1.0)
     assert(math.abs(got.getAs[Long]("intercept_milli") - icept * 1e3) <= 1.0)
     assert(got.getAs[Long]("slope_ppm") < 0)
+  }
+
+  test("medianAbsDev: crossing-rule median and MAD on a hand-walked set") {
+    // values 1,1,2,4,10: cum·2 crosses at 2 → median 2; deviations
+    // 1,1,0,2,8: crossing at 1 → MAD 1. Even-count groups take the
+    // LOWER median (crossing rule, no interpolation): [1,3] → 1.
+    val d = (Seq(1L, 1L, 2L, 4L, 10L).map(("a", _)) ++
+             Seq(("b", 1L), ("b", 3L))).toDF("g", "v")
+    val out = Stats.medianAbsDev(d, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("median") === 2L)
+    assert(out("a").getAs[Long]("mad") === 1L)
+    assert(out("b").getAs[Long]("median") === 1L)
+    assert(out("b").getAs[Long]("mad") === 0L) // devs 0,2 → crossing at 0
   }
 
   test("linearFitGrouped: zero x-variance group yields NULL fit, stats intact") {
