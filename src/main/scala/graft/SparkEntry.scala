@@ -1009,14 +1009,8 @@ object SparkEntry {
     //      correctness graph near-complete while the bench graph
     //      stays wedge-bounded), degree-ordered wedge join ----
     "q_triangles" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey"))
-        .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 5).select("u", "v")
+      val edges = graft.operators.CoOccurrence.edges(
+        Tables.load(s, dir, "lineitem"), "l_orderkey", "l_suppkey", 5L)
       graft.operators.Triangles.count(edges)
     }),
 
@@ -1108,14 +1102,8 @@ object SparkEntry {
     // ---- per-node local clustering coefficient over the supplier
     //      co-occurrence graph (same edge rule as q_triangles) ----
     "q_cluster_coeff" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey"))
-        .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 5).select("u", "v")
+      val edges = graft.operators.CoOccurrence.edges(
+        Tables.load(s, dir, "lineitem"), "l_orderkey", "l_suppkey", 5L)
       graft.operators.Triangles.clusteringCoefficient(edges)
     }),
 
@@ -1185,14 +1173,8 @@ object SparkEntry {
     //      small scale; scoring both classes keeps the oracle
     //      non-vacuous everywhere) ----
     "q_link_predict" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val canon = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey"))
-        .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 8).select("u", "v")
+      val canon = graft.operators.CoOccurrence.edges(
+        Tables.load(s, dir, "lineitem"), "l_orderkey", "l_suppkey", 8L)
       val sym = canon.union(canon.select(col("v").as("u"), col("u").as("v")))
       val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
       val adj = sym.join(deg, "u")
@@ -1371,14 +1353,8 @@ object SparkEntry {
     // ---- bounded-hop multi-source BFS over the thresholded supplier
     //      co-occurrence graph (same edge rule as q_triangles) ----
     "q_shortest_path" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey"))
-        .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 5).select("u", "v")
+      val edges = graft.operators.CoOccurrence.edges(
+        Tables.load(s, dir, "lineitem"), "l_orderkey", "l_suppkey", 5L)
       val sources = Tables.load(s, dir, "supplier")
         .filter(col("s_suppkey") < 3).select(col("s_suppkey"))
       graft.operators.Bfs.boundedDistances(edges, sources, maxHops = 3)
@@ -1442,14 +1418,8 @@ object SparkEntry {
     //      co-occurrence graph — sparse at every scale, so the peel
     //      genuinely removes the degree-1 fringe each round ----
     "q_kcore" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2).select("u", "v")
+      val edges = graft.operators.CoOccurrence.edges(
+        Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2L)
       graft.operators.KCore.peel(edges, k = 2, rounds = 3)
     }),
 

@@ -53,7 +53,9 @@ object Bfs {
       frontier = reached.join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(h).as("dist"))
         .localCheckpoint(eager = true)
-      dist = dist.union(frontier).localCheckpoint(eager = true)
+      // dist is a union of checkpointed frontiers — lineage depth is
+      // the hop count, not the data size, so no checkpoint needed
+      dist = dist.union(frontier)
       h += 1
     }
     dist

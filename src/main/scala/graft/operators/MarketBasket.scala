@@ -11,15 +11,16 @@ import org.apache.spark.sql.functions._
   * Beyond the reference (which has no co-occurrence analytics); sits
   * beside [[Triangles]] / link-prediction in the co-occurrence family.
   *
-  * Scale shape: pair generation is a self equi-join on the basket key,
-  * so the shuffle is on `basket` and the blow-up per basket is
-  * C(items, 2) — bounded when baskets are bounded (orders, sessions,
-  * documents-with-tags all are). No all-pairs product ever forms: a
-  * basket with b items emits b(b−1)/2 rows, and the support filter
-  * runs before the (tiny, item-domain-sized) dimension joins. All
-  * rule scores are integer fixed-point (ppm) so a SQL oracle
-  * reproduces them bit-for-bit; the score arithmetic runs in
-  * DECIMAL(38,0) so counts up to ~1e15 baskets cannot overflow.
+  * Scale shape: ONE shuffle builds per-basket sorted item sets
+  * ([[CoOccurrence.sets]]), materialized once for the three consumers;
+  * pairs then explode map-side (C(b, 2) per basket — bounded when
+  * baskets are bounded: orders, sessions, documents-with-tags all
+  * are). No self-join, no all-pairs product: a basket with b items
+  * emits b(b−1)/2 rows, and the support filter runs before the
+  * (tiny, item-domain-sized) dimension joins. All rule scores are
+  * integer fixed-point (ppm) so a SQL oracle reproduces them
+  * bit-for-bit; the score arithmetic runs in DECIMAL(38,0) so counts
+  * up to ~1e15 baskets cannot overflow.
   */
 object MarketBasket {
 
@@ -36,14 +37,21 @@ object MarketBasket {
     */
   def pairRules(items: DataFrame, basketCol: String, itemCol: String,
                 minSupportPpm: Long): DataFrame = {
-    val it = items.select(col(basketCol).as("basket"), col(itemCol).as("item"))
-      .filter(col("basket").isNotNull && col("item").isNotNull)
-      .distinct()
-    val totals = it.agg(countDistinct(col("basket")).as("n_baskets"))
-    val itemCnt = it.groupBy("item").agg(count(lit(1)).as("item_cnt"))
-    val pairs = it.as("a").join(it.as("b"),
-        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+    // one corpus shuffle builds the per-basket sorted item sets; the
+    // three consumers (basket count, item counts, pair counts) read
+    // the materialized sets, not the source
+    val sets = CoOccurrence.sets(items, basketCol, itemCol)
+      .localCheckpoint(eager = true)
+    val totals = sets.agg(count(lit(1)).as("n_baskets"))
+    val itemCnt = sets.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("item_cnt"))
+    // pairs explode map-side from each sorted set (C(b,2) per basket,
+    // already item_a < item_b) — no self-join
+    val pairs = sets.select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+        "transform(slice(items, i + 2, size(items)), " +
+        "y -> named_struct('u', x, 'v', y))))")).as("p"))
+      .groupBy(col("p.u").as("item_a"), col("p.v").as("item_b"))
       .agg(count(lit(1)).as("pair_cnt"))
     pairs
       .crossJoin(broadcast(totals))
