@@ -1403,10 +1403,16 @@ object SparkEntry {
         .select(lower(substring(col("text"), 1, 512)).as("t"))
         .filter(length(col("t")) >= 2)
       // aggregate once, derive the total from the (tiny) grouped
-      // result — the support gate never rescans the corpus
-      val g = d.select(explode(expr(
-        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
-        .as("pair"))
+      // result — the support gate never rescans the corpus.
+      // Pairs come from zipping the char array with itself shifted by
+      // one: substring(t, i, 2) in a position loop is O(i) per call on
+      // UTF8 strings (chars must be counted from the start), i.e. O(n²)
+      // per document; the split+zip form is O(n).
+      val g = d
+        .withColumn("ch", expr("slice(split(t, ''), 1, length(t))"))
+        .select(explode(expr(
+          "filter(zip_with(ch, slice(ch, 2, size(ch) - 1), " +
+          "(a, b) -> concat(a, b)), x -> x is not null)")).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .localCheckpoint(eager = true)
       g.crossJoin(broadcast(g.agg(sum("n").as("total"))))
@@ -1483,6 +1489,106 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           expr("""(case when num < 0 then -1 else 1 end)
                   * (abs(num) * 1000000 div 825)""").as("slope_ppm"))
+    }),
+
+    // ---- 2-D skyline (Pareto frontier: min price, min size) per part
+    //      type. Spark side: two value-range window minima — dominated
+    //      iff some strictly-cheaper row has size ≤ s, or some
+    //      equal-price row has size < s. O(n log n), partition-
+    //      parallel; the oracle states the same dominance as a
+    //      NOT EXISTS anti-join ----
+    "q_skyline" -> ((s, dir) => {
+      graft.operators.Skyline.pareto2d(
+        Tables.load(s, dir, "part")
+          .select(col("p_type"), col("p_partkey"),
+            floor(col("p_retailprice") * 100 + 0.5).cast("long").as("cents"),
+            col("p_size").cast("long").as("size")),
+        Seq("p_type"), col("cents"), col("size"))
+    }),
+
+    // ---- per-group mode with deterministic tie-break (highest count,
+    //      then lexicographically smallest value) ----
+    "q_mode" -> ((s, dir) => {
+      val counts = Tables.load(s, dir, "part")
+        .groupBy(col("p_type"), col("p_brand"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("p_type")
+        .orderBy(col("n").desc, col("p_brand"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("p_type"), col("p_brand").as("mode_brand"), col("n"))
+    }),
+
+    // ---- throttle/debounce: keep an event only if ≥60 s after its
+    //      predecessor in the same (user, type) stream ----
+    "q_throttle" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts_ns"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+                col("ts_ns"))
+        .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+        .filter(col("prev_ns").isNull ||
+                col("ts_ns") - col("prev_ns") >= expr("60000000000"))
+        .select(col("user_id"), col("event_type"), col("event_id"))
+    }),
+
+    // ---- Benford first-digit profile of order totals (data-quality /
+    //      fraud screen): leading digit via string head — portable,
+    //      no float log10 ----
+    "q_benford" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "orders")
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long")
+          .as("cents"))
+        .filter(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      d.crossJoin(broadcast(d.agg(sum("n").as("total"))))
+        .select(col("digit"), col("n"),
+          expr("cast(n as decimal(38,0)) * 1000000 div total")
+            .as("share_ppm"))
+    }),
+
+    // ---- market concentration: Herfindahl index of order volume per
+    //      customer nation, ppm shares squared (integer-exact) ----
+    "q_hhi" -> ((s, dir) => {
+      val perCust = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+      val wn = Window.partitionBy("c_nationkey")
+      perCust
+        .withColumn("tot", sum("cnt").over(wn))
+        .select(col("c_nationkey"),
+          expr("cnt * 1000000 div tot").as("share_ppm"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"),
+             sum(expr("share_ppm * share_ppm")).as("hhi_pps"))
+    }),
+
+    // ---- bigram language-model counts over normalized tokens:
+    //      next-token conditional frequencies, the n-gram LM training
+    //      table; unigram heads derived from the bigram relation
+    //      (no second corpus scan) ----
+    "q_token_bigrams" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(expr("filter(" +
+          "split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), " +
+          "x -> x != '')").as("t"))
+        .filter(size(col("t")) >= 2)
+      val bg = d.select(explode(expr(
+          "filter(zip_with(t, slice(t, 2, size(t) - 1), " +
+          "(a, b) -> concat(a, ' ', b)), x -> x is not null)")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = true)
+      val uni = bg
+        .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+        .agg(sum("n").as("n_w1"))
+      bg.filter(col("n") >= 10)
+        .join(uni, substring_index(col("bigram"), " ", 1) === uni("w1"))
+        .select(col("bigram"), col("n"),
+          expr("cast(n as decimal(38,0)) * 1000000 div n_w1").as("cond_ppm"))
     }),
   )
 
@@ -3356,6 +3462,76 @@ object SparkEntry {
              ((CASE WHEN 10 * sxy - sx * sy < 0 THEN -1 ELSE 1 END) *
               (abs(10 * sxy - sx * sy) * 1000000 // 825))::BIGINT AS slope_ppm
       FROM s WHERE cnt = 10
+    """,
+
+    // same dominance relation as the Spark window form, stated as the
+    // textbook anti-join (fine at oracle scale, quadratic in general)
+    "q_skyline" -> """
+      WITH p AS (SELECT p_type, p_partkey,
+                        floor(p_retailprice * 100 + 0.5)::BIGINT AS cents,
+                        p_size::BIGINT AS size
+                 FROM part)
+      SELECT p_type, p_partkey, cents, size FROM p a
+      WHERE NOT EXISTS (SELECT 1 FROM p b
+                        WHERE b.p_type = a.p_type
+                          AND b.cents <= a.cents AND b.size <= a.size
+                          AND (b.cents < a.cents OR b.size < a.size))
+    """,
+
+    "q_mode" -> """
+      WITH c AS (SELECT p_type, p_brand, count(*) AS n FROM part GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY p_type
+                                         ORDER BY n DESC, p_brand) AS rk
+            FROM c)
+      SELECT p_type, p_brand AS mode_brand, n FROM r WHERE rk = 1
+    """,
+
+    "q_throttle" -> """
+      WITH e AS (SELECT user_id, event_type, event_id,
+                        epoch_ns(ts) // 1000 AS ts_us FROM events),
+      l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts_us, event_id) AS prev_us
+            FROM e)
+      SELECT user_id, event_type, event_id FROM l
+      WHERE prev_us IS NULL OR ts_us - prev_us >= 60000000
+    """,
+
+    "q_benford" -> """
+      WITH d AS (SELECT substring((floor(o_totalprice * 100 + 0.5)::BIGINT)::VARCHAR,
+                                  1, 1) AS digit
+                 FROM orders WHERE floor(o_totalprice * 100 + 0.5) > 0),
+      c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      t AS (SELECT sum(n) AS total FROM c)
+      SELECT digit, n, (n::HUGEINT * 1000000 // total)::BIGINT AS share_ppm
+      FROM c, t
+    """,
+
+    "q_hhi" -> """
+      WITH pc AS (SELECT c_nationkey, c_custkey, count(*) AS cnt
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                  GROUP BY 1, 2),
+      sh AS (SELECT c_nationkey,
+                    cnt * 1000000 // sum(cnt) OVER (PARTITION BY c_nationkey)
+                      AS share_ppm
+             FROM pc)
+      SELECT c_nationkey, count(*) AS n_customers,
+             sum(share_ppm * share_ppm)::BIGINT AS hhi_pps
+      FROM sh GROUP BY 1
+    """,
+
+    "q_token_bigrams" -> s"""
+      WITH d AS (SELECT list_filter($duckToks, x -> x <> '') AS t
+                 FROM documents),
+      bg0 AS (SELECT unnest(list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i+1]))
+                AS bigram
+              FROM d WHERE len(t) >= 2),
+      bg AS (SELECT bigram, count(*) AS n FROM bg0 GROUP BY 1),
+      uni AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(n) AS n_w1
+              FROM bg GROUP BY 1)
+      SELECT bigram, n, (n::HUGEINT * 1000000 // n_w1)::BIGINT AS cond_ppm
+      FROM bg JOIN uni ON split_part(bigram, ' ', 1) = w1
+      WHERE n >= 10
     """,
   )
 

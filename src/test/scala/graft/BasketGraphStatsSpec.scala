@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
-import graft.operators.{Allocation, Bfs, KCore, MarketBasket, Stats}
+import graft.operators.{Allocation, Bfs, KCore, MarketBasket, Skyline, Stats}
 
 /** Contracts for the round-5 batch: market-basket rules, bounded BFS,
   * largest-remainder apportionment, grouped integer-exact OLS. */
@@ -112,6 +112,28 @@ class BasketGraphStatsSpec extends SparkSpec {
     val m = rows.map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
     assert(m("s1") >= m("s2") && m("s2") >= m("s3"))
     assert(m("s0") === 0L)
+  }
+
+  // ---- Skyline ------------------------------------------------------
+
+  test("pareto2d equals brute-force dominance on random points") {
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.tabulate(400)(i =>
+      (if (i % 2 == 0) "g1" else "g2", i.toLong,
+       rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val df = pts.toDF("g", "id", "x", "y")
+    val got = Skyline.pareto2d(df, Seq("g"), col("x"), col("y"))
+      .select("id").as[Long].collect().toSet
+    val want = pts.filter { case (g, _, x, y) =>
+      !pts.exists { case (g2, _, x2, y2) =>
+        g2 == g && x2 <= x && y2 <= y && (x2 < x || y2 < y) }
+    }.map(_._2).toSet
+    assert(got === want)
+    // duplicate frontier points must BOTH survive
+    val dup = Seq(("g", 1L, 0L, 5L), ("g", 2L, 0L, 5L), ("g", 3L, 1L, 9L))
+      .toDF("g", "id", "x", "y")
+    assert(Skyline.pareto2d(dup, Seq("g"), col("x"), col("y"))
+      .select("id").as[Long].collect().toSet === Set(1L, 2L))
   }
 
   // ---- Stats --------------------------------------------------------
