@@ -1590,6 +1590,52 @@ object SparkEntry {
         .select(col("bigram"), col("n"),
           expr("cast(n as decimal(38,0)) * 1000000 div n_w1").as("cond_ppm"))
     }),
+
+    // ---- training-mix construction end-to-end: apportion a 200-doc
+    //      budget across sources by char mass, then keep each source's
+    //      `quota` longest documents — Allocation + ranking composed ----
+    "q_budget_select" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val quotas = graft.operators.Allocation.largestRemainder(
+        docs.select(col("source"), col("n_chars")),
+        "source", "n_chars", budget = 200L)
+        .select(col("k").as("source"), col("quota"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs.join(broadcast(quotas), "source")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // ---- pairwise source vocabulary overlap: MarketBasket on
+    //      token→source baskets, projected to Jaccard ppm ----
+    "q_vocab_overlap" -> ((s, dir) => {
+      val occ = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(expr("filter(" +
+          "split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), " +
+          "x -> x != '')")).as("token"))
+      graft.operators.MarketBasket.pairRules(occ, "token", "source", 0L)
+        .select(col("item_a").as("src_a"), col("item_b").as("src_b"),
+          col("pair_cnt").as("inter"),
+          col("cnt_a").as("vocab_a"), col("cnt_b").as("vocab_b"),
+          expr("cast(pair_cnt as decimal(38,0)) * 1000000 " +
+               "div (cnt_a + cnt_b - pair_cnt)").as("jaccard_ppm"))
+    }),
+
+    // ---- deterministic round-robin interleave across sources (the
+    //      training-order shuffle that balances sources without a
+    //      global sort): consumers order by (round, src_idx) ----
+    "q_interleave" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val srcIdx = docs.select("source").distinct()
+        .withColumn("src_idx",
+          row_number().over(Window.orderBy("source")).cast("long"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      docs.join(broadcast(srcIdx), "source")
+        .select(col("doc_id"), col("source"),
+          row_number().over(w).cast("long").as("round"), col("src_idx"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -3532,6 +3578,55 @@ object SparkEntry {
       SELECT bigram, n, (n::HUGEINT * 1000000 // n_w1)::BIGINT AS cond_ppm
       FROM bg JOIN uni ON split_part(bigram, ' ', 1) = w1
       WHERE n >= 10
+    """,
+
+    "q_budget_select" -> """
+      WITH w AS (SELECT source AS k, sum(n_chars)::HUGEINT AS wt
+                 FROM documents GROUP BY 1),
+      t AS (SELECT sum(wt) AS tot FROM w),
+      b AS (SELECT k, wt, (wt * 200) // tot AS base_quota,
+                   (wt * 200) % tot AS rem FROM w, t),
+      u AS (SELECT sum(base_quota) AS used FROM b),
+      r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, k) AS rk FROM b),
+      q AS (SELECT k AS source,
+                   base_quota + CASE WHEN rk <= 200 - used THEN 1 ELSE 0 END
+                     AS quota
+            FROM r, u),
+      ranked AS (SELECT doc_id, source,
+                        row_number() OVER (PARTITION BY source
+                                           ORDER BY n_chars DESC, doc_id)
+                          AS rn
+                 FROM documents)
+      SELECT doc_id, ranked.source FROM ranked JOIN q USING (source)
+      WHERE rn <= quota
+    """,
+
+    "q_vocab_overlap" -> s"""
+      WITH occ AS (SELECT DISTINCT source,
+                          unnest(list_filter($duckToks, x -> x <> ''))
+                            AS token
+                   FROM documents),
+      vocab AS (SELECT source, count(*) AS v FROM occ GROUP BY 1),
+      p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+            FROM occ a JOIN occ b ON a.token = b.token
+                                 AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT src_a, src_b, inter, va.v AS vocab_a, vb.v AS vocab_b,
+             (inter::HUGEINT * 1000000 // (va.v + vb.v - inter))::BIGINT
+               AS jaccard_ppm
+      FROM p JOIN vocab va ON va.source = p.src_a
+             JOIN vocab vb ON vb.source = p.src_b
+    """,
+
+    "q_interleave" -> """
+      WITH s AS (SELECT source,
+                        row_number() OVER (ORDER BY source) AS src_idx
+                 FROM (SELECT DISTINCT source FROM documents))
+      SELECT doc_id, d.source,
+             row_number() OVER (PARTITION BY d.source ORDER BY doc_id)
+               AS round,
+             src_idx
+      FROM documents d JOIN s USING (source)
     """,
   )
 

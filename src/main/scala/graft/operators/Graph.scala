@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object CoOccurrence {
 
-  /** Edges (u, v) with u < v appearing in ≥ `minCount` baskets. */
-  def edges(items: DataFrame, basketCol: String,
-            itemCol: String, minCount: Long): DataFrame = {
+  /** Weighted edges (u, v, w) with u < v; w = number of shared
+    * baskets. */
+  def weighted(items: DataFrame, basketCol: String,
+               itemCol: String): DataFrame =
     sets(items, basketCol, itemCol)
       .select(explode(expr(
         "flatten(transform(items, (x, i) -> " +
@@ -29,9 +30,13 @@ object CoOccurrence {
         "y -> named_struct('u', x, 'v', y))))")).as("p"))
       .groupBy(col("p.u").as("u"), col("p.v").as("v"))
       .agg(count(lit(1)).as("w"))
+
+  /** Edges (u, v) with u < v appearing in ≥ `minCount` baskets. */
+  def edges(items: DataFrame, basketCol: String,
+            itemCol: String, minCount: Long): DataFrame =
+    weighted(items, basketCol, itemCol)
       .filter(col("w") >= minCount)
       .select("u", "v")
-  }
 
   /** One row per basket with its sorted distinct item array. */
   def sets(items: DataFrame, basketCol: String,
