@@ -14,6 +14,11 @@ case class FunnelState(times: Seq[Long])
 case class FunnelAdvance(user_id: Long, step_idx: Int, step: String,
                          t_ns: Long, lag_ns: Long)
 
+case class ThrottleEvent(user_id: Long, event_type: String,
+                         event_id: Long, ts_ns: Long)
+case class ThrottleState(prevNs: Long)
+case class ThrottleKept(user_id: Long, event_type: String, event_id: Long)
+
 case class SessionEvent(user_id: Long, event_id: Long, ts_ns: Long)
 case class SessionState(sessionStartNs: Long, lastNs: Long, n: Long)
 case class SessionOut(user_id: Long, session_start_ns: Long,
@@ -123,6 +128,33 @@ object StreamingOps {
             }
           }
           if (times.nonEmpty) state.update(FunnelState(times))
+          out.result().iterator
+      }
+  }
+
+  /** Streaming throttle/debounce — the dual of q_throttle: keep an
+    * event iff it is ≥ `gapNs` after its predecessor in the same
+    * (user, type) stream, predecessor meaning the previous event
+    * whether or not IT was kept (the lag-gap contract, which is what
+    * makes the state O(1): just the previous timestamp). In-order
+    * arrival per key gives exactly the batch window result.
+    */
+  def throttled(events: Dataset[ThrottleEvent], gapNs: Long)
+      : Dataset[ThrottleKept] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[ThrottleState, ThrottleKept](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state: GroupState[ThrottleState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
+          var prev = state.getOption.map(_.prevNs)
+          val out = Seq.newBuilder[ThrottleKept]
+          sorted.foreach { e =>
+            if (prev.forall(p => e.ts_ns - p >= gapNs))
+              out += ThrottleKept(e.user_id, e.event_type, e.event_id)
+            prev = Some(e.ts_ns)
+          }
+          prev.foreach(p => state.update(ThrottleState(p)))
           out.result().iterator
       }
   }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.{SessionEvent, StreamingOps}
+import graft.streaming.{SessionEvent, StreamingOps, ThrottleEvent}
 
 /** Streaming duals replay the events fixture and must agree with the
   * batch queries on the same data. */
@@ -220,5 +220,43 @@ class StreamingSpec extends SparkSpec {
     users.foreach { u =>
       assert(emitted.count(_._1 == u) >= expectClosed(u))
     }
+  }
+
+  test("streaming throttle emits exactly the batch lag-gap result") {
+    val batch = SparkEntry.queries("q_throttle")(spark, dir)
+      .as[(Long, String, Long)].collect().toSet
+    val stream = StreamingOps.eventsStream(spark, dir)
+      .select($"user_id", $"event_type", $"event_id", $"ts_ns")
+      .as[ThrottleEvent]
+    val q = StreamingOps.throttled(stream, 60L * 1000 * 1000 * 1000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("thr")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("thr")
+      .as[(Long, String, Long)].collect().toSet
+    // a filter has no open tail: the stream result IS the batch result
+    assert(emitted === batch)
+  }
+
+  test("streaming throttle state carries across microbatches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[ThrottleEvent]
+    val q = StreamingOps.throttled(ms.toDS(), 100L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("thr2").start()
+    // batch 1: keep (first), drop (gap 50)
+    ms.addData(ThrottleEvent(1, "click", 10, 1000),
+               ThrottleEvent(1, "click", 11, 1050))
+    q.processAllAvailable()
+    // batch 2: gap vs event 11 (not vs kept event 10): 1050+100=1150
+    // → 1140 dropped, 1260 kept
+    ms.addData(ThrottleEvent(1, "click", 12, 1140),
+               ThrottleEvent(1, "click", 13, 1260))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("thr2").as[(Long, String, Long)]
+      .collect().map(_._3).toSet
+    assert(got === Set(10L, 13L))
   }
 }
