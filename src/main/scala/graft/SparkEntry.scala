@@ -1636,6 +1636,40 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           row_number().over(w).cast("long").as("round"), col("src_idx"))
     }),
+
+    // ---- trailing-7-day distinct active users per day, EXACT at
+    //      scale: each (user, active-day) covers the 7 window-ends it
+    //      participates in (bounded ×7 explode), then one distinct +
+    //      one count — no per-day set union, no window over sets ----
+    "q_rolling_distinct" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+        .distinct()
+      val cov = ud
+        .select(col("user_id"),
+                explode(expr("sequence(day, day + 6)")).as("d"))
+        .distinct()
+      cov.crossJoin(broadcast(ud.agg(max("day").as("mxd"))))
+        .filter(col("d") <= col("mxd"))
+        .groupBy("d").agg(count(lit(1)).as("n_users"))
+    }),
+
+    // ---- period-over-period: day-over-day revenue delta in signed
+    //      ppm (sign factored out of the floor-div, year-partitioned
+    //      lag so no single global window) ----
+    "q_period_change" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      val w = Window.partitionBy(year(col("day"))).orderBy(col("day"))
+      daily.withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        .filter(col("prev_cents").isNotNull)
+        .select(col("day"), col("cents"), col("prev_cents"),
+          expr("""(case when cents < prev_cents then -1 else 1 end)
+                  * (abs(cents - prev_cents) * 1000000 div prev_cents)""")
+            .as("change_ppm"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -3627,6 +3661,32 @@ object SparkEntry {
                AS round,
              src_idx
       FROM documents d JOIN s USING (source)
+    """,
+
+    "q_rolling_distinct" -> """
+      WITH ud AS (SELECT DISTINCT user_id,
+                         epoch_ns(ts) // 86400000000000 AS day
+                  FROM events),
+      mx AS (SELECT max(day) AS mxd FROM ud),
+      cov AS (SELECT DISTINCT user_id, day + i AS d
+              FROM ud, (SELECT unnest(range(0, 7)) AS i))
+      SELECT d, count(*) AS n_users FROM cov, mx
+      WHERE d <= mxd GROUP BY d
+    """,
+
+    "q_period_change" -> """
+      WITH daily AS (SELECT o_orderdate::DATE AS day,
+                            sum(floor(o_totalprice * 100 + 0.5)::BIGINT)
+                              AS cents
+                     FROM orders GROUP BY 1),
+      l AS (SELECT *, lag(cents) OVER (PARTITION BY year(day)
+                                       ORDER BY day) AS prev_cents
+            FROM daily)
+      SELECT day, cents::BIGINT AS cents, prev_cents::BIGINT AS prev_cents,
+             ((CASE WHEN cents < prev_cents THEN -1 ELSE 1 END) *
+              (abs(cents - prev_cents) * 1000000 // prev_cents))::BIGINT
+               AS change_ppm
+      FROM l WHERE prev_cents IS NOT NULL
     """,
   )
 

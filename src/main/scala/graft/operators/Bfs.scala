@@ -34,10 +34,13 @@ object Bfs {
                        maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.toDF("u", "v").filter(col("u") =!= col("v"))
-    // symmetric closure once, de-duplicated, pre-partitioned on the
-    // probe side key so every round's join reuses one layout
-    val sym = e.union(e.select(col("v"), col("u")))
-      .distinct()
+    // canonicalize + dedupe HALF the rows, then mirror — the two
+    // orientations are disjoint, so the union needs no second distinct
+    val canon = e.select(least(col("u"), col("v")).as("u"),
+                         greatest(col("u"), col("v")).as("v")).distinct()
+    // pre-partitioned on the probe-side key so every round's join
+    // reuses one layout
+    val sym = canon.union(canon.select(col("v"), col("u")))
       .repartition(col("u"))
       .localCheckpoint(eager = true)
 

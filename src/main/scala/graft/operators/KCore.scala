@@ -30,11 +30,19 @@ object KCore {
   def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got $k, $rounds")
     val e = edges.toDF("u", "v").filter(col("u") =!= col("v"))
-    var sym = e.union(e.select(col("v"), col("u"))).distinct()
+    // canonical half deduped once; the mirrored orientations are
+    // disjoint so the union needs no second distinct
+    val canon = e.select(least(col("u"), col("v")).as("u"),
+                         greatest(col("u"), col("v")).as("v")).distinct()
+    var sym = canon.union(canon.select(col("v"), col("u")))
       .localCheckpoint(eager = true)
     for (_ <- 1 to rounds) {
+      // materialize the survivor set: it feeds BOTH endpoint
+      // semi-joins, and it is node-sized (small), so the checkpoint
+      // is cheaper than running the degree aggregate twice
       val keep = sym.groupBy("u").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("u")
+        .localCheckpoint(eager = true)
       sym = sym
         .join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
