@@ -1670,6 +1670,44 @@ object SparkEntry {
                   * (abs(cents - prev_cents) * 1000000 div prev_cents)""")
             .as("change_ppm"))
     }),
+
+    // ---- HLL set algebra: audience-overlap estimation from MERGED
+    //      register states (union = per-register max — the property
+    //      that lets pre-computed per-segment sketches answer overlap
+    //      questions without rescanning users). Integer surface: raw
+    //      rho sums + inv-scaled sums (Σ 2^(53−rho) over all 256
+    //      registers); the float harmonic estimate + inclusion-
+    //      exclusion stay consumer-side ----
+    "q_sketch_intersect" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def regs(t: String, nm: String) =
+        graft.functions.Sketches.hllRegisters(
+          ev.filter(col("event_type") === t).select(col("user_id")),
+          "user_id", 8)
+          .withColumnRenamed("max_rho", nm)
+      regs("click", "rho_a")
+        .join(regs("purchase", "rho_b"), Seq("register"), "full_outer")
+        .select(coalesce(col("rho_a"), lit(0L)).as("ra"),
+                coalesce(col("rho_b"), lit(0L)).as("rb"))
+        .withColumn("ru", greatest(col("ra"), col("rb")))
+        .agg(count(lit(1)).as("n_obs"),
+          sum("ra").as("sum_rho_a"), sum("rb").as("sum_rho_b"),
+          sum("ru").as("sum_rho_union"),
+          sum(expr("shiftleft(cast(1 as bigint), cast(53 - ra as int))"))
+            .as("ia"),
+          sum(expr("shiftleft(cast(1 as bigint), cast(53 - rb as int))"))
+            .as("ib"),
+          sum(expr("shiftleft(cast(1 as bigint), cast(53 - ru as int))"))
+            .as("iu"))
+        .select(col("n_obs"), col("sum_rho_a"), col("sum_rho_b"),
+          col("sum_rho_union"),
+          (col("ia") + (lit(256L) - col("n_obs")) * lit(1L << 53))
+            .as("inv_a"),
+          (col("ib") + (lit(256L) - col("n_obs")) * lit(1L << 53))
+            .as("inv_b"),
+          (col("iu") + (lit(256L) - col("n_obs")) * lit(1L << 53))
+            .as("inv_union"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -3687,6 +3725,36 @@ object SparkEntry {
               (abs(cents - prev_cents) * 1000000 // prev_cents))::BIGINT
                AS change_ppm
       FROM l WHERE prev_cents IS NOT NULL
+    """,
+
+    "q_sketch_intersect" -> """
+      WITH ha AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+                    AS h FROM events WHERE event_type = 'click'),
+      ra AS (SELECT (h % 256)::BIGINT AS register,
+                    max(CASE WHEN (h >> 8) = 0 THEN 53
+                             ELSE 53 - length(bin(h >> 8)) END)::BIGINT
+                      AS rho_a
+             FROM ha GROUP BY 1),
+      hb AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+                    AS h FROM events WHERE event_type = 'purchase'),
+      rb AS (SELECT (h % 256)::BIGINT AS register,
+                    max(CASE WHEN (h >> 8) = 0 THEN 53
+                             ELSE 53 - length(bin(h >> 8)) END)::BIGINT
+                      AS rho_b
+             FROM hb GROUP BY 1),
+      j AS (SELECT coalesce(rho_a, 0) AS ra, coalesce(rho_b, 0) AS rb,
+                   greatest(coalesce(rho_a, 0), coalesce(rho_b, 0)) AS ru
+            FROM ra FULL OUTER JOIN rb ON ra.register = rb.register)
+      SELECT count(*)::BIGINT AS n_obs,
+             sum(ra)::BIGINT AS sum_rho_a, sum(rb)::BIGINT AS sum_rho_b,
+             sum(ru)::BIGINT AS sum_rho_union,
+             (sum(1::BIGINT << (53 - ra)::INT) +
+              (256 - count(*)) * (1::BIGINT << 53))::BIGINT AS inv_a,
+             (sum(1::BIGINT << (53 - rb)::INT) +
+              (256 - count(*)) * (1::BIGINT << 53))::BIGINT AS inv_b,
+             (sum(1::BIGINT << (53 - ru)::INT) +
+              (256 - count(*)) * (1::BIGINT << 53))::BIGINT AS inv_union
+      FROM j
     """,
   )
 

@@ -19,11 +19,30 @@ import org.apache.spark.sql.functions._
   */
 object CoOccurrence {
 
+  /** C(b,2) blow-up guard: the operator's scale contract is BOUNDED
+    * baskets, and silently exploding a hub basket (a token shared by
+    * a million documents, a user in every session) into 5·10¹¹ pairs
+    * is exactly the failure mode that kills a 100-TB run hours in.
+    * The check rides the existing pass as a codegen'd conditional —
+    * `raise_error` only evaluates on violation, so there is no extra
+    * job and no cost on the happy path. Callers with genuinely hub-
+    * heavy domains should threshold upstream (df caps, stopgrams) —
+    * that is a semantic decision the operator must not make silently.
+    */
+  private def guarded(sets: DataFrame, maxBasket: Int): DataFrame =
+    sets.withColumn("items",
+      when(size(col("items")) > maxBasket,
+        expr(s"raise_error(concat('CoOccurrence: basket ', basket, " +
+             s"' has ', size(items), ' items (max $maxBasket); " +
+             "bound or pre-filter hub baskets'))"))
+        .otherwise(col("items")))
+
   /** Weighted edges (u, v, w) with u < v; w = number of shared
-    * baskets. */
+    * baskets. Fails loudly on any basket above `maxBasket` items
+    * (see [[guarded]]). */
   def weighted(items: DataFrame, basketCol: String,
-               itemCol: String): DataFrame =
-    sets(items, basketCol, itemCol)
+               itemCol: String, maxBasket: Int = 100000): DataFrame =
+    guarded(sets(items, basketCol, itemCol), maxBasket)
       .select(explode(expr(
         "flatten(transform(items, (x, i) -> " +
         "transform(slice(items, i + 2, size(items)), " +

@@ -66,6 +66,24 @@ class BasketGraphStatsSpec extends SparkSpec {
     assert(only === Map(0 -> 0))
   }
 
+  // ---- CoOccurrence guard -------------------------------------------
+
+  test("co-occurrence fails loudly on a hub basket instead of exploding") {
+    val ok = (1 to 50).map(i => (1, i)) ++ Seq((2, 1), (2, 2))
+    // 50-item basket passes a maxBasket of 50…
+    assert(graft.operators.CoOccurrence
+      .weighted(ok.toDF("b", "i"), "b", "i", maxBasket = 50)
+      .count() > 0)
+    // …and fails a maxBasket of 49 with the diagnostic, not silence
+    val e = intercept[Exception] {
+      graft.operators.CoOccurrence
+        .weighted(ok.toDF("b", "i"), "b", "i", maxBasket = 49)
+        .count()
+    }
+    assert(e.getMessage.contains("CoOccurrence") ||
+      Option(e.getCause).exists(_.getMessage.contains("CoOccurrence")))
+  }
+
   // ---- KCore --------------------------------------------------------
 
   test("peel at k=2 dissolves a path but preserves a cycle") {

@@ -71,4 +71,31 @@ class SketchSpec extends SparkSpec {
 
   // SQL registration (heavy_hitters(col, k) + literal validation) is
   // covered in ExtensionsSpec, whose session carries GraftExtensions.
+
+  test("HLL register algebra estimates set overlap within HLL error") {
+    // two overlapping id sets; union sketch = per-register max, and
+    // the q_sketch_intersect integer surface (inv_scaled sums) feeds
+    // the consumer-side harmonic estimate + inclusion-exclusion
+    val p = 8; val m = 1 << p
+    def inv(df: org.apache.spark.sql.DataFrame): Double = {
+      val rows = Sketches.hllRegisters(df, "id", p)
+        .as[(Long, Long)].collect().toMap
+      (0 until m).map(r => math.pow(2.0, -rows.getOrElse(r.toLong, 0L)
+        .toDouble)).sum
+    }
+    // raw HLL estimate (no small-range correction: the set sizes used
+    // here are comfortably above the 2.5·m correction regime)
+    def est(invSum: Double): Double =
+      0.7213 / (1 + 1.079 / m) * m * m / invSum
+    val a = (1 to 4000).map(i => s"u$i").toDF("id")
+    val b = (3001 to 7000).map(i => s"u$i").toDF("id")
+    val u = (1 to 7000).map(i => s"u$i").toDF("id")
+    val (ea, eb, eu) = (est(inv(a)), est(inv(b)), est(inv(u)))
+    // relative error of a p=8 HLL is ~1.04/√256 ≈ 6.5%; allow 3σ-ish
+    assert(math.abs(ea - 4000) / 4000 < 0.2, s"ea=$ea")
+    assert(math.abs(eu - 7000) / 7000 < 0.2, s"eu=$eu")
+    val overlap = ea + eb - eu // inclusion-exclusion ≈ 1000
+    assert(overlap > 0 && math.abs(overlap - 1000) < 1000 * 0.9,
+      s"overlap=$overlap")
+  }
 }
