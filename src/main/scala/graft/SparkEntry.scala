@@ -1708,6 +1708,67 @@ object SparkEntry {
           (col("iu") + (lit(256L) - col("n_obs")) * lit(1L << 53))
             .as("inv_union"))
     }),
+
+    // ---- multi-touch attribution with EXACT integer credit: each
+    //      purchase's 10⁶ ppm split equally over its 24 h-lookback
+    //      clicks, remainder units to the EARLIEST clicks (largest-
+    //      remainder per purchase) — Σ credit ≡ 10⁶ per purchase ----
+    "q_multitouch" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                expr("ts_ns div 1000").as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+                col("us").as("click_us"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+                col("us").as("buy_us"))
+      val touches = buys.join(clicks, "user_id")
+        .filter(col("click_us") <= col("buy_us") &&
+                col("buy_us") - col("click_us") <= lit(86400000000L))
+      val w = Window.partitionBy("purchase_id")
+        .orderBy(col("click_us"), col("click_id"))
+      touches
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("purchase_id")))
+        .withColumn("rk", row_number().over(w))
+        .select(col("purchase_id"), col("click_id"),
+          (expr("1000000 div n") +
+            when(col("rk") <= expr("1000000 % n"), 1L).otherwise(0L))
+            .as("credit_ppm"))
+    }),
+
+    // ---- floor-at-zero running balance WITHOUT a sequential
+    //      recurrence: b_i = max(0, b_{i-1} + d_i) unrolls to
+    //      prefix_i − least(0, min_{j≤i} prefix_j) — two window
+    //      passes over one sort, fully parallel per part ----
+    "q_capped_balance" -> ((s, dir) =>
+      graft.operators.Series.cappedBalance(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber"),
+            when(col("l_linestatus") === "F", col("l_quantity"))
+              .otherwise(-col("l_quantity")).cast("long").as("delta")),
+        "l_partkey", Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+        "delta")
+        .select("l_partkey", "l_orderkey", "l_linenumber", "delta",
+                "balance")),
+
+    // ---- hierarchical contribution: each nation's share of its
+    //      region's customer order volume, ppm ----
+    "q_share_of_parent" -> ((s, dir) => {
+      val vol = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"),
+              col("o_custkey") === col("c_custkey"))
+        .join(Tables.load(s, dir, "nation"),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("n_nationkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val wr = Window.partitionBy("n_regionkey")
+      vol.withColumn("region_orders", sum("n_orders").over(wr))
+        .select(col("n_regionkey"), col("n_nationkey"), col("n_orders"),
+          col("region_orders"),
+          expr("n_orders * 1000000 div region_orders").as("share_ppm"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -3755,6 +3816,57 @@ object SparkEntry {
              (sum(1::BIGINT << (53 - ru)::INT) +
               (256 - count(*)) * (1::BIGINT << 53))::BIGINT AS inv_union
       FROM j
+    """,
+
+    "q_multitouch" -> """
+      WITH e AS (SELECT event_id, user_id, event_type,
+                        epoch_ns(ts) // 1000 AS us
+                 FROM events),
+      t AS (SELECT b.event_id AS purchase_id, c.event_id AS click_id,
+                   c.us AS click_us
+            FROM e b JOIN e c ON b.user_id = c.user_id
+            WHERE b.event_type = 'purchase' AND c.event_type = 'click'
+              AND c.us <= b.us AND b.us - c.us <= 86400000000),
+      r AS (SELECT *, count(*) OVER (PARTITION BY purchase_id) AS n,
+                   row_number() OVER (PARTITION BY purchase_id
+                                      ORDER BY click_us, click_id) AS rk
+            FROM t)
+      SELECT purchase_id, click_id,
+             (1000000 // n + CASE WHEN rk <= 1000000 % n THEN 1 ELSE 0 END)
+               ::BIGINT AS credit_ppm
+      FROM r
+    """,
+
+    "q_capped_balance" -> """
+      WITH d AS (SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+                        (CASE WHEN l_linestatus = 'F' THEN l_quantity
+                              ELSE -l_quantity END)::BIGINT AS delta
+                 FROM lineitem),
+      p1 AS (SELECT *, sum(delta) OVER w AS prefix FROM d
+             WINDOW w AS (PARTITION BY l_partkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING)),
+      p2 AS (SELECT *, least(0, min(prefix) OVER w) AS low FROM p1
+             WINDOW w AS (PARTITION BY l_partkey
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING))
+      SELECT l_partkey, l_orderkey, l_linenumber, delta,
+             (prefix - low)::BIGINT AS balance
+      FROM p2
+    """,
+
+    "q_share_of_parent" -> """
+      WITH vol AS (SELECT n_regionkey, n_nationkey, count(*) AS n_orders
+                   FROM orders JOIN customer ON o_custkey = c_custkey
+                               JOIN nation ON c_nationkey = n_nationkey
+                   GROUP BY 1, 2)
+      SELECT n_regionkey, n_nationkey, n_orders,
+             sum(n_orders) OVER (PARTITION BY n_regionkey)::BIGINT
+               AS region_orders,
+             (n_orders * 1000000 //
+              sum(n_orders) OVER (PARTITION BY n_regionkey))::BIGINT
+               AS share_ppm
+      FROM vol
     """,
   )
 

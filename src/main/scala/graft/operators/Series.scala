@@ -80,4 +80,24 @@ object Series {
       .drop("_s1", "_s2", "_dev")
       .withColumnRenamed("_n", "n_key_rows")
   }
+
+  /** Floor-at-zero running balance (inventory that cannot go
+    * negative, a token bucket, a drawdown-reset equity curve):
+    * `b_i = max(0, b_{i−1} + d_i)`. The recurrence looks inherently
+    * sequential, but unrolls to closed form
+    * `b_i = prefix_i − least(0, min_{j≤i} prefix_j)` — the balance is
+    * the raw prefix sum re-based to its historical minimum (clamped at
+    * 0). Two cumulative windows over ONE sort, fully parallel across
+    * keys, integer-exact. Appends a `balance` column; `orderCols`
+    * must be a total order within each key.
+    */
+  def cappedBalance(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                    deltaCol: String): DataFrame = {
+    val run = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_prefix", sum(deltaCol).over(run))
+      .withColumn("_low", least(lit(0L), min("_prefix").over(run)))
+      .withColumn("balance", col("_prefix") - col("_low"))
+      .drop("_prefix", "_low")
+  }
 }

@@ -435,4 +435,28 @@ class SeriesGraphSpec extends SparkSpec {
     val got = Dedup.containmentPairs(docs, "doc_id", "text", 3, 100000L, 3)
     assert(got.isEmpty)
   }
+
+  // ---- capped balance ---------------------------------------------------
+
+  test("cappedBalance window identity equals the sequential fold") {
+    val rows = for (k <- 1 to 5; i <- 1 to 200)
+      yield (k.toLong, i.toLong, (rnd.nextInt(21) - 12).toLong)
+    val got = graft.operators.Series
+      .cappedBalance(rows.toDF("k", "i", "delta"), "k", Seq("i"), "delta")
+      .select("k", "i", "balance").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      var b = 0L
+      rs.sortBy(_._2).foreach { case (_, i, d) =>
+        b = math.max(0L, b + d)
+        assert(got((k, i)) === b, s"key $k step $i")
+      }
+    }
+    // all-negative stream pins to zero; all-positive equals prefix sum
+    val edge = Seq((9L, 1L, -5L), (9L, 2L, -1L), (9L, 3L, 4L))
+      .toDF("k", "i", "delta")
+    val e = graft.operators.Series.cappedBalance(edge, "k", Seq("i"), "delta")
+      .select("i", "balance").as[(Long, Long)].collect().toMap
+    assert(e === Map(1L -> 0L, 2L -> 0L, 3L -> 4L))
+  }
 }
