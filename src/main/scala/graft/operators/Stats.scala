@@ -80,23 +80,31 @@ object Stats {
                    valueCol: Column): DataFrame = {
     val d = df.select(groupCols.map(col) :+ valueCol.cast("long").as("v"): _*)
 
+    // weighted crossing over (value, weight) rows — both passes run on
+    // pre-aggregated per-value counts, never on raw rows
     def crossing(t: DataFrame, vc: String, out: String): DataFrame = {
-      val byVal = t.groupBy(groupCols.map(col) :+ col(vc): _*)
-        .agg(count(lit(1)).as("w"))
       val wc = Window.partitionBy(groupCols.map(col): _*).orderBy(col(vc))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wt = Window.partitionBy(groupCols.map(col): _*)
-      byVal.withColumn("cum", sum("w").over(wc))
+      t.withColumn("cum", sum("w").over(wc))
         .withColumn("total", sum("w").over(wt))
         .filter(col("cum") * 2 >= col("total"))
         .groupBy(groupCols.map(col): _*)
         .agg(min(vc).as(out))
     }
 
-    val med = crossing(d, "v", "median")
-    val dev = d.join(broadcast(med), groupCols)
-      .select(groupCols.map(col) :+ abs(col("v") - col("median")).as("dev"): _*)
-    crossing(dev, "dev", "mad").join(broadcast(med), groupCols)
+    // ONE raw-data aggregation, materialized for both passes: the
+    // deviation relation derives from the per-value counts (|v−med|
+    // carries v's weight), so pass 2 re-aggregates ~distinct-values
+    // rows, not the corpus
+    val byVal = d.groupBy(groupCols.map(col) :+ col("v"): _*)
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(eager = true)
+    val med = crossing(byVal, "v", "median")
+    val devW = byVal.join(broadcast(med), groupCols)
+      .groupBy(groupCols.map(col) :+ abs(col("v") - col("median")).as("dev"): _*)
+      .agg(sum("w").as("w"))
+    crossing(devW, "dev", "mad").join(broadcast(med), groupCols)
       .select(groupCols.map(col) ++ Seq(col("median"), col("mad")): _*)
   }
 }
