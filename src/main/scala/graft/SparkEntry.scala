@@ -1769,6 +1769,48 @@ object SparkEntry {
           col("region_orders"),
           expr("n_orders * 1000000 div region_orders").as("share_ppm"))
     }),
+
+    // ---- state-machine dwell times: how long each user spends in
+    //      each event-type state (state held until the next event) ----
+    "q_dwell_time" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+                expr("ts_ns div 1000").as("us"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .groupBy("user_id", "event_type")
+        .agg(sum(col("next_us") - col("us")).as("dwell_us"),
+             count(lit(1)).as("n_spells"))
+    }),
+
+    // ---- order-independent dataset fingerprint: bit_xor of 60-bit
+    //      row hashes — partition/order/engine independent, the
+    //      manifest-level "did replication change anything" check ----
+    "q_table_checksum" -> ((s, dir) => {
+      val rowHash = graft.functions.Dedup.md5Hash60(
+        concat_ws("", col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          col("o_orderpriority")))
+      Tables.load(s, dir, "orders")
+        .select(rowHash.as("h"))
+        .agg(expr("bit_xor(h)").as("xor_hash"), count(lit(1)).as("n_rows"),
+             sum(expr("h % 1000000007")).as("mod_sum"))
+    }),
+
+    // ---- burstiness: each user's PEAK trailing-1-hour event count
+    //      (a value-range window — the rate-limiter / abuse signal) ----
+    "q_burstiness" -> ((s, dir) => {
+      val frame = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-3599999999L, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("us"))
+        .withColumn("in_hour", count(lit(1)).over(frame))
+        .groupBy("user_id")
+        .agg(max("in_hour").as("peak_hourly"), count(lit(1)).as("n_events"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -3867,6 +3909,44 @@ object SparkEntry {
               sum(n_orders) OVER (PARTITION BY n_regionkey))::BIGINT
                AS share_ppm
       FROM vol
+    """,
+
+    "q_dwell_time" -> """
+      WITH e AS (SELECT user_id, event_type, event_id,
+                        epoch_ns(ts) // 1000 AS us FROM events),
+      l AS (SELECT *, lead(us) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) AS next_us
+            FROM e)
+      SELECT user_id, event_type,
+             sum(next_us - us)::BIGINT AS dwell_us,
+             count(*) AS n_spells
+      FROM l WHERE next_us IS NOT NULL
+      GROUP BY 1, 2
+    """,
+
+    "q_table_checksum" -> """
+      WITH h AS (SELECT ('0x' || substr(md5(
+                   o_orderkey::VARCHAR || o_custkey::VARCHAR ||
+                   o_orderstatus ||
+                   (floor(o_totalprice * 100 + 0.5)::BIGINT)::VARCHAR ||
+                   strftime(o_orderdate, '%Y-%m-%d') ||
+                   o_orderpriority), 1, 15))::BIGINT AS h
+                 FROM orders)
+      SELECT bit_xor(h)::BIGINT AS xor_hash, count(*) AS n_rows,
+             sum(h % 1000000007)::BIGINT AS mod_sum
+      FROM h
+    """,
+
+    "q_burstiness" -> """
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+      c AS (SELECT user_id,
+                   count(*) OVER (PARTITION BY user_id ORDER BY us
+                                  RANGE BETWEEN 3599999999 PRECEDING
+                                        AND CURRENT ROW) AS in_hour
+            FROM e)
+      SELECT user_id, max(in_hour)::BIGINT AS peak_hourly,
+             count(*) AS n_events
+      FROM c GROUP BY 1
     """,
   )
 
