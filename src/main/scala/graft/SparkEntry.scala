@@ -1811,6 +1811,43 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(max("in_hour").as("peak_hourly"), count(lit(1)).as("n_events"))
     }),
+
+    // ---- bounded Bellman-Ford: cheapest ≤3-hop path cost from the
+    //      seed suppliers, edge cost = inverse co-occurrence affinity
+    //      (weighted sibling of q_shortest_path) ----
+    "q_weighted_path" -> ((s, dir) => {
+      val we = graft.operators.CoOccurrence.weighted(
+          Tables.load(s, dir, "lineitem"), "l_orderkey", "l_suppkey")
+        .filter(col("w") >= 5)
+        .select(col("u"), col("v"), expr("1000000 div w").as("cost"))
+      val sources = Tables.load(s, dir, "supplier")
+        .filter(col("s_suppkey") < 3).select(col("s_suppkey"))
+      graft.operators.Bfs.boundedMinCost(we, sources, rounds = 3)
+    }),
+
+    // ---- rank movers: per-brand revenue rank shift between the
+    //      early (<1997) and late halves of the shipping range ----
+    "q_rank_movers" -> ((s, dir) => {
+      val rev = Tables.load(s, dir, "lineitem")
+        .withColumn("period",
+          when(year(col("l_shipdate")) < 1997, "early").otherwise("late"))
+        .join(Tables.load(s, dir, "part")
+                .select(col("p_partkey"), col("p_brand")),
+              col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("period"), col("p_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .as("rev"))
+      val w = Window.partitionBy("p_brand", "period")
+        .orderBy(col("rev").desc, col("p_partkey"))
+      val ranked = rev.withColumn("rk", row_number().over(w))
+      ranked.filter(col("period") === "early")
+        .select(col("p_brand"), col("p_partkey"), col("rk").as("rk_early"))
+        .join(ranked.filter(col("period") === "late")
+          .select(col("p_brand"), col("p_partkey"), col("rk").as("rk_late")),
+          Seq("p_brand", "p_partkey"))
+        .select(col("p_brand"), col("p_partkey"), col("rk_early"),
+          col("rk_late"), (col("rk_early") - col("rk_late")).as("delta"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -3947,6 +3984,56 @@ object SparkEntry {
       SELECT user_id, max(in_hour)::BIGINT AS peak_hourly,
              count(*) AS n_events
       FROM c GROUP BY 1
+    """,
+
+    "q_weighted_path" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      e0 AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_suppkey < b.l_suppkey
+             GROUP BY 1, 2),
+      e AS (SELECT u, v, (1000000 // w)::BIGINT AS cost FROM e0 WHERE w >= 5),
+      sym AS (SELECT u, v, min(cost) AS cost FROM
+                (SELECT u, v, cost FROM e
+                 UNION ALL SELECT v, u, cost FROM e) GROUP BY 1, 2),
+      d0 AS (SELECT DISTINCT s_suppkey AS node, 0::BIGINT AS cost
+             FROM supplier WHERE s_suppkey < 3),
+      r1 AS (SELECT node, min(cost) AS cost FROM (
+               SELECT node, cost FROM d0
+               UNION ALL
+               SELECT sym.v, d0.cost + sym.cost FROM d0
+               JOIN sym ON sym.u = d0.node) GROUP BY 1),
+      r2 AS (SELECT node, min(cost) AS cost FROM (
+               SELECT node, cost FROM r1
+               UNION ALL
+               SELECT sym.v, r1.cost + sym.cost FROM r1
+               JOIN sym ON sym.u = r1.node) GROUP BY 1),
+      r3 AS (SELECT node, min(cost) AS cost FROM (
+               SELECT node, cost FROM r2
+               UNION ALL
+               SELECT sym.v, r2.cost + sym.cost FROM r2
+               JOIN sym ON sym.u = r2.node) GROUP BY 1)
+      SELECT node, cost::BIGINT AS cost FROM r3
+    """,
+
+    "q_rank_movers" -> """
+      WITH rev AS (SELECT p_brand,
+                          CASE WHEN year(l_shipdate) < 1997
+                               THEN 'early' ELSE 'late' END AS period,
+                          p_partkey,
+                          sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)
+                            AS rev
+                   FROM lineitem JOIN part ON l_partkey = p_partkey
+                   GROUP BY 1, 2, 3),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY p_brand, period
+                                          ORDER BY rev DESC, p_partkey)
+                        AS rk
+             FROM rev)
+      SELECT e.p_brand, e.p_partkey, e.rk AS rk_early, l.rk AS rk_late,
+             (e.rk - l.rk)::BIGINT AS delta
+      FROM rk e JOIN rk l ON e.p_brand = l.p_brand
+                         AND e.p_partkey = l.p_partkey
+      WHERE e.period = 'early' AND l.period = 'late'
     """,
   )
 

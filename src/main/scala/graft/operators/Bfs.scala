@@ -63,4 +63,35 @@ object Bfs {
     }
     dist
   }
+
+  /** Bounded Bellman-Ford: min-COST paths within `rounds` hops over
+    * weighted undirected edges `(u, v, cost)` — the weighted sibling
+    * of [[boundedDistances]]. The frontier trick does NOT apply (a
+    * longer path may be cheaper, so settled costs can still improve);
+    * each round relaxes the full cost table through the edge set and
+    * keeps the per-node min. Costs must be non-negative integers;
+    * fixed `rounds` makes the oracle an unrolled CTE chain and bounds
+    * the dataflow like [[PageRank]]'s iteration count.
+    */
+  def boundedMinCost(edges: DataFrame, sources: DataFrame,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.toDF("u", "v", "cost").filter(col("u") =!= col("v"))
+    val sym = e.union(e.select(col("v"), col("u"), col("cost")))
+      .groupBy("u", "v").agg(min("cost").as("cost"))
+      .repartition(col("u"))
+      .localCheckpoint(eager = true)
+    var dist = sources.toDF("node").distinct()
+      .select(col("node"), lit(0L).as("cost"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(sym, dist("node") === sym("u"))
+        .select(sym("v").as("node"),
+                (dist("cost") + sym("cost")).as("cost"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min("cost").as("cost"))
+        .localCheckpoint(eager = true)
+    }
+    dist
+  }
 }

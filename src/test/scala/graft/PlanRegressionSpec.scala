@@ -204,4 +204,33 @@ class PlanRegressionSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q:\n" + p)
     }
   }
+
+  test("skyline is pure window work — one sort partition, no join") {
+    val p = plan("q_skyline")
+    assert(!p.contains("Join"), "skyline must not self-join:\n" + p)
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("capped balance is one window pass — no join, one exchange") {
+    val p = plan("q_capped_balance")
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("MAD pass 2 reads materialized value counts, never the corpus") {
+    // both crossings and the deviation re-aggregation run over the
+    // localCheckpointed per-value counts: the FINAL plan must contain
+    // no file scan at all
+    val p = plan("q_mad")
+    assert(!p.contains("FileScan") && !p.contains("BatchScan"),
+      "corpus rescan in MAD pass 2:\n" + p)
+  }
+
+  test("iterative graph results read checkpointed state, not files") {
+    for (q <- Seq("q_kcore", "q_shortest_path", "q_weighted_path")) {
+      val p = plan(q)
+      assert(!p.contains("FileScan") && !p.contains("BatchScan"),
+        s"$q re-derives edges in its final plan:\n" + p)
+    }
+  }
 }

@@ -61,6 +61,31 @@ class SessionOpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("bounded Bellman-Ford equals reference min-cost within hop budget") {
+    val rnd = new Random(5)
+    for (trial <- 1 to 3) {
+      val n = 4 + rnd.nextInt(15)
+      val edges = (1 to n * 2)
+        .map(_ => (rnd.nextInt(n), rnd.nextInt(n), (1 + rnd.nextInt(9)).toLong))
+        .filter(e => e._1 != e._2)
+      val rounds = 1 + rnd.nextInt(3)
+      // reference: DP over hop count on the symmetric min-cost adjacency
+      val sym = (edges ++ edges.map(e => (e._2, e._1, e._3)))
+        .groupBy(e => (e._1, e._2)).map { case (k, es) => k -> es.map(_._3).min }
+      var best = Map(0 -> 0L)
+      for (_ <- 1 to rounds) {
+        val relaxed = best.toSeq.flatMap { case (u, c) =>
+          sym.collect { case ((`u`, v), w) => v -> (c + w) } }
+        best = (best.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (k, cs) => k -> cs.map(_._2).min }
+      }
+      val got = graft.operators.Bfs.boundedMinCost(
+          edges.toDF("u", "v", "cost"), Seq(0).toDF("node"), rounds)
+        .as[(Int, Long)].collect().toMap
+      assert(got === best, s"trial $trial (n=$n rounds=$rounds)")
+    }
+  }
+
   test("k-core survivors all meet the threshold inside the survivor graph") {
     val rnd = new Random(3)
     for (trial <- 1 to 3) {
