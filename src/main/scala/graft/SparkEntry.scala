@@ -1848,6 +1848,36 @@ object SparkEntry {
         .select(col("p_brand"), col("p_partkey"), col("rk_early"),
           col("rk_late"), (col("rk_early") - col("rk_late")).as("delta"))
     }),
+
+    // ---- winsorized aggregates: clamp price cents to the crossing-
+    //      rule P05/P95 per group, then sum — the outlier-robust total
+    //      (crossing rule: smallest v with 20·cum ≥ total / ≥ 19·total,
+    //      integer-exact, same family as weighted median and MAD) ----
+    "q_winsorize" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))
+      // ONE raw-data aggregation; bounds AND the clipped sum both come
+      // from the materialized per-value counts (clip(v) carries v's
+      // weight) — the corpus is scanned once, the MAD pattern
+      val byVal = d.groupBy("rf", "v").agg(count(lit(1)).as("w"))
+        .localCheckpoint(eager = true)
+      val wc = Window.partitionBy("rf").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("rf")
+      val cum = byVal.withColumn("cum", sum("w").over(wc))
+        .withColumn("total", sum("w").over(wt))
+      val bounds = cum.filter(col("cum") * 20 >= col("total"))
+        .groupBy("rf").agg(min("v").as("p05"))
+        .join(cum.filter(col("cum") * 20 >= col("total") * 19)
+          .groupBy("rf").agg(min("v").as("p95")), "rf")
+      byVal.join(broadcast(bounds), "rf")
+        .groupBy("rf", "p05", "p95")
+        .agg(sum(greatest(col("p05"), least(col("p95"), col("v"))) * col("w"))
+               .as("winsorized_cents"),
+             sum("w").as("n"))
+        .select("rf", "p05", "p95", "winsorized_cents", "n")
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -4034,6 +4064,27 @@ object SparkEntry {
       FROM rk e JOIN rk l ON e.p_brand = l.p_brand
                          AND e.p_partkey = l.p_partkey
       WHERE e.period = 'early' AND l.period = 'late'
+    """,
+
+    "q_winsorize" -> """
+      WITH d AS (SELECT l_returnflag AS rf,
+                        floor(l_extendedprice * 100 + 0.5)::BIGINT AS v
+                 FROM lineitem),
+      bv AS (SELECT rf, v, count(*) AS w FROM d GROUP BY 1, 2),
+      c AS (SELECT rf, v,
+                   sum(w) OVER (PARTITION BY rf ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(w) OVER (PARTITION BY rf) AS total
+            FROM bv),
+      lo AS (SELECT rf, min(v) AS p05 FROM c
+             WHERE cum * 20 >= total GROUP BY rf),
+      hi AS (SELECT rf, min(v) AS p95 FROM c
+             WHERE cum * 20 >= total * 19 GROUP BY rf)
+      SELECT rf, p05, p95,
+             sum(greatest(p05, least(p95, v)))::BIGINT AS winsorized_cents,
+             count(*) AS n
+      FROM d JOIN lo USING (rf) JOIN hi USING (rf)
+      GROUP BY 1, 2, 3
     """,
   )
 
