@@ -1878,6 +1878,40 @@ object SparkEntry {
              sum("w").as("n"))
         .select("rf", "p05", "p95", "winsorized_cents", "n")
     }),
+
+    // ---- Gini inequality of customer order volume per nation,
+    //      integer-exact via the rank-sum identity:
+    //      G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx), xᵢ ascending ----
+    "q_gini" -> ((s, dir) => {
+      val perCust = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"),
+              col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_custkey"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("x"), col("c_custkey"))
+      perCust
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+             sum(expr("i * x")).as("six"))
+        .select(col("c_nationkey"), col("n"), col("sx"),
+          expr("(2 * six - (n + 1) * sx) * 1000000 div (n * sx)")
+            .as("gini_ppm"))
+    }),
+
+    // ---- calendar seasonality: day-of-week share of order volume
+    //      (ISO weekday 1-7, portable across engines) ----
+    "q_seasonality" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "orders")
+        .select(dayofweek(col("o_orderdate")).as("dow_sun1"))
+        // normalize to ISO (Mon=1..Sun=7): Spark dayofweek is Sun=1
+        .select(expr("((dow_sun1 + 5) % 7) + 1").as("iso_dow"))
+        .groupBy("iso_dow").agg(count(lit(1)).as("n"))
+      d.crossJoin(broadcast(d.agg(sum("n").as("total"))))
+        .select(col("iso_dow"), col("n"),
+          expr("n * 1000000 div total").as("share_ppm"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -4085,6 +4119,27 @@ object SparkEntry {
              count(*) AS n
       FROM d JOIN lo USING (rf) JOIN hi USING (rf)
       GROUP BY 1, 2, 3
+    """,
+
+    "q_gini" -> """
+      WITH pc AS (SELECT c_nationkey, c_custkey, count(*) AS x
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                  GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                                         ORDER BY x, c_custkey) AS i
+            FROM pc)
+      SELECT c_nationkey, count(*) AS n, sum(x)::BIGINT AS sx,
+             ((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000 //
+              (count(*) * sum(x)))::BIGINT AS gini_ppm
+      FROM r GROUP BY 1
+    """,
+
+    "q_seasonality" -> """
+      WITH d AS (SELECT isodow(o_orderdate)::BIGINT AS iso_dow FROM orders),
+      c AS (SELECT iso_dow, count(*) AS n FROM d GROUP BY 1),
+      t AS (SELECT sum(n) AS total FROM c)
+      SELECT iso_dow, n, (n * 1000000 // total)::BIGINT AS share_ppm
+      FROM c, t
     """,
   )
 
