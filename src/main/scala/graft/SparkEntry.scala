@@ -1912,6 +1912,34 @@ object SparkEntry {
         .select(col("iso_dow"), col("n"),
           expr("n * 1000000 div total").as("share_ppm"))
     }),
+
+    // ---- greedy max-coverage subset selection (diverse
+    //      representative picking for a curation budget): k rounds,
+    //      each picks the doc adding the most UNCOVERED trigrams
+    //      (ties → smallest doc_id), then anti-joins its grams out.
+    //      The k argmaxes are the only driver actions (one row each);
+    //      the gram relation stays distributed throughout ----
+    "q_max_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val g0 = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.TextAnalysis.shingles(col("text"), 3))).as("g"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      var remaining = g0
+      val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+      for (round <- 1 to 3) {
+        val top = remaining.groupBy("doc_id").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("doc_id")).limit(1).head()
+        val docId = top.getLong(0)
+        picks += ((round, docId, top.getLong(1)))
+        val covG = remaining.filter(col("doc_id") === docId).select("g")
+        remaining = remaining.join(covG, Seq("g"), "left_anti")
+          .filter(col("doc_id") =!= docId)
+          .localCheckpoint(eager = true)
+      }
+      picks.toSeq.toDF("pick_order", "doc_id", "new_grams")
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -4140,6 +4168,34 @@ object SparkEntry {
       t AS (SELECT sum(n) AS total FROM c)
       SELECT iso_dow, n, (n * 1000000 // total)::BIGINT AS share_ppm
       FROM c, t
+    """,
+
+    // 3 unrolled greedy rounds; same trigram derivation as
+    // q_containment's oracle
+    "q_max_coverage" -> s"""
+      WITH d AS (SELECT doc_id, $duckToks AS t FROM documents),
+      g AS (SELECT DISTINCT doc_id, g FROM (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))))
+                AS g
+              FROM d WHERE len(t) >= 3)),
+      p1 AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1
+             ORDER BY n DESC, doc_id LIMIT 1),
+      r1 AS (SELECT * FROM g
+             WHERE doc_id != (SELECT doc_id FROM p1)
+               AND g NOT IN (SELECT g.g FROM g JOIN p1 USING (doc_id))),
+      p2 AS (SELECT doc_id, count(*) AS n FROM r1 GROUP BY 1
+             ORDER BY n DESC, doc_id LIMIT 1),
+      r2 AS (SELECT * FROM r1
+             WHERE doc_id != (SELECT doc_id FROM p2)
+               AND g NOT IN (SELECT r1.g FROM r1 JOIN p2 USING (doc_id))),
+      p3 AS (SELECT doc_id, count(*) AS n FROM r2 GROUP BY 1
+             ORDER BY n DESC, doc_id LIMIT 1)
+      SELECT 1::BIGINT AS pick_order, doc_id, n::BIGINT AS new_grams FROM p1
+      UNION ALL
+      SELECT 2::BIGINT, doc_id, n::BIGINT FROM p2
+      UNION ALL
+      SELECT 3::BIGINT, doc_id, n::BIGINT FROM p3
     """,
   )
 
