@@ -1940,6 +1940,22 @@ object SparkEntry {
       }
       picks.toSeq.toDF("pick_order", "doc_id", "new_grams")
     }),
+
+    // ---- deterministic experiment assignment: salted-hash 50/50
+    //      variant split, exposure-balance surface per event type
+    //      (the sample-ratio-mismatch check's integer inputs) ----
+    "q_ab_assign" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"))
+        .distinct()
+        .withColumn("variant",
+          when(pmod(graft.functions.Dedup.md5Hash60(
+            concat(lit("exp1:"), col("user_id"))), lit(100)) < 50, "A")
+            .otherwise("B"))
+        .groupBy("event_type")
+        .agg(sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+             sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+        .withColumn("delta", col("n_a") - col("n_b"))),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -4196,6 +4212,21 @@ object SparkEntry {
       SELECT 2::BIGINT, doc_id, n::BIGINT FROM p2
       UNION ALL
       SELECT 3::BIGINT, doc_id, n::BIGINT FROM p3
+    """,
+
+    "q_ab_assign" -> """
+      WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+      v AS (SELECT event_type,
+                   CASE WHEN ('0x' || substr(md5('exp1:' || user_id::VARCHAR),
+                                             1, 15))::BIGINT % 100 < 50
+                        THEN 'A' ELSE 'B' END AS variant
+            FROM u)
+      SELECT event_type,
+             sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+             (sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) -
+              sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END))::BIGINT AS delta
+      FROM v GROUP BY 1
     """,
   )
 

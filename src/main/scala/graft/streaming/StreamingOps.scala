@@ -19,6 +19,10 @@ case class ThrottleEvent(user_id: Long, event_type: String,
 case class ThrottleState(prevNs: Long)
 case class ThrottleKept(user_id: Long, event_type: String, event_id: Long)
 
+case class BalanceDelta(key: Long, seq: Long, delta: Long)
+case class BalanceState(balance: Long, lastSeq: Long)
+case class BalanceOut(key: Long, seq: Long, balance: Long)
+
 case class SessionEvent(user_id: Long, event_id: Long, ts_ns: Long)
 case class SessionState(sessionStartNs: Long, lastNs: Long, n: Long)
 case class SessionOut(user_id: Long, session_start_ns: Long,
@@ -155,6 +159,34 @@ object StreamingOps {
             prev = Some(e.ts_ns)
           }
           prev.foreach(p => state.update(ThrottleState(p)))
+          out.result().iterator
+      }
+  }
+
+  /** Streaming floor-at-zero running balance — the live dual of
+    * `Series.cappedBalance`: the batch form unrolls the recurrence
+    * into two windows; the streaming form just RUNS the recurrence,
+    * because per-key arrival order is exactly the sequential
+    * dependency the batch identity removes. State is O(1) per key
+    * (current balance + last applied seq for in-order enforcement).
+    */
+  def cappedBalanceStream(deltas: Dataset[BalanceDelta])
+      : Dataset[BalanceOut] = {
+    import deltas.sparkSession.implicits._
+    deltas.groupByKey(_.key)
+      .flatMapGroupsWithState[BalanceState, BalanceOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state: GroupState[BalanceState]) =>
+          val sorted = it.toSeq.sortBy(_.seq)
+          var st = state.getOption.getOrElse(BalanceState(0L, Long.MinValue))
+          val out = Seq.newBuilder[BalanceOut]
+          sorted.foreach { d =>
+            if (d.seq > st.lastSeq) {
+              st = BalanceState(math.max(0L, st.balance + d.delta), d.seq)
+              out += BalanceOut(key, d.seq, st.balance)
+            }
+          }
+          state.update(st)
           out.result().iterator
       }
   }

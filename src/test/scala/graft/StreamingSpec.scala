@@ -259,4 +259,28 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_._3).toSet
     assert(got === Set(10L, 13L))
   }
+
+  test("streaming capped balance equals the batch window identity") {
+    import graft.streaming.{BalanceDelta, StreamingOps => SO}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(9)
+    val deltas = for (k <- 1L to 4L; i <- 1L to 50L)
+      yield BalanceDelta(k, i, rnd.nextInt(21) - 12L)
+    val batch = graft.operators.Series.cappedBalance(
+        deltas.toDF(), "key", Seq("seq"), "delta")
+      .select("key", "seq", "balance")
+      .as[(Long, Long, Long)].collect().toSet
+    val ms = MemoryStream[BalanceDelta]
+    val q = SO.cappedBalanceStream(ms.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bal").start()
+    // deliver in two microbatches to exercise cross-batch state carry
+    val (b1, b2) = deltas.partition(_.seq <= 25)
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("bal")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
 }
