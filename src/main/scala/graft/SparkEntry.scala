@@ -1956,6 +1956,38 @@ object SparkEntry {
         .agg(sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
              sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
         .withColumn("delta", col("n_a") - col("n_b"))),
+
+    // ---- longest consecutive-day activity streak per user: calendar
+    //      gaps-and-islands via the day − row_number constant trick ----
+    "q_streaks" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("day")
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+        .distinct()
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+        .groupBy("user_id")
+        .agg(max("len").as("longest_streak"),
+             // longest streak's start day, earliest on length ties
+             (max(struct(col("len"), (-col("start_day")).as("neg_start")))
+               .getField("neg_start") * -1).as("streak_start_day"),
+             count(lit(1)).as("n_streaks"))
+    }),
+
+    // ---- percentile rank (relative standing) of each order within
+    //      its priority class: (rank−1)·10⁶ div (n−1), value ties
+    //      share a rank — engine-portable cume alternative ----
+    "q_percentile_rank" -> ((s, dir) => {
+      val wr = Window.partitionBy("o_orderpriority")
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("rk", rank().over(wr.orderBy(col("cents"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(wr))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+          expr("(rk - 1) * 1000000 div (n - 1)").as("pct_rank_ppm"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -4227,6 +4259,39 @@ object SparkEntry {
              (sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) -
               sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END))::BIGINT AS delta
       FROM v GROUP BY 1
+    """,
+
+    "q_streaks" -> """
+      WITH ud AS (SELECT DISTINCT user_id,
+                         epoch_ns(ts) // 86400000000000 AS day
+                  FROM events),
+      g AS (SELECT user_id, day,
+                   day - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY day) AS grp
+            FROM ud),
+      st AS (SELECT user_id, grp, count(*) AS len, min(day) AS start_day
+             FROM g GROUP BY 1, 2),
+      best AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                            ORDER BY len DESC, start_day)
+                          AS rk
+               FROM st)
+      SELECT b.user_id, b.len AS longest_streak,
+             b.start_day AS streak_start_day, n.n_streaks
+      FROM best b JOIN (SELECT user_id, count(*) AS n_streaks FROM st
+                        GROUP BY 1) n USING (user_id)
+      WHERE rk = 1
+    """,
+
+    "q_percentile_rank" -> """
+      WITH d AS (SELECT o_orderkey, o_orderpriority,
+                        floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+                 FROM orders)
+      SELECT o_orderkey, o_orderpriority, cents,
+             ((rank() OVER (PARTITION BY o_orderpriority ORDER BY cents) - 1)
+              * 1000000 //
+              (count(*) OVER (PARTITION BY o_orderpriority) - 1))::BIGINT
+               AS pct_rank_ppm
+      FROM d
     """,
   )
 
