@@ -1988,6 +1988,39 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
           expr("(rk - 1) * 1000000 div (n - 1)").as("pct_rank_ppm"))
     }),
+
+    // ---- tabular ML feature prep: per-event lag features + trailing
+    //      window sum over the µs-exact order — the feature-table
+    //      generation step before model training ----
+    "q_lag_features" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val wf = w.rowsBetween(-4, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns div 1000").as("us"),
+          floor(col("value") * 1000).cast("long").as("v_milli"))
+        .withColumn("lag1", lag(col("v_milli"), 1).over(w))
+        .withColumn("lag2", lag(col("v_milli"), 2).over(w))
+        .withColumn("roll5_sum", sum("v_milli").over(wf))
+        .withColumn("roll5_n", count(lit(1)).over(wf))
+        .select("user_id", "event_id", "v_milli", "lag1", "lag2",
+                "roll5_sum", "roll5_n")
+    }),
+
+    // ---- leave-one-out target encoding: category → mean target with
+    //      the row's own value excluded ((Σ − x) div (n−1) in milli
+    //      units) — the leakage-safe categorical encoder ----
+    "q_target_encode" -> ((s, dir) => {
+      val wg = Window.partitionBy("o_orderpriority")
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("sum_c", sum("cents").over(wg))
+        .withColumn("n", count(lit(1)).over(wg))
+        .filter(col("n") > 1)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("(sum_c - cents) * 1000 div (n - 1)").as("loo_milli"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -4292,6 +4325,33 @@ object SparkEntry {
               (count(*) OVER (PARTITION BY o_orderpriority) - 1))::BIGINT
                AS pct_rank_ppm
       FROM d
+    """,
+
+    "q_lag_features" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+                        floor(value * 1000)::BIGINT AS v_milli
+                 FROM events)
+      SELECT user_id, event_id, v_milli,
+             lag(v_milli, 1) OVER w AS lag1,
+             lag(v_milli, 2) OVER w AS lag2,
+             (sum(v_milli) OVER f)::BIGINT AS roll5_sum,
+             count(*) OVER f AS roll5_n
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id),
+             f AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+
+    "q_target_encode" -> """
+      WITH d AS (SELECT o_orderkey, o_orderpriority,
+                        floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+                 FROM orders),
+      s AS (SELECT *, sum(cents) OVER (PARTITION BY o_orderpriority) AS sum_c,
+                   count(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM d)
+      SELECT o_orderkey, o_orderpriority,
+             ((sum_c - cents) * 1000 // (n - 1))::BIGINT AS loo_milli
+      FROM s WHERE n > 1
     """,
   )
 
