@@ -2021,6 +2021,44 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderpriority"),
           expr("(sum_c - cents) * 1000 div (n - 1)").as("loo_milli"))
     }),
+
+    // ---- experiment outcome contingency: per variant, users who did
+    //      vs did not convert (purchase) — the chi-square test's
+    //      integer inputs, completing q_ab_assign's exposure side ----
+    "q_ab_outcomes" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val users = ev.select(col("user_id")).distinct()
+        .withColumn("variant",
+          when(pmod(graft.functions.Dedup.md5Hash60(
+            concat(lit("exp1:"), col("user_id"))), lit(100)) < 50, "A")
+            .otherwise("B"))
+      val converted = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct().withColumn("conv", lit(1L))
+      users.join(converted, Seq("user_id"), "left")
+        .groupBy("variant")
+        .agg(sum(coalesce(col("conv"), lit(0L))).as("n_converted"),
+             count(lit(1)).as("n_users"))
+        .withColumn("conv_ppm",
+          expr("n_converted * 1000000 div n_users"))
+    }),
+
+    // ---- lag-1 autocovariance sufficient statistics per user:
+    //      Σxₜxₜ₊₁ over the adjacent pairs + the marginal sums — the
+    //      integer surface for serial-correlation diagnostics ----
+    "q_autocorr" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns div 1000").as("us"),
+          floor(col("value") * 1000).cast("long").as("x"))
+        .withColumn("x_next", lead(col("x"), 1).over(w))
+        .filter(col("x_next").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(expr("x * x_next")).as("sxy"),
+             sum("x").as("sx"), sum("x_next").as("sy"),
+             sum(expr("x * x")).as("sxx"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -4352,6 +4390,40 @@ object SparkEntry {
       SELECT o_orderkey, o_orderpriority,
              ((sum_c - cents) * 1000 // (n - 1))::BIGINT AS loo_milli
       FROM s WHERE n > 1
+    """,
+
+    "q_ab_outcomes" -> """
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      v AS (SELECT user_id,
+                   CASE WHEN ('0x' || substr(md5('exp1:' || user_id::VARCHAR),
+                                             1, 15))::BIGINT % 100 < 50
+                        THEN 'A' ELSE 'B' END AS variant
+            FROM u),
+      c AS (SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase')
+      SELECT variant,
+             sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_converted,
+             count(*) AS n_users,
+             ((sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+               * 1000000) // count(*))::BIGINT AS conv_ppm
+      FROM v LEFT JOIN c USING (user_id)
+      GROUP BY 1
+    """,
+
+    "q_autocorr" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+                        floor(value * 1000)::BIGINT AS x
+                 FROM events),
+      l AS (SELECT *, lead(x) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS x_next
+            FROM e)
+      SELECT user_id, count(*) AS n_pairs,
+             sum(x * x_next)::BIGINT AS sxy,
+             sum(x)::BIGINT AS sx, sum(x_next)::BIGINT AS sy,
+             sum(x * x)::BIGINT AS sxx
+      FROM l WHERE x_next IS NOT NULL
+      GROUP BY 1
     """,
   )
 
