@@ -2059,6 +2059,57 @@ object SparkEntry {
              sum("x").as("sx"), sum("x_next").as("sy"),
              sum(expr("x * x")).as("sxx"))
     }),
+
+    // ---- RFM segmentation: recency/frequency/monetary quartile codes
+    //      per customer, each via the portable (rank−1)·4 div n rule
+    //      (higher code = better on every axis) ----
+    "q_rfm" -> ((s, dir) => {
+      val per = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+             count(lit(1)).as("freq"),
+             sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+               .as("monetary"))
+      // three global ranks over the customer DIMENSION (bounded
+      // relation — the fact table was already aggregated away);
+      // quartile code = (rank−1)·4 div n, ties broken by custkey so
+      // higher code = better on every axis
+      def code(c: String) =
+        expr(s"(cast(rk_$c as bigint) - 1) * 4 div n_cust")
+      per
+        .withColumn("rk_last_day", row_number().over(
+          Window.orderBy(col("last_day"), col("o_custkey"))))
+        .withColumn("rk_freq", row_number().over(
+          Window.orderBy(col("freq"), col("o_custkey"))))
+        .withColumn("rk_monetary", row_number().over(
+          Window.orderBy(col("monetary"), col("o_custkey"))))
+        .crossJoin(broadcast(per.agg(count(lit(1)).as("n_cust"))))
+        .select(col("o_custkey"),
+          code("last_day").as("r_code"),
+          code("freq").as("f_code"),
+          code("monetary").as("m_code"))
+        .withColumn("rfm", expr("r_code * 100 + f_code * 10 + m_code"))
+    }),
+
+    // ---- 80/20 concentration: revenue share of the top-20% customers
+    //      (ceil(n/5) by revenue desc, ties to smaller custkey) ----
+    "q_pareto_8020" -> ((s, dir) => {
+      val per = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("rev"))
+      val ranked = per.withColumn("rk", row_number().over(
+        Window.orderBy(col("rev").desc, col("o_custkey"))))
+      val tot = per.agg(sum("rev").as("total_rev"),
+                        count(lit(1)).as("n_cust"))
+      ranked.crossJoin(broadcast(tot))
+        .filter(col("rk") * 5 <= col("n_cust") + 4) // rk <= ceil(n/5)
+        .groupBy("total_rev", "n_cust")
+        .agg(count(lit(1)).as("top_cust"), sum("rev").as("top_rev"))
+        .select(col("n_cust"), col("top_cust"), col("total_rev"),
+          col("top_rev"),
+          expr("top_rev * 1000000 div total_rev").as("top_share_ppm"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -4424,6 +4475,42 @@ object SparkEntry {
              sum(x * x)::BIGINT AS sxx
       FROM l WHERE x_next IS NOT NULL
       GROUP BY 1
+    """,
+
+    "q_rfm" -> """
+      WITH per AS (SELECT o_custkey, max(o_orderdate::DATE) AS last_day,
+                          count(*) AS freq,
+                          sum(floor(o_totalprice * 100 + 0.5)::BIGINT)
+                            AS monetary
+                   FROM orders GROUP BY 1),
+      rk AS (SELECT o_custkey,
+                    row_number() OVER (ORDER BY last_day, o_custkey) AS r1,
+                    row_number() OVER (ORDER BY freq, o_custkey) AS r2,
+                    row_number() OVER (ORDER BY monetary, o_custkey) AS r3,
+                    count(*) OVER () AS n
+             FROM per)
+      SELECT o_custkey,
+             ((r1 - 1) * 4 // n)::BIGINT AS r_code,
+             ((r2 - 1) * 4 // n)::BIGINT AS f_code,
+             ((r3 - 1) * 4 // n)::BIGINT AS m_code,
+             (((r1 - 1) * 4 // n) * 100 + ((r2 - 1) * 4 // n) * 10 +
+              ((r3 - 1) * 4 // n))::BIGINT AS rfm
+      FROM rk
+    """,
+
+    "q_pareto_8020" -> """
+      WITH per AS (SELECT o_custkey,
+                          sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS rev
+                   FROM orders GROUP BY 1),
+      rk AS (SELECT *, row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk,
+                    sum(rev) OVER () AS total_rev,
+                    count(*) OVER () AS n_cust
+             FROM per)
+      SELECT n_cust, count(*) AS top_cust, total_rev::BIGINT AS total_rev,
+             sum(rev)::BIGINT AS top_rev,
+             ((sum(rev) * 1000000) // total_rev)::BIGINT AS top_share_ppm
+      FROM rk WHERE rk * 5 <= n_cust + 4
+      GROUP BY n_cust, total_rev
     """,
   )
 
