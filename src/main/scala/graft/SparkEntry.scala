@@ -2110,6 +2110,79 @@ object SparkEntry {
           col("top_rev"),
           expr("top_rev * 1000000 div total_rev").as("top_share_ppm"))
     }),
+
+    // ---- CUSUM change detection: per-(user, type) upward-drift
+    //      statistic vs the type's global floor-mean. The recurrence
+    //      c_t = max(0, c_{t-1} + (x_t − mean)) IS the floor-at-zero
+    //      balance, so it reuses Series.cappedBalance's closed form —
+    //      two windows over one sort, no sequential fold ----
+    "q_cusum" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val means = e.groupBy("event_type")
+        .agg(expr("sum(cents) div count(1)").as("mean_c"))
+      val d = e.join(broadcast(means), "event_type")
+        .withColumn("delta", col("cents") - col("mean_c"))
+        .withColumn("ck", concat_ws(":", col("user_id"), col("event_type")))
+      graft.operators.Series.cappedBalance(
+          d, "ck", Seq("ts", "event_id"), "delta")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("delta"), col("balance").as("cusum"),
+          when(col("balance") > col("mean_c") * 4, 1L).otherwise(0L)
+            .as("alarm"))
+    }),
+
+    // ---- Lorenz curve: cumulative revenue share by customer decile
+    //      (ascending revenue) — the curve whose area gap is q_gini ----
+    "q_lorenz" -> ((s, dir) => {
+      val per = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("rev"))
+      val tot = per.agg(count(lit(1)).as("n_cust"),
+                        sum("rev").as("total_rev"))
+      per
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rev"), col("o_custkey"))).cast("long"))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile", expr("(rk - 1) * 10 div n_cust"))
+        .groupBy("decile", "total_rev")
+        .agg(count(lit(1)).as("n_cust"), sum("rev").as("dec_rev"))
+        .withColumn("cum_rev", sum("dec_rev").over(
+          Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("decile"), col("n_cust"), col("dec_rev"),
+          col("cum_rev"),
+          expr("cum_rev * 1000000 div total_rev").as("cum_share_ppm"))
+    }),
+
+    // ---- chi-square contingency surface: priority × status observed
+    //      vs independence-expected counts; per-cell χ² contribution
+    //      ×10⁶ computed in DECIMAL(38,0) so the squared numerator
+    //      never overflows at any scale (final value ≤ n·10⁶ → BIGINT) ----
+    "q_chisq" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("pri"),
+                col("o_orderstatus").as("st"))
+      val obs = o.groupBy("pri", "st").agg(count(lit(1)).as("obs"))
+      val rt = o.groupBy("pri").agg(count(lit(1)).as("row_tot"))
+      val ct = o.groupBy("st").agg(count(lit(1)).as("col_tot"))
+      val n = o.agg(count(lit(1)).as("n"))
+      obs.join(broadcast(rt), "pri").join(broadcast(ct), "st")
+        .crossJoin(broadcast(n))
+        .select(col("pri"), col("st"), col("obs"), col("row_tot"),
+          col("col_tot"), col("n"),
+          expr("cast(row_tot as decimal(38,0)) * col_tot * 1000000 div n")
+            .cast("long").as("expected_micro"),
+          expr("""cast(
+                    (cast(n as decimal(38,0)) * obs - cast(row_tot as decimal(38,0)) * col_tot) *
+                    (cast(n as decimal(38,0)) * obs - cast(row_tot as decimal(38,0)) * col_tot) * 1000000 div
+                    (cast(n as decimal(38,0)) * row_tot * col_tot)
+                  as bigint)""").as("chi_micro"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -4511,6 +4584,65 @@ object SparkEntry {
              ((sum(rev) * 1000000) // total_rev)::BIGINT AS top_share_ppm
       FROM rk WHERE rk * 5 <= n_cust + 4
       GROUP BY n_cust, total_rev
+    """,
+
+    // CUSUM via the same prefix − running-min identity the Spark side
+    // inherits from cappedBalance (positive mean ⇒ div ≡ //)
+    "q_cusum" -> """
+      WITH e AS (SELECT event_id, user_id, event_type, ts,
+                        floor(value * 100 + 0.5)::BIGINT AS cents
+                 FROM events WHERE value IS NOT NULL),
+      m AS (SELECT event_type, sum(cents) // count(*) AS mean_c
+            FROM e GROUP BY 1),
+      d AS (SELECT e.*, cents - mean_c AS delta, mean_c
+            FROM e JOIN m USING (event_type)),
+      p AS (SELECT *, sum(delta) OVER w AS prefix FROM d
+            WINDOW w AS (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)),
+      c AS (SELECT *, prefix - least(0, min(prefix) OVER w2) AS cusum
+            FROM p
+            WINDOW w2 AS (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING))
+      SELECT event_id, user_id, event_type, delta, cusum,
+             (CASE WHEN cusum > mean_c * 4 THEN 1 ELSE 0 END)::BIGINT
+               AS alarm
+      FROM c
+    """,
+
+    "q_lorenz" -> """
+      WITH per AS (SELECT o_custkey,
+                          sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS rev
+                   FROM orders GROUP BY 1),
+      rk AS (SELECT *, row_number() OVER (ORDER BY rev, o_custkey) AS rk,
+                    count(*) OVER () AS n, sum(rev) OVER () AS total_rev
+             FROM per),
+      dec AS (SELECT (rk - 1) * 10 // n AS decile, total_rev,
+                     count(*) AS n_cust, sum(rev) AS dec_rev
+              FROM rk GROUP BY 1, 2)
+      SELECT decile, n_cust, dec_rev::BIGINT AS dec_rev,
+             (sum(dec_rev) OVER w)::BIGINT AS cum_rev,
+             ((sum(dec_rev) OVER w) * 1000000 // total_rev)::BIGINT
+               AS cum_share_ppm
+      FROM dec
+      WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    """,
+
+    "q_chisq" -> """
+      WITH o AS (SELECT o_orderpriority AS pri, o_orderstatus AS st
+                 FROM orders),
+      obs AS (SELECT pri, st, count(*) AS obs FROM o GROUP BY 1, 2),
+      rt AS (SELECT pri, count(*) AS row_tot FROM o GROUP BY 1),
+      ct AS (SELECT st, count(*) AS col_tot FROM o GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM o)
+      SELECT pri, st, obs, row_tot, col_tot, n,
+             ((row_tot::HUGEINT * col_tot * 1000000) // n)::BIGINT
+               AS expected_micro,
+             (((n::HUGEINT * obs - row_tot::HUGEINT * col_tot) *
+               (n::HUGEINT * obs - row_tot::HUGEINT * col_tot) * 1000000) //
+              (n::HUGEINT * row_tot * col_tot))::BIGINT AS chi_micro
+      FROM obs JOIN rt USING (pri) JOIN ct USING (st) CROSS JOIN n
     """,
   )
 
