@@ -2183,6 +2183,70 @@ object SparkEntry {
                     (cast(n as decimal(38,0)) * row_tot * col_tot)
                   as bigint)""").as("chi_micro"))
     }),
+
+    // ---- k-anonymity audit: quasi-identifier group sizes at the fine
+    //      level (nation, segment, balance bucket) with the coarse
+    //      generalization (drop the balance bucket) joined beside it —
+    //      per group: is it re-identifiable (k < 5), and does
+    //      generalizing rescue it? Balance buckets shift cents by +1e6
+    //      before integer div so negative balances bucket by FLOOR in
+    //      both engines (Spark `div` truncates toward zero, DuckDB `//`
+    //      floors — they agree only on non-negatives) ----
+    "q_k_anon" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"),
+          expr("(cast(floor(c_acctbal * 100 + 0.5) as bigint) + 1000000) div 100000")
+            .as("bal_bucket"))
+      val fine = c.groupBy("nation", "segment", "bal_bucket")
+        .agg(count(lit(1)).as("k_fine"))
+      val coarse = c.groupBy("nation", "segment")
+        .agg(count(lit(1)).as("k_coarse"))
+      fine.join(broadcast(coarse), Seq("nation", "segment"))
+        .select(col("nation"), col("segment"), col("bal_bucket"),
+          col("k_fine"), col("k_coarse"),
+          when(col("k_fine") < 5, 1L).otherwise(0L).as("risky"),
+          when(col("k_fine") < 5 && col("k_coarse") >= 5, 1L)
+            .otherwise(0L).as("generalize_rescues"))
+    }),
+
+    // ---- cross-source quantile normalization: calibrate each source's
+    //      n_chars onto the pooled distribution by rank. Per-source
+    //      percentile is a source-partitioned window; the pooled
+    //      quantile function is built from DISTINCT-VALUE COUNTS (the
+    //      q_mad pre-aggregation trick), so the only unpartitioned
+    //      window runs over ~|distinct values| rows, never the corpus,
+    //      and the rank→value lookup is a broadcast range join against
+    //      that small relation ----
+    "q_quantile_norm" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val wSrc = Window.partitionBy("source")
+        .orderBy(col("n_chars"), col("doc_id"))
+      val ranked = d
+        .withColumn("rk", row_number().over(wSrc).cast("long"))
+        .withColumn("n_src", count(lit(1)).over(
+          Window.partitionBy("source")))
+        .withColumn("p_ppm",
+          when(col("n_src") > 1,
+            expr("(rk - 1) * 1000000 div (n_src - 1)")).otherwise(0L))
+      val vals = d.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(
+          Window.orderBy("n_chars")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cum_before", col("cum") - col("cnt"))
+        .select(col("n_chars").as("pool_chars"),
+                col("cum_before"), col("cum"))
+      val total = d.agg(count(lit(1)).as("n_tot"))
+      ranked.crossJoin(broadcast(total))
+        .withColumn("target_rk",
+          expr("1 + p_ppm * (n_tot - 1) div 1000000"))
+        .join(broadcast(vals),
+          col("target_rk") > col("cum_before") &&
+            col("target_rk") <= col("cum"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("p_ppm"), col("pool_chars").as("norm_chars"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -4643,6 +4707,51 @@ object SparkEntry {
                (n::HUGEINT * obs - row_tot::HUGEINT * col_tot) * 1000000) //
               (n::HUGEINT * row_tot * col_tot))::BIGINT AS chi_micro
       FROM obs JOIN rt USING (pri) JOIN ct USING (st) CROSS JOIN n
+    """,
+
+    // +1e6 cents shift keeps the bucket div on non-negatives, where
+    // Spark `div` (truncate) and DuckDB `//` (floor) agree
+    "q_k_anon" -> """
+      WITH c AS (SELECT c_nationkey::BIGINT AS nation,
+                        c_mktsegment AS segment,
+                        (floor(c_acctbal * 100 + 0.5)::BIGINT + 1000000)
+                          // 100000 AS bal_bucket
+                 FROM customer),
+      fine AS (SELECT nation, segment, bal_bucket, count(*) AS k_fine
+               FROM c GROUP BY 1, 2, 3),
+      coarse AS (SELECT nation, segment, count(*) AS k_coarse
+                 FROM c GROUP BY 1, 2)
+      SELECT nation, segment, bal_bucket, k_fine, k_coarse,
+             (CASE WHEN k_fine < 5 THEN 1 ELSE 0 END)::BIGINT AS risky,
+             (CASE WHEN k_fine < 5 AND k_coarse >= 5 THEN 1 ELSE 0 END)::BIGINT
+               AS generalize_rescues
+      FROM fine JOIN coarse USING (nation, segment)
+    """,
+
+    "q_quantile_norm" -> """
+      WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      ranked AS (SELECT *,
+                        row_number() OVER (PARTITION BY source
+                                           ORDER BY n_chars, doc_id) AS rk,
+                        count(*) OVER (PARTITION BY source) AS n_src
+                 FROM d),
+      p AS (SELECT *, CASE WHEN n_src > 1
+                           THEN (rk - 1) * 1000000 // (n_src - 1)
+                           ELSE 0 END AS p_ppm
+            FROM ranked),
+      vals AS (SELECT n_chars AS pool_chars, count(*) AS cnt,
+                      sum(count(*)) OVER (ORDER BY n_chars
+                        ROWS UNBOUNDED PRECEDING) AS cum
+               FROM d GROUP BY n_chars),
+      v AS (SELECT pool_chars, cum::BIGINT AS cum,
+                   (cum - cnt)::BIGINT AS cum_before
+            FROM vals),
+      tot AS (SELECT count(*) AS n_tot FROM d)
+      SELECT doc_id, source, n_chars, p_ppm,
+             pool_chars AS norm_chars
+      FROM p CROSS JOIN tot
+      JOIN v ON (1 + p_ppm * (n_tot - 1) // 1000000) > cum_before
+            AND (1 + p_ppm * (n_tot - 1) // 1000000) <= cum
     """,
   )
 
