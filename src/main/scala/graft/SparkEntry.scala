@@ -2247,6 +2247,33 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("p_ppm"), col("pool_chars").as("norm_chars"))
     }),
+
+    // ---- churn-risk / dormancy signal: per user, idle time since the
+    //      last event vs that user's own mean inter-event gap, as an
+    //      exact ppm ratio. Millisecond granularity keeps the ×10⁶
+    //      numerator inside BIGINT for any realistic corpus span
+    //      (µs × 10⁶ would overflow); one groupBy + one broadcast
+    //      scalar, no windows ----
+    "q_churn_risk" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000000").as("ms"))
+      val asOf = e.agg(max("ms").as("as_of_ms"))
+      e.groupBy("user_id")
+        .agg(min("ms").as("first_ms"), max("ms").as("last_ms"),
+             count(lit(1)).as("n_events"))
+        .filter(col("n_events") > 1)
+        .crossJoin(broadcast(asOf))
+        .withColumn("mean_gap_ms",
+          expr("(last_ms - first_ms) div (n_events - 1)"))
+        .filter(col("mean_gap_ms") > 0)
+        .withColumn("idle_ms", col("as_of_ms") - col("last_ms"))
+        .withColumn("overdue_ppm",
+          expr("idle_ms * 1000000 div mean_gap_ms"))
+        .select(col("user_id"), col("n_events"), col("mean_gap_ms"),
+          col("idle_ms"), col("overdue_ppm"),
+          when(col("overdue_ppm") > 3000000L, 1L).otherwise(0L)
+            .as("at_risk"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -4752,6 +4779,22 @@ object SparkEntry {
       FROM p CROSS JOIN tot
       JOIN v ON (1 + p_ppm * (n_tot - 1) // 1000000) > cum_before
             AND (1 + p_ppm * (n_tot - 1) // 1000000) <= cum
+    """,
+
+    "q_churn_risk" -> """
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ms
+                 FROM events),
+      per AS (SELECT user_id, min(ms) AS first_ms, max(ms) AS last_ms,
+                     count(*) AS n_events
+              FROM e GROUP BY 1 HAVING count(*) > 1),
+      g AS (SELECT *, (last_ms - first_ms) // (n_events - 1) AS mean_gap_ms,
+                   (SELECT max(ms) FROM e) - last_ms AS idle_ms
+            FROM per)
+      SELECT user_id, n_events, mean_gap_ms, idle_ms,
+             idle_ms * 1000000 // mean_gap_ms AS overdue_ppm,
+             (CASE WHEN idle_ms * 1000000 // mean_gap_ms > 3000000
+                   THEN 1 ELSE 0 END)::BIGINT AS at_risk
+      FROM g WHERE mean_gap_ms > 0
     """,
   )
 
