@@ -2274,6 +2274,37 @@ object SparkEntry {
           when(col("overdue_ppm") > 3000000L, 1L).otherwise(0L)
             .as("at_risk"))
     }),
+
+    // ---- growth accounting: daily actives decomposed into new /
+    //      retained / resurrected, plus how many churn out after the
+    //      period. Integer epoch-day index sidesteps engine-specific
+    //      date-interval coercion; one distinct on (user, day) then
+    //      one user-partitioned window pass ----
+    "q_growth_accounting" -> ((s, dir) => {
+      val um = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("ts_ns div 86400000000000").as("m_idx"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("m_idx")
+      um
+        .withColumn("first_m", min("m_idx").over(
+          Window.partitionBy("user_id")))
+        .withColumn("prev_m", lag("m_idx", 1).over(w))
+        .withColumn("next_m", lead("m_idx", 1).over(w))
+        .groupBy("m_idx")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("m_idx") === col("first_m"), 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("prev_m") === col("m_idx") - 1, 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("m_idx") > col("first_m") &&
+                   (col("prev_m").isNull ||
+                    col("prev_m") < col("m_idx") - 1), 1L).otherwise(0L))
+            .as("n_resurrected"),
+          sum(when(col("next_m").isNull ||
+                   col("next_m") > col("m_idx") + 1, 1L).otherwise(0L))
+            .as("n_churned_after"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -4795,6 +4826,30 @@ object SparkEntry {
              (CASE WHEN idle_ms * 1000000 // mean_gap_ms > 3000000
                    THEN 1 ELSE 0 END)::BIGINT AS at_risk
       FROM g WHERE mean_gap_ms > 0
+    """,
+
+    "q_growth_accounting" -> """
+      WITH um AS (SELECT DISTINCT user_id,
+                         epoch_ns(ts) // 86400000000000 AS m_idx
+                  FROM events),
+      s AS (SELECT *,
+                   min(m_idx) OVER (PARTITION BY user_id) AS first_m,
+                   lag(m_idx) OVER (PARTITION BY user_id
+                                    ORDER BY m_idx) AS prev_m,
+                   lead(m_idx) OVER (PARTITION BY user_id
+                                     ORDER BY m_idx) AS next_m
+            FROM um)
+      SELECT m_idx, count(*) AS n_active,
+             sum(CASE WHEN m_idx = first_m THEN 1 ELSE 0 END)::BIGINT
+               AS n_new,
+             sum(CASE WHEN prev_m = m_idx - 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_retained,
+             sum(CASE WHEN m_idx > first_m
+                       AND (prev_m IS NULL OR prev_m < m_idx - 1)
+                      THEN 1 ELSE 0 END)::BIGINT AS n_resurrected,
+             sum(CASE WHEN next_m IS NULL OR next_m > m_idx + 1
+                      THEN 1 ELSE 0 END)::BIGINT AS n_churned_after
+      FROM s GROUP BY 1
     """,
   )
 
