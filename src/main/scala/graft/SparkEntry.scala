@@ -2305,6 +2305,37 @@ object SparkEntry {
                    col("next_m") > col("m_idx") + 1, 1L).otherwise(0L))
             .as("n_churned_after"))
     }),
+
+    // ---- PPS systematic sampling: draw ~k customers with probability
+    //      proportional to revenue, deterministically — a fixed stride
+    //      walks the cumulative-weight line from offset stride/2; a
+    //      unit is drawn once per grid point inside its interval (a
+    //      weight > stride can be drawn multiple times, the textbook
+    //      PPS behavior). Integer cents throughout; the cumulative
+    //      window runs over the customer DIMENSION (per-key revenue
+    //      pre-aggregated), not the fact table ----
+    "q_pps_sample" -> ((s, dir) => {
+      val per = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("rev"))
+      val tot = per.agg(sum("rev").as("total_rev"))
+      val cumW = Window.orderBy("o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per
+        .withColumn("cum", sum("rev").over(cumW))
+        .crossJoin(broadcast(tot))
+        .withColumn("stride", expr("total_rev div 500"))
+        .filter(col("stride") > 0)
+        .withColumn("off", expr("stride div 2"))
+        .withColumn("n_hits",
+          expr("""(CASE WHEN cum >= off
+                        THEN (cum - off) div stride + 1 ELSE 0 END) -
+                  (CASE WHEN cum - rev >= off
+                        THEN (cum - rev - off) div stride + 1 ELSE 0 END)"""))
+        .filter(col("n_hits") > 0)
+        .select(col("o_custkey"), col("rev"), col("cum"), col("n_hits"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -4850,6 +4881,30 @@ object SparkEntry {
              sum(CASE WHEN next_m IS NULL OR next_m > m_idx + 1
                       THEN 1 ELSE 0 END)::BIGINT AS n_churned_after
       FROM s GROUP BY 1
+    """,
+
+    "q_pps_sample" -> """
+      WITH per AS (SELECT o_custkey,
+                          sum(floor(o_totalprice * 100 + 0.5)::BIGINT)
+                            AS rev
+                   FROM orders GROUP BY 1),
+      c AS (SELECT *,
+                   sum(rev) OVER (ORDER BY o_custkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(rev) OVER () AS total_rev
+            FROM per),
+      g AS (SELECT *, total_rev // 500 AS stride,
+                   (total_rev // 500) // 2 AS off
+            FROM c WHERE total_rev // 500 > 0)
+      SELECT * FROM (
+        SELECT o_custkey, rev, cum::BIGINT AS cum,
+               ((CASE WHEN cum >= off
+                      THEN (cum - off) // stride + 1 ELSE 0 END) -
+                (CASE WHEN cum - rev >= off
+                      THEN (cum - rev - off) // stride + 1 ELSE 0 END)
+               )::BIGINT AS n_hits
+        FROM g)
+      WHERE n_hits > 0
     """,
   )
 
