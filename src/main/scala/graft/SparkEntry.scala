@@ -2336,6 +2336,28 @@ object SparkEntry {
         .filter(col("n_hits") > 0)
         .select(col("o_custkey"), col("rev"), col("cum"), col("n_hits"))
     }),
+
+    // ---- cross-source contamination matrix: NEAR-duplicate pair
+    //      counts for every source pair (how much of source A leaked
+    //      into source B — the corpus-level complement of
+    //      q_decontaminate's train/test check). Pairs come from the
+    //      same MinHash-LSH candidate generator as q_dedup_minhash_lsh
+    //      (band-bucket equi-join, never document × document); the
+    //      source lookup is two equi-joins on doc_id and the matrix
+    //      itself is a tiny groupBy ----
+    "q_contamination_matrix" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      graft.functions.Dedup.lshCandidatePairs(docs, "doc_id", "text", 3, 16, 4)
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+                greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("dup_pairs"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -4905,6 +4927,17 @@ object SparkEntry {
                )::BIGINT AS n_hits
         FROM g)
       WHERE n_hits > 0
+    """,
+
+    "q_contamination_matrix" -> s"""
+      WITH $minhashLshCtes,
+      ab AS (SELECT least(da.source, db.source) AS src_a,
+                    greatest(da.source, db.source) AS src_b
+             FROM lsh_pairs p
+             JOIN documents da ON p.doc_a = da.doc_id
+             JOIN documents db ON p.doc_b = db.doc_id)
+      SELECT src_a, src_b, count(*) AS dup_pairs
+      FROM ab GROUP BY 1, 2
     """,
   )
 
