@@ -2358,6 +2358,44 @@ object SparkEntry {
         .groupBy("src_a", "src_b")
         .agg(count(lit(1)).as("dup_pairs"))
     }),
+
+    // ---- ABC inventory classification: parts ranked by revenue,
+    //      classed A/B/C at 80% / 95% cumulative share (the inventory
+    //      twin of q_pareto_8020's customer view). Cumulative window
+    //      over the pre-aggregated part dimension; ppm-exact cuts ----
+    "q_abc_class" -> ((s, dir) => {
+      val per = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .as("rev"))
+      val tot = per.agg(sum("rev").as("total_rev"))
+      val cumW = Window.orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per
+        .withColumn("cum", sum("rev").over(cumW))
+        .crossJoin(broadcast(tot))
+        .withColumn("cum_ppm", expr("cum * 1000000 div total_rev"))
+        .withColumn("abc",
+          when(col("cum_ppm") <= 800000L, "A")
+            .when(col("cum_ppm") <= 950000L, "B").otherwise("C"))
+        .groupBy("abc")
+        .agg(count(lit(1)).as("n_parts"), sum("rev").as("class_rev"),
+          min("cum_ppm").as("min_cum_ppm"), max("cum_ppm").as("max_cum_ppm"))
+    }),
+
+    // ---- discount-response curve: per discount band (cents), volume
+    //      and revenue response — one map-side bucketing + one groupBy,
+    //      ppm-exact mean quantity ----
+    "q_discount_response" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(floor(col("l_discount") * 100 + 0.5).cast("long")
+          .as("disc_pct"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("total_qty"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .as("rev_cents"))
+        .withColumn("qty_per_item_ppm",
+          expr("total_qty * 1000000 div n_items"))),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -4938,6 +4976,38 @@ object SparkEntry {
              JOIN documents db ON p.doc_b = db.doc_id)
       SELECT src_a, src_b, count(*) AS dup_pairs
       FROM ab GROUP BY 1, 2
+    """,
+
+    "q_abc_class" -> """
+      WITH per AS (SELECT l_partkey,
+                          sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)
+                            AS rev
+                   FROM lineitem GROUP BY 1),
+      c AS (SELECT *,
+                   sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(rev) OVER () AS total_rev
+            FROM per),
+      k AS (SELECT *, cum * 1000000 // total_rev AS cum_ppm FROM c),
+      cls AS (SELECT *, CASE WHEN cum_ppm <= 800000 THEN 'A'
+                             WHEN cum_ppm <= 950000 THEN 'B'
+                             ELSE 'C' END AS abc
+              FROM k)
+      SELECT abc, count(*) AS n_parts, sum(rev)::BIGINT AS class_rev,
+             min(cum_ppm)::BIGINT AS min_cum_ppm,
+             max(cum_ppm)::BIGINT AS max_cum_ppm
+      FROM cls GROUP BY 1
+    """,
+
+    "q_discount_response" -> """
+      SELECT floor(l_discount * 100 + 0.5)::BIGINT AS disc_pct,
+             count(*) AS n_items,
+             sum(l_quantity::BIGINT)::BIGINT AS total_qty,
+             sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT
+               AS rev_cents,
+             (sum(l_quantity::BIGINT) * 1000000 // count(*))::BIGINT
+               AS qty_per_item_ppm
+      FROM lineitem GROUP BY 1
     """,
   )
 
