@@ -2396,6 +2396,40 @@ object SparkEntry {
             .as("rev_cents"))
         .withColumn("qty_per_item_ppm",
           expr("total_qty * 1000000 div n_items"))),
+
+    // ---- grouped embedding centroids: per-label mean vector in exact
+    //      micro units — posexplode + (label, pos) groupBy, the vector
+    //      aggregation behind IVF seeding and drift monitoring. The
+    //      +10000·n shift makes the division numerator positive so
+    //      Spark's truncating `div` and DuckDB's flooring `//` agree
+    //      on negative component sums ----
+    "q_emb_centroid" -> ((s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          floor(col("col").cast("double") * 1000 + 0.5).cast("long")
+            .as("v_milli"))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"), sum("v_milli").as("sum_milli"))
+        .withColumn("centroid_micro",
+          expr("(sum_milli + 10000 * n) * 1000 div n - 10000000"))),
+
+    // ---- dataset card: the per-source corpus summary sheet — doc and
+    //      char counts, language spread, length extremes, short-doc
+    //      share; one groupBy over the documents table ----
+    "q_dataset_card" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          countDistinct("lang").as("n_langs"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"),
+          sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("n_short"))
+        .withColumn("mean_chars_micro",
+          expr("total_chars * 1000000 div n_docs"))
+        .withColumn("short_ppm", expr("n_short * 1000000 div n_docs"))),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -5008,6 +5042,35 @@ object SparkEntry {
              (sum(l_quantity::BIGINT) * 1000000 // count(*))::BIGINT
                AS qty_per_item_ppm
       FROM lineitem GROUP BY 1
+    """,
+
+    "q_emb_centroid" -> """
+      WITH ex AS (SELECT label::BIGINT AS label,
+                         unnest(list_transform(range(len(embedding)),
+                           i -> {'pos': i,
+                                 'v': floor(CAST(embedding[i+1] AS DOUBLE)
+                                            * 1000 + 0.5)::BIGINT})) AS u
+                  FROM embeddings),
+      g AS (SELECT label, u.pos::BIGINT AS pos, count(*) AS n,
+                   sum(u.v)::BIGINT AS sum_milli
+            FROM ex GROUP BY 1, 2)
+      SELECT label, pos, n, sum_milli,
+             ((sum_milli + 10000 * n) * 1000 // n - 10000000)::BIGINT
+               AS centroid_micro
+      FROM g
+    """,
+
+    "q_dataset_card" -> """
+      SELECT source, count(*) AS n_docs,
+             sum(n_chars)::BIGINT AS total_chars,
+             count(DISTINCT lang) AS n_langs,
+             min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)::BIGINT
+               AS n_short,
+             sum(n_chars) * 1000000 // count(*) AS mean_chars_micro,
+             sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) * 1000000
+               // count(*) AS short_ppm
+      FROM documents GROUP BY 1
     """,
   )
 
