@@ -2430,6 +2430,48 @@ object SparkEntry {
         .withColumn("mean_chars_micro",
           expr("total_chars * 1000000 div n_docs"))
         .withColumn("short_ppm", expr("n_short * 1000000 div n_docs"))),
+
+    // ---- exact join-size prediction: |A ⋈ B| on a key WITHOUT
+    //      executing the join — the inner product of the two per-key
+    //      count vectors (what a cost-based optimizer estimates with
+    //      sketches, computed exactly here on the pre-aggregated key
+    //      dimension). Also surfaces the largest single-key
+    //      contribution, the number AQE's skew handling cares about ----
+    "q_join_size" -> ((s, dir) => {
+      val a = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("cnt_a"))
+      val b = Tables.events(s, dir)
+        .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("cnt_b"))
+      a.join(b, "k")
+        .agg(sum(col("cnt_a") * col("cnt_b")).as("join_rows"),
+          count(lit(1)).as("shared_keys"),
+          max(col("cnt_a") * col("cnt_b")).as("max_key_contrib"))
+    }),
+
+    // ---- skew report: per candidate shuffle key, the numbers that
+    //      decide partitioning strategy — key count, heaviest key's
+    //      row share (ppm), and heaviest-vs-mean skew ratio. One
+    //      groupBy per column, union'd; all map-side-combinable ----
+    "q_skew_report" -> ((s, dir) => {
+      def stats(df: DataFrame, keyCol: String, name: String) = {
+        df.groupBy(col(keyCol).cast("long").as("k"))
+          .agg(count(lit(1)).as("cnt"))
+          .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"),
+            max("cnt").as("max_cnt"))
+          .select(lit(name).as("join_key"), col("n_rows"), col("n_keys"),
+            col("max_cnt"),
+            expr("max_cnt * 1000000 div n_rows").as("top1_ppm"),
+            expr("max_cnt * n_keys * 1000000 div n_rows")
+              .as("skew_ratio_ppm"))
+      }
+      stats(Tables.load(s, dir, "orders"), "o_custkey", "orders.o_custkey")
+        .unionByName(stats(Tables.load(s, dir, "lineitem"), "l_partkey",
+          "lineitem.l_partkey"))
+        .unionByName(stats(Tables.load(s, dir, "lineitem"), "l_suppkey",
+          "lineitem.l_suppkey"))
+        .unionByName(stats(Tables.events(s, dir), "user_id",
+          "events.user_id"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -5071,6 +5113,38 @@ object SparkEntry {
              sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) * 1000000
                // count(*) AS short_ppm
       FROM documents GROUP BY 1
+    """,
+
+    "q_join_size" -> """
+      WITH a AS (SELECT o_custkey AS k, count(*) AS cnt_a
+                 FROM orders GROUP BY 1),
+      b AS (SELECT user_id AS k, count(*) AS cnt_b
+            FROM events GROUP BY 1)
+      SELECT sum(cnt_a * cnt_b)::BIGINT AS join_rows,
+             count(*) AS shared_keys,
+             max(cnt_a * cnt_b)::BIGINT AS max_key_contrib
+      FROM a JOIN b USING (k)
+    """,
+
+    "q_skew_report" -> """
+      WITH s1 AS (SELECT o_custkey::BIGINT AS k FROM orders),
+      s2 AS (SELECT l_partkey::BIGINT AS k FROM lineitem),
+      s3 AS (SELECT l_suppkey::BIGINT AS k FROM lineitem),
+      s4 AS (SELECT user_id::BIGINT AS k FROM events),
+      agg AS (
+        SELECT 'orders.o_custkey' AS join_key, count(*) AS cnt
+        FROM s1 GROUP BY k
+        UNION ALL SELECT 'lineitem.l_partkey', count(*)
+        FROM s2 GROUP BY k
+        UNION ALL SELECT 'lineitem.l_suppkey', count(*)
+        FROM s3 GROUP BY k
+        UNION ALL SELECT 'events.user_id', count(*)
+        FROM s4 GROUP BY k)
+      SELECT join_key, sum(cnt)::BIGINT AS n_rows, count(*) AS n_keys,
+             max(cnt)::BIGINT AS max_cnt,
+             max(cnt) * 1000000 // sum(cnt) AS top1_ppm,
+             max(cnt) * count(*) * 1000000 // sum(cnt) AS skew_ratio_ppm
+      FROM agg GROUP BY 1
     """,
   )
 
