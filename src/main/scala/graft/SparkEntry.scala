@@ -2472,6 +2472,30 @@ object SparkEntry {
         .unionByName(stats(Tables.events(s, dir), "user_id",
           "events.user_id"))
     }),
+
+    // ---- cohort LTV curve: cumulative purchase revenue per user by
+    //      account age (days since the user's first event). Per-age
+    //      revenue aggregates first, so the cumulative window runs
+    //      over ~|corpus days| rows; exact cents and ppm-per-user ----
+    "q_ltv_curve" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("ts_ns div 86400000000000").as("day"),
+          when(col("event_type") === "purchase",
+            floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L)
+            .as("cents"))
+      val f = e.groupBy("user_id").agg(min("day").as("first_day"))
+      val nU = f.agg(count(lit(1)).as("n_users"))
+      e.join(f, "user_id")
+        .groupBy((col("day") - col("first_day")).as("age"))
+        .agg(sum("cents").as("age_rev"))
+        .crossJoin(broadcast(nU))
+        .withColumn("cum_rev", sum("age_rev").over(
+          Window.orderBy("age")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("age"), col("age_rev"), col("cum_rev"),
+          expr("cum_rev * 1000000 div n_users").as("ltv_micro"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -5145,6 +5169,26 @@ object SparkEntry {
              max(cnt) * 1000000 // sum(cnt) AS top1_ppm,
              max(cnt) * count(*) * 1000000 // sum(cnt) AS skew_ratio_ppm
       FROM agg GROUP BY 1
+    """,
+
+    "q_ltv_curve" -> """
+      WITH e AS (SELECT user_id,
+                        epoch_ns(ts) // 86400000000000 AS day,
+                        CASE WHEN event_type = 'purchase'
+                             THEN floor(value * 100 + 0.5)::BIGINT
+                             ELSE 0 END AS cents
+                 FROM events),
+      f AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY 1),
+      n AS (SELECT count(*) AS n_users FROM f),
+      byage AS (SELECT e.day - f.first_day AS age,
+                       sum(e.cents)::BIGINT AS age_rev
+                FROM e JOIN f USING (user_id) GROUP BY 1)
+      SELECT age, age_rev,
+             (sum(age_rev) OVER (ORDER BY age
+                ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_rev,
+             (sum(age_rev) OVER (ORDER BY age ROWS UNBOUNDED PRECEDING))
+               * 1000000 // n_users AS ltv_micro
+      FROM byage CROSS JOIN n
     """,
   )
 
