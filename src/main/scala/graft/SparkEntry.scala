@@ -2496,6 +2496,32 @@ object SparkEntry {
         .select(col("age"), col("age_rev"), col("cum_rev"),
           expr("cum_rev * 1000000 div n_users").as("ltv_micro"))
     }),
+
+    // ---- conversion-lag distribution: hours from a user's first view
+    //      to their first purchase, as an hour-bucket histogram —
+    //      funnel TIMING beside q_funnel's stage counts. Two
+    //      conditional mins in one groupBy (no join, no window), then
+    //      a tiny bucket aggregate ----
+    "q_conversion_lag" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns div 1000000").as("ms"))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ms")))
+          .as("first_view_ms"),
+          min(when(col("event_type") === "purchase", col("ms")))
+            .as("first_purchase_ms"))
+        .filter(col("first_view_ms").isNotNull &&
+          col("first_purchase_ms").isNotNull &&
+          col("first_purchase_ms") >= col("first_view_ms"))
+        .withColumn("lag_hours",
+          expr("(first_purchase_ms - first_view_ms) div 3600000"))
+        .groupBy("lag_hours")
+        .agg(count(lit(1)).as("n_users"),
+          min(col("first_purchase_ms") - col("first_view_ms"))
+            .as("min_lag_ms"),
+          max(col("first_purchase_ms") - col("first_view_ms"))
+            .as("max_lag_ms"))),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -5189,6 +5215,25 @@ object SparkEntry {
              (sum(age_rev) OVER (ORDER BY age ROWS UNBOUNDED PRECEDING))
                * 1000000 // n_users AS ltv_micro
       FROM byage CROSS JOIN n
+    """,
+
+    "q_conversion_lag" -> """
+      WITH per AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'
+                        THEN epoch_ns(ts) // 1000000 END) AS first_view_ms,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN epoch_ns(ts) // 1000000 END)
+                 AS first_purchase_ms
+        FROM events GROUP BY 1),
+      conv AS (
+        SELECT *, first_purchase_ms - first_view_ms AS lag_ms
+        FROM per
+        WHERE first_view_ms IS NOT NULL AND first_purchase_ms IS NOT NULL
+          AND first_purchase_ms >= first_view_ms)
+      SELECT lag_ms // 3600000 AS lag_hours, count(*) AS n_users,
+             min(lag_ms) AS min_lag_ms, max(lag_ms) AS max_lag_ms
+      FROM conv GROUP BY 1
     """,
   )
 
