@@ -2522,6 +2522,32 @@ object SparkEntry {
             .as("min_lag_ms"),
           max(col("first_purchase_ms") - col("first_view_ms"))
             .as("max_lag_ms"))),
+
+    // ---- survivorship election: per near-dup cluster, keep ONE
+    //      canonical document by (longest text, then lowest id) — the
+    //      curation step after q_dedup_clusters labels components.
+    //      Election is a row_number window partitioned by component;
+    //      output one row per MULTI-document cluster with the kept id
+    //      and how many it displaces ----
+    "q_survivorship" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = graft.functions.Dedup.lshCandidatePairs(
+        docs, "doc_id", "text", 3, 16, 4)
+      val comp = graft.operators.ConnectedComponents.run(
+        docs.select(col("doc_id").as("node")),
+        pairs.select(col("doc_a"), col("doc_b")))
+      val labeled = comp.join(docs.select(col("doc_id").as("node"),
+        col("n_chars")), "node")
+      val w = Window.partitionBy("component")
+        .orderBy(col("n_chars").desc, col("node"))
+      labeled
+        .withColumn("rk", row_number().over(w))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_docs"),
+          min(when(col("rk") === 1, col("node"))).as("keep_id"),
+          max(when(col("rk") === 1, col("n_chars"))).as("keep_chars"))
+        .filter(col("n_docs") > 1)
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -5234,6 +5260,27 @@ object SparkEntry {
       SELECT lag_ms // 3600000 AS lag_hours, count(*) AS n_users,
              min(lag_ms) AS min_lag_ms, max(lag_ms) AS max_lag_ms
       FROM conv GROUP BY 1
+    """,
+
+    "q_survivorship" -> s"""
+      WITH RECURSIVE $minhashLshCtes,
+      sym AS (SELECT doc_a AS u, doc_b AS v FROM lsh_pairs
+              UNION SELECT doc_b, doc_a FROM lsh_pairs),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+      ),
+      comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+      lab AS (SELECT c.node, c.component, d.n_chars
+              FROM comp c JOIN documents d ON c.node = d.doc_id),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY component
+                         ORDER BY n_chars DESC, node) AS rk
+             FROM lab)
+      SELECT component, count(*) AS n_docs,
+             min(CASE WHEN rk = 1 THEN node END) AS keep_id,
+             max(CASE WHEN rk = 1 THEN n_chars END) AS keep_chars
+      FROM rk GROUP BY 1 HAVING count(*) > 1
     """,
   )
 
