@@ -2548,6 +2548,31 @@ object SparkEntry {
           max(when(col("rk") === 1, col("n_chars"))).as("keep_chars"))
         .filter(col("n_docs") > 1)
     }),
+
+    // ---- p-chart (statistical process control): per day, error share
+    //      vs the corpus-wide rate with the 3σ binomial control limit,
+    //      decided entirely in integers — err/n > p̄ + 3·√(p̄(1−p̄)/n)
+    //      squared and cleared of denominators becomes
+    //      (err·N − E·n)²·N > 9·E·(N−E)·n, evaluated in DECIMAL(38,0)
+    //      so the squared term never overflows (the q_chisq pattern) ----
+    "q_control_chart" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("err"))
+      val tot = daily.agg(sum("n").as("big_n"), sum("err").as("big_e"))
+      daily.crossJoin(broadcast(tot))
+        .select(col("day"), col("n"), col("err"),
+          expr("err * 1000000 div n").as("rate_ppm"),
+          expr("big_e * 1000000 div big_n").as("base_ppm"),
+          when(
+            expr("""cast(err as decimal(38,0)) * big_n - cast(big_e as decimal(38,0)) * n > 0 AND
+                    (cast(err as decimal(38,0)) * big_n - cast(big_e as decimal(38,0)) * n) *
+                    (cast(err as decimal(38,0)) * big_n - cast(big_e as decimal(38,0)) * n) * big_n >
+                    9 * cast(big_e as decimal(38,0)) * (big_n - big_e) * n"""),
+            1L).otherwise(0L).as("out_of_control"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -5281,6 +5306,25 @@ object SparkEntry {
              min(CASE WHEN rk = 1 THEN node END) AS keep_id,
              max(CASE WHEN rk = 1 THEN n_chars END) AS keep_chars
       FROM rk GROUP BY 1 HAVING count(*) > 1
+    """,
+
+    "q_control_chart" -> """
+      WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+                            count(*) AS n,
+                            sum(CASE WHEN event_type = 'error'
+                                     THEN 1 ELSE 0 END)::BIGINT AS err
+                     FROM events GROUP BY 1),
+      tot AS (SELECT sum(n)::BIGINT AS big_n, sum(err)::BIGINT AS big_e
+              FROM daily)
+      SELECT day, n, err,
+             err * 1000000 // n AS rate_ppm,
+             big_e * 1000000 // big_n AS base_ppm,
+             (CASE WHEN err::HUGEINT * big_n - big_e::HUGEINT * n > 0
+                    AND (err::HUGEINT * big_n - big_e::HUGEINT * n) *
+                        (err::HUGEINT * big_n - big_e::HUGEINT * n) * big_n >
+                        9 * big_e::HUGEINT * (big_n - big_e) * n
+                   THEN 1 ELSE 0 END)::BIGINT AS out_of_control
+      FROM daily CROSS JOIN tot
     """,
   )
 
