@@ -2573,6 +2573,63 @@ object SparkEntry {
                     9 * cast(big_e as decimal(38,0)) * (big_n - big_e) * n"""),
             1L).otherwise(0L).as("out_of_control"))
     }),
+
+    // ---- order backlog over time: open-order queue depth per day via
+    //      the interval→delta→cumsum identity (+1 at placement, −1 the
+    //      day after the order's LAST shipment). Deltas aggregate per
+    //      day before the cumulative window, so it runs over distinct
+    //      days, not orders ----
+    "q_backlog" -> ((s, dir) => {
+      val opens = Tables.load(s, dir, "orders")
+        .select(expr("datediff(o_orderdate, date'1970-01-01')")
+          .cast("long").as("day"), lit(1L).as("delta"))
+      val closes = Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(max(col("l_shipdate")).as("done"))
+        .select(expr("datediff(done, date'1970-01-01') + 1")
+          .cast("long").as("day"), lit(-1L).as("delta"))
+      opens.unionByName(closes)
+        .groupBy("day")
+        .agg(sum("delta").as("net_delta"))
+        .withColumn("backlog", sum("net_delta").over(
+          Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
+
+    // ---- Laspeyres price index per brand: year-over-year price level
+    //      weighted by BASE-year quantities. Unit values are integer
+    //      milli-cents (sum_cents·1000 div sum_qty) so both engines
+    //      floor identically; base/current years derived from the data
+    //      and broadcast; only parts traded in both years contribute ----
+    "q_price_index" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"), col("l_partkey"),
+          year(col("l_shipdate")).cast("long").as("yr"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+            .as("cents"),
+          col("l_quantity").cast("long").as("qty"))
+      val yrs = li.agg(min("yr").as("y0"), max("yr").as("y1"))
+      val uv = li.crossJoin(broadcast(yrs))
+        .filter(col("yr") === col("y0") || col("yr") === col("y1"))
+        .groupBy("brand", "l_partkey", "yr", "y0")
+        .agg(sum("cents").as("c"), sum("qty").as("q"))
+        .withColumn("uv_milli", expr("c * 1000 div q"))
+      val base = uv.filter(col("yr") === col("y0"))
+        .select(col("brand"), col("l_partkey"),
+          col("uv_milli").as("uv0"), col("q").as("q0"))
+      val cur = uv.filter(col("yr") =!= col("y0"))
+        .select(col("brand"), col("l_partkey"),
+          col("uv_milli").as("uv1"))
+      base.join(cur, Seq("brand", "l_partkey"))
+        .groupBy("brand")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(expr("uv1 * q0")).as("num"),
+          sum(expr("uv0 * q0")).as("den"))
+        .withColumn("index_ppm", expr("num * 1000000 div den"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -5325,6 +5382,51 @@ object SparkEntry {
                         9 * big_e::HUGEINT * (big_n - big_e) * n
                    THEN 1 ELSE 0 END)::BIGINT AS out_of_control
       FROM daily CROSS JOIN tot
+    """,
+
+    "q_backlog" -> """
+      WITH opens AS (SELECT date_diff('day', DATE '1970-01-01',
+                              o_orderdate)::BIGINT AS day,
+                            1::BIGINT AS delta
+                     FROM orders),
+      closes AS (SELECT (date_diff('day', DATE '1970-01-01',
+                           max(l_shipdate)) + 1)::BIGINT AS day,
+                        (-1)::BIGINT AS delta
+                 FROM lineitem GROUP BY l_orderkey),
+      d AS (SELECT day, sum(delta)::BIGINT AS net_delta
+            FROM (SELECT * FROM opens UNION ALL SELECT * FROM closes)
+            GROUP BY 1)
+      SELECT day, net_delta,
+             (sum(net_delta) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING))::BIGINT AS backlog
+      FROM d
+    """,
+
+    "q_price_index" -> """
+      WITH li AS (SELECT p.p_brand AS brand, l.l_partkey,
+                         year(l.l_shipdate)::BIGINT AS yr,
+                         floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+                           AS cents,
+                         l.l_quantity::BIGINT AS qty
+                  FROM lineitem l JOIN part p
+                    ON l.l_partkey = p.p_partkey),
+      yrs AS (SELECT min(yr) AS y0, max(yr) AS y1 FROM li),
+      uv AS (SELECT brand, l_partkey, yr, y0,
+                    sum(cents) * 1000 // sum(qty) AS uv_milli,
+                    sum(qty)::BIGINT AS q
+             FROM li CROSS JOIN yrs
+             WHERE yr = y0 OR yr = y1
+             GROUP BY 1, 2, 3, 4),
+      base AS (SELECT brand, l_partkey, uv_milli AS uv0, q AS q0
+               FROM uv WHERE yr = y0),
+      cur AS (SELECT brand, l_partkey, uv_milli AS uv1
+              FROM uv WHERE yr <> y0)
+      SELECT brand, count(*) AS n_parts,
+             sum(uv1 * q0)::BIGINT AS num,
+             sum(uv0 * q0)::BIGINT AS den,
+             sum(uv1 * q0) * 1000000 // sum(uv0 * q0) AS index_ppm
+      FROM base JOIN cur USING (brand, l_partkey)
+      GROUP BY 1
     """,
   )
 
