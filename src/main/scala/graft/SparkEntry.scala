@@ -2630,6 +2630,141 @@ object SparkEntry {
           sum(expr("uv0 * q0")).as("den"))
         .withColumn("index_ppm", expr("num * 1000000 div den"))
     }),
+
+    // ---- robust stats: 10%-trimmed mean per segment. Values shift by
+    //      +100000 cents before the integer division so every operand
+    //      stays positive (Spark `div` truncates toward zero, DuckDB
+    //      `//` floors — they only agree on non-negatives; the shift
+    //      is a whole multiple of the divisor path so it subtracts
+    //      back out exactly) ----
+    "q_trimmed_mean" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"),
+          col("c_custkey"))
+      val w = Window.partitionBy("segment")
+        .orderBy(col("cents"), col("c_custkey"))
+      c.withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("segment")))
+        .filter(col("rk") > expr("n div 10") &&
+                col("rk") <= col("n") - expr("n div 10"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_kept"),
+          expr("sum(cents + 100000) * 10000 div count(1) - 1000000000")
+            .as("trimmed_mean_micro"))
+    }),
+
+    // ---- two-sample Kolmogorov–Smirnov distance between the F and O
+    //      order-price distributions, exactly: D = max|F1−F2| over the
+    //      pooled support, cleared of denominators as
+    //      max|cum_f·n_o − cum_o·n_f| (pure integers; the ppm figure
+    //      divides once at the end). One global window over DISTINCT
+    //      price points, not orders ----
+    "q_ks_test" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long")
+          .as("cents"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("is_f"))
+      val byV = o.groupBy("cents")
+        .agg(sum("is_f").as("cf"), sum(expr("1 - is_f")).as("co"))
+      val w = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byV.select(
+        sum("cf").over(w).as("cum_f"), sum("co").over(w).as("cum_o"))
+      val tot = o.agg(sum("is_f").as("n_f"), sum(expr("1 - is_f")).as("n_o"))
+      cum.crossJoin(broadcast(tot))
+        .groupBy("n_f", "n_o")
+        .agg(max(abs(expr("cum_f * n_o - cum_o * n_f"))).as("d_num"))
+        .withColumn("ks_ppm", expr("d_num * 1000000 div (n_f * n_o)"))
+    }),
+
+    // ---- Mann–Whitney U between click and purchase event values,
+    //      tie-correct and exact: doubled midranks (2·avgrank of a
+    //      tied block at offset s, size t, is 2s+t+1 — an integer), so
+    //      2R and 2U never see a fraction. Per-value counts first, so
+    //      the rank window runs over distinct values ----
+    "q_mann_whitney" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(floor(col("value") * 1000000 + 0.5).cast("long").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("is_a"))
+      val byV = e.groupBy("v")
+        .agg(sum("is_a").as("ca"), count(lit(1)).as("ct"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = byV.withColumn("before",
+        coalesce(sum("ct").over(w), lit(0L)))
+      val tot = e.agg(sum("is_a").as("n_a"),
+        sum(expr("1 - is_a")).as("n_b"))
+      ranked.crossJoin(broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(sum(expr("ca * (2 * before + ct + 1)")).as("r2_a"))
+        .withColumn("u2_a", expr("r2_a - n_a * (n_a + 1)"))
+    }),
+
+    // ---- functional-dependency audit: does LHS determine RHS? Three
+    //      candidate FDs checked as hash aggregations (one shuffle per
+    //      candidate, on the LHS key); a group with >1 distinct RHS is
+    //      a violation ----
+    "q_fd_check" -> ((s, dir) => {
+      def fd(df: DataFrame, name: String, lhs: String, rhs: String) =
+        df.groupBy(col(lhs))
+          .agg(countDistinct(col(rhs)).as("d"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("d") > 1, 1L).otherwise(0L)).as("n_violating"),
+            max("d").as("max_rhs"))
+          .select(lit(name).as("fd"), col("n_groups"),
+            col("n_violating"), col("max_rhs"))
+      fd(Tables.load(s, dir, "orders"), "o_custkey->o_orderpriority",
+          "o_custkey", "o_orderpriority")
+        .unionByName(fd(Tables.load(s, dir, "lineitem"),
+          "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"))
+        .unionByName(fd(Tables.load(s, dir, "customer"),
+          "c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"))
+    }),
+
+    // ---- referential-integrity audit: orphan foreign keys per edge of
+    //      the star schema. Each check is a broadcast LEFT join against
+    //      the (distinct) dimension key — fact side never shuffles ----
+    "q_ref_integrity" -> ((s, dir) => {
+      def orphans(fact: DataFrame, key: String, dim: DataFrame,
+                  dkey: String, name: String) =
+        fact.select(col(key).as("k"))
+          .join(broadcast(dim.select(col(dkey).as("dk")).distinct()),
+            col("k") === col("dk"), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("dk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("chk"), col("n_rows"), col("n_orphans"))
+      val cust = Tables.load(s, dir, "customer")
+      orphans(Tables.load(s, dir, "orders"), "o_custkey", cust,
+          "c_custkey", "orders->customer")
+        .unionByName(orphans(Tables.load(s, dir, "lineitem"), "l_partkey",
+          Tables.load(s, dir, "part"), "p_partkey", "lineitem->part"))
+        .unionByName(orphans(Tables.load(s, dir, "lineitem"), "l_suppkey",
+          Tables.load(s, dir, "supplier"), "s_suppkey",
+          "lineitem->supplier"))
+        .unionByName(orphans(Tables.events(s, dir), "user_id", cust,
+          "c_custkey", "events->customer"))
+    }),
+
+    // ---- l-diversity audit (companion to q_k_anon): per
+    //      quasi-identifier group (nation, segment), how many DISTINCT
+    //      sensitive values (thousand-dollar balance band) — a group
+    //      below l=3 is re-identifiable by attribute disclosure even
+    //      when k-anonymous. Bands shift positive before the integer
+    //      division (negative balances exist) ----
+    "q_l_diversity" -> ((s, dir) =>
+      Tables.load(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"),
+          expr("(cast(floor(c_acctbal * 100 + 0.5) as bigint) + 100000) div 100000")
+            .as("band"))
+        .groupBy("nation", "segment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("band")).as("n_sens"))
+        .withColumn("meets_l3",
+          when(col("n_sens") >= 3, 1L).otherwise(0L))),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -5427,6 +5562,117 @@ object SparkEntry {
              sum(uv1 * q0) * 1000000 // sum(uv0 * q0) AS index_ppm
       FROM base JOIN cur USING (brand, l_partkey)
       GROUP BY 1
+    """,
+
+    "q_trimmed_mean" -> """
+      WITH c AS (SELECT c_mktsegment AS segment,
+                        floor(c_acctbal * 100 + 0.5)::BIGINT AS cents,
+                        c_custkey
+                 FROM customer),
+      r AS (SELECT segment, cents,
+                   row_number() OVER (PARTITION BY segment
+                                      ORDER BY cents, c_custkey) AS rk,
+                   count(*) OVER (PARTITION BY segment) AS n
+            FROM c)
+      SELECT segment, count(*) AS n_kept,
+             sum(cents + 100000) * 10000 // count(*) - 1000000000
+               AS trimmed_mean_micro
+      FROM r WHERE rk > n // 10 AND rk <= n - n // 10
+      GROUP BY 1
+    """,
+
+    "q_ks_test" -> """
+      WITH o AS (SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS cents,
+                        (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS is_f
+                 FROM orders WHERE o_orderstatus IN ('F', 'O')),
+      byv AS (SELECT cents, sum(is_f)::BIGINT AS cf,
+                     sum(1 - is_f)::BIGINT AS co
+              FROM o GROUP BY 1),
+      cum AS (SELECT sum(cf) OVER w AS cum_f, sum(co) OVER w AS cum_o
+              FROM byv
+              WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)),
+      tot AS (SELECT sum(is_f)::BIGINT AS n_f,
+                     sum(1 - is_f)::BIGINT AS n_o FROM o)
+      SELECT n_f, n_o, max(abs(cum_f * n_o - cum_o * n_f))::BIGINT AS d_num,
+             max(abs(cum_f * n_o - cum_o * n_f)) * 1000000 // (n_f * n_o)
+               AS ks_ppm
+      FROM cum CROSS JOIN tot
+      GROUP BY 1, 2
+    """,
+
+    "q_mann_whitney" -> """
+      WITH e AS (SELECT floor(value * 1000000 + 0.5)::BIGINT AS v,
+                        (CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS is_a
+                 FROM events WHERE event_type IN ('click', 'purchase')),
+      byv AS (SELECT v, sum(is_a)::BIGINT AS ca, count(*)::BIGINT AS ct
+              FROM e GROUP BY 1),
+      ranked AS (SELECT ca, ct,
+                        coalesce(sum(ct) OVER (ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0)::BIGINT AS before
+                 FROM byv),
+      tot AS (SELECT sum(is_a)::BIGINT AS n_a,
+                     sum(1 - is_a)::BIGINT AS n_b FROM e)
+      SELECT n_a, n_b,
+             sum(ca * (2 * before + ct + 1))::BIGINT AS r2_a,
+             sum(ca * (2 * before + ct + 1)) - n_a * (n_a + 1) AS u2_a
+      FROM ranked CROSS JOIN tot
+      GROUP BY 1, 2
+    """,
+
+    "q_fd_check" -> """
+      WITH f1 AS (SELECT o_custkey AS k,
+                         count(DISTINCT o_orderpriority)::BIGINT AS d
+                  FROM orders GROUP BY 1),
+      f2 AS (SELECT l_orderkey AS k,
+                    count(DISTINCT l_returnflag)::BIGINT AS d
+             FROM lineitem GROUP BY 1),
+      f3 AS (SELECT c_nationkey AS k,
+                    count(DISTINCT c_mktsegment)::BIGINT AS d
+             FROM customer GROUP BY 1)
+      SELECT 'o_custkey->o_orderpriority' AS fd, count(*) AS n_groups,
+             sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+             max(d) AS max_rhs
+      FROM f1
+      UNION ALL
+      SELECT 'l_orderkey->l_returnflag', count(*),
+             sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)::BIGINT, max(d)
+      FROM f2
+      UNION ALL
+      SELECT 'c_nationkey->c_mktsegment', count(*),
+             sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)::BIGINT, max(d)
+      FROM f3
+    """,
+
+    "q_ref_integrity" -> """
+      SELECT 'orders->customer' AS chk, count(*) AS n_rows,
+             sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'lineitem->part', count(*),
+             sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      UNION ALL
+      SELECT 'lineitem->supplier', count(*),
+             sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      UNION ALL
+      SELECT 'events->customer', count(*),
+             sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+
+    "q_l_diversity" -> """
+      SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS segment,
+             count(*) AS n,
+             count(DISTINCT (floor(c_acctbal * 100 + 0.5)::BIGINT + 100000)
+                            // 100000) AS n_sens,
+             (CASE WHEN count(DISTINCT (floor(c_acctbal * 100 + 0.5)::BIGINT
+                                        + 100000) // 100000) >= 3
+                   THEN 1 ELSE 0 END)::BIGINT AS meets_l3
+      FROM customer
+      GROUP BY 1, 2
     """,
   )
 
