@@ -2765,6 +2765,116 @@ object SparkEntry {
           countDistinct(col("band")).as("n_sens"))
         .withColumn("meets_l3",
           when(col("n_sens") >= 3, 1L).otherwise(0L))),
+
+    // ---- PMI collocations: bigrams scoring far above independence.
+    //      PMI's log is monotone, so ranking/thresholding works on the
+    //      raw ratio p(ab)/(p(a)p(b)) = c_ab·N_u²/(N_bg·c_a·c_b),
+    //      carried in decimal(38,0)/HUGEINT ppm (c_ab·N_u² alone tops
+    //      long range at corpus scale). Unigram joins are plain equi
+    //      joins on the token key — the vocabulary is never collected
+    //      or broadcast ----
+    "q_pmi_collocations" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(expr("filter(" +
+          "split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), " +
+          "x -> x != '')").as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = true)
+      val bg = toks.filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "filter(zip_with(t, slice(t, 2, size(t) - 1), " +
+          "(a, b) -> concat(a, ' ', b)), x -> x is not null)")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val nU = uni.agg(sum("c").as("n_u"))
+      val nBg = toks.filter(size(col("t")) >= 2)
+        .agg(sum(expr("size(t) - 1")).as("n_bg"))
+      bg.withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .withColumn("w2", substring_index(col("bigram"), " ", -1))
+        .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+        .crossJoin(broadcast(nU)).crossJoin(broadcast(nBg))
+        .select(col("bigram"), col("c_ab"),
+          expr("""cast(c_ab as decimal(38,0)) * n_u * n_u * 1000000
+                  div (cast(n_bg as decimal(38,0)) * c_a * c_b)""")
+            .cast("long").as("pmi_ratio_ppm"))
+    }),
+
+    // ---- Zipf rank–frequency head: top-100 tokens with rank·freq
+    //      (constant under Zipf's law). TakeOrderedAndProject shape —
+    //      the full vocabulary is aggregated but only the head sorts ----
+    "q_zipf" -> ((s, dir) => {
+      val uni = Tables.load(s, dir, "documents")
+        .select(explode(expr("filter(" +
+          "split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), " +
+          "x -> x != '')")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      uni.withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("w"))))
+        .filter(col("rank") <= 100)
+        .withColumn("rank_x_freq", col("rank") * col("n"))
+    }),
+
+    // ---- deterministic negative sampling for contrastive training
+    //      pairs: each query doc draws k=5 pseudo-random corpus indexes
+    //      via an affine hash (Knuth multiplier) mod N — reproducible
+    //      across engines and runs, no RNG state. Index→doc resolution
+    //      is an equi-join on the dense rank, and the same-source flag
+    //      marks negatives too easy to train on ----
+    "q_neg_sample" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val idx = docs.select(col("doc_id"), col("source"))
+        .withColumn("i",
+          row_number().over(Window.orderBy("doc_id")) - lit(1L))
+      val n = idx.agg(count(lit(1)).as("n_docs"))
+      val q = idx.filter(col("i") < 20)
+        .select(col("doc_id").as("q_id"), col("i").as("qi"),
+          col("source").as("q_source"))
+      q.crossJoin(broadcast(n))
+        .select(col("q_id"), col("q_source"), col("n_docs"),
+          explode(expr("sequence(1L, 5L)")).as("j"))
+        .withColumn("neg_i",
+          expr("(q_id * 2654435761 + j * 40503) % n_docs"))
+        .join(idx.select(col("i").as("neg_i"), col("doc_id").as("neg_id"),
+          col("source").as("neg_source")), Seq("neg_i"))
+        .filter(col("neg_id") =!= col("q_id"))
+        .select(col("q_id"), col("j"), col("neg_id"),
+          when(col("q_source") === col("neg_source"), 1L).otherwise(0L)
+            .as("same_source"))
+    }),
+
+    // ---- hashing-trick feature buckets: tokens fold into a fixed
+    //      64-dim count vector, bucket = portable arithmetic over
+    //      (length, first char, last char) so the oracle reproduces it
+    //      exactly; the hash family is pluggable (xxhash64 in
+    //      production — same plan shape, one map-side expression) ----
+    "q_feature_hash" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(expr("filter(" +
+          "split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), " +
+          "x -> x != '')")).as("w"))
+        .select(expr("""(length(w) * 31 + ascii(substring(w, 1, 1)) * 7
+                        + ascii(substring(w, -1, 1))) % 64""").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_tokens"))),
+
+    // ---- seasonal-naive forecast with exact errors: each month's
+    //      order count predicted by the same month last year; the join
+    //      on month_id−12 (not lag-12) stays correct under missing
+    //      months. Integer counts ⇒ errors exact in both engines ----
+    "q_seasonal_forecast" -> ((s, dir) => {
+      val m = Tables.load(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 +
+          month(col("o_orderdate"))).cast("long").as("month_id"))
+        .agg(count(lit(1)).as("actual"))
+      m.join(m.select((col("month_id") + 12).as("month_id"),
+          col("actual").as("forecast")), Seq("month_id"))
+        .select(col("month_id"), col("actual"), col("forecast"),
+          abs(col("actual") - col("forecast")).as("abs_err"),
+          expr("abs(actual - forecast) * 1000000 div forecast")
+            .as("err_ppm"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -5673,6 +5783,81 @@ object SparkEntry {
                    THEN 1 ELSE 0 END)::BIGINT AS meets_l3
       FROM customer
       GROUP BY 1, 2
+    """,
+
+    "q_pmi_collocations" -> s"""
+      WITH d AS (SELECT list_filter($duckToks, x -> x <> '') AS t
+                 FROM documents),
+      uni AS (SELECT unnest(t) AS w FROM d),
+      uc AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY 1),
+      bg0 AS (SELECT unnest(list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i+1]))
+                AS bigram
+              FROM d WHERE len(t) >= 2),
+      bg AS (SELECT bigram, count(*)::BIGINT AS c_ab FROM bg0
+             GROUP BY 1 HAVING count(*) >= 5),
+      nu AS (SELECT sum(c)::HUGEINT AS n_u FROM uc),
+      nbg AS (SELECT sum(len(t) - 1)::HUGEINT AS n_bg FROM d
+              WHERE len(t) >= 2)
+      SELECT bigram, c_ab,
+             (c_ab::HUGEINT * n_u * n_u * 1000000
+              // (n_bg * ca.c * cb.c))::BIGINT AS pmi_ratio_ppm
+      FROM bg
+      JOIN uc ca ON split_part(bigram, ' ', 1) = ca.w
+      JOIN uc cb ON split_part(bigram, ' ', 2) = cb.w
+      CROSS JOIN nu CROSS JOIN nbg
+    """,
+
+    "q_zipf" -> s"""
+      WITH uni AS (SELECT unnest(list_filter($duckToks, x -> x <> ''))
+                     AS w
+                   FROM documents),
+      uc AS (SELECT w, count(*)::BIGINT AS n FROM uni GROUP BY 1),
+      r AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w)::BIGINT
+                          AS rank
+            FROM uc)
+      SELECT w, n, rank, rank * n AS rank_x_freq
+      FROM r WHERE rank <= 100
+    """,
+
+    "q_neg_sample" -> """
+      WITH idx AS (SELECT doc_id, source,
+                          (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT
+                            AS i
+                   FROM documents),
+      n AS (SELECT count(*)::BIGINT AS n_docs FROM idx),
+      q AS (SELECT doc_id AS q_id, source AS q_source
+            FROM idx WHERE i < 20),
+      drawn AS (SELECT q_id, q_source, j::BIGINT AS j,
+                       (q_id * 2654435761 + j * 40503) % n_docs AS neg_i
+                FROM q CROSS JOIN n
+                CROSS JOIN (SELECT unnest(range(1, 6)) AS j))
+      SELECT q_id, j, x.doc_id AS neg_id,
+             (CASE WHEN q_source = x.source THEN 1 ELSE 0 END)::BIGINT
+               AS same_source
+      FROM drawn JOIN idx x ON drawn.neg_i = x.i
+      WHERE x.doc_id <> q_id
+    """,
+
+    "q_feature_hash" -> s"""
+      WITH uni AS (SELECT unnest(list_filter($duckToks, x -> x <> ''))
+                     AS w
+                   FROM documents)
+      SELECT (length(w) * 31 + ascii(substring(w, 1, 1)) * 7
+              + ascii(substring(w, -1, 1))) % 64 AS bucket,
+             count(*)::BIGINT AS n_tokens
+      FROM uni GROUP BY 1
+    """,
+
+    "q_seasonal_forecast" -> """
+      WITH m AS (SELECT (year(o_orderdate) * 12
+                         + month(o_orderdate))::BIGINT AS month_id,
+                        count(*)::BIGINT AS actual
+                 FROM orders GROUP BY 1)
+      SELECT a.month_id, a.actual, f.actual AS forecast,
+             abs(a.actual - f.actual)::BIGINT AS abs_err,
+             abs(a.actual - f.actual) * 1000000 // f.actual AS err_ppm
+      FROM m a JOIN m f ON a.month_id = f.month_id + 12
     """,
   )
 
