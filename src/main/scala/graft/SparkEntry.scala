@@ -2875,6 +2875,139 @@ object SparkEntry {
           expr("abs(actual - forecast) * 1000000 div forecast")
             .as("err_ppm"))
     }),
+
+    // ---- population-stability buckets (PSI's per-bucket table without
+    //      the log): order-value distribution in $50k bands, first vs
+    //      last year, with exact ppm shares and drift. Full outer join
+    //      keeps bands present in only one year; empty-side shares
+    //      coalesce to 0 ----
+    "q_psi_buckets" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) div 5000000")
+            .as("bucket"))
+      val yrs = o.agg(min("yr").as("y0"), max("yr").as("y1"))
+      val b = o.crossJoin(broadcast(yrs))
+        .filter(col("yr") === col("y0") || col("yr") === col("y1"))
+        .groupBy("bucket")
+        .agg(sum(when(col("yr") === col("y0"), 1L).otherwise(0L)).as("n0"),
+          sum(when(col("yr") === col("y1"), 1L).otherwise(0L)).as("n1"))
+      val tot = b.agg(sum("n0").as("big0"), sum("n1").as("big1"))
+      b.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n0"), col("n1"),
+          expr("n0 * 1000000 div big0").as("share0_ppm"),
+          expr("n1 * 1000000 div big1").as("share1_ppm"),
+          abs(expr("n0 * 1000000 div big0 - n1 * 1000000 div big1"))
+            .as("drift_ppm"))
+    }),
+
+    // ---- Allen interval algebra over consecutive orders: each order's
+    //      lifespan [placement, last shipment] classified against the
+    //      customer's next one — precedes/meets/overlaps/contains/
+    //      inside/started_by/finishes/equals as a mutually-exclusive
+    //      CASE ladder on integer days. One window per customer, then a
+    //      global count per relation ----
+    "q_allen_intervals" -> ((s, dir) => {
+      val spans = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(max(expr("datediff(l_shipdate, date'1970-01-01')"))
+            .cast("long").as("e")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("cast(datediff(o_orderdate, date'1970-01-01') as bigint)")
+            .as("s"), col("e"))
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("s"), col("o_orderkey"))
+      spans
+        .withColumn("s2", lead("s", 1).over(w))
+        .withColumn("e2", lead("e", 1).over(w))
+        .filter(col("s2").isNotNull)
+        .select(expr("""CASE
+            WHEN e < s2 THEN 'precedes'
+            WHEN e = s2 THEN 'meets'
+            WHEN s = s2 AND e = e2 THEN 'equals'
+            WHEN s = s2 THEN 'starts'
+            WHEN e = e2 THEN 'finishes'
+            WHEN s < s2 AND e > e2 THEN 'contains'
+            WHEN s > s2 AND e < e2 THEN 'inside'
+            ELSE 'overlaps' END""").as("relation"))
+        .groupBy("relation")
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // ---- audience-overlap Jaccard between event types: distinct
+    //      (user, type) pairs self-join per user (≤k² rows each, k=5
+    //      types), so intersections aggregate without ever comparing
+    //      audiences pairwise at corpus scale ----
+    "q_audience_overlap" -> ((s, dir) => {
+      val ut = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("t")).distinct()
+      val sizes = ut.groupBy("t").agg(count(lit(1)).as("n"))
+      val inter = ut.as("a")
+        .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+          col("a.t") < col("b.t"))
+        .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(sizes.select(col("t").as("t1"), col("n").as("n1")), Seq("t1"))
+        .join(sizes.select(col("t").as("t2"), col("n").as("n2")), Seq("t2"))
+        .select(col("t1"), col("t2"), col("n1"), col("n2"), col("n_both"),
+          expr("n_both * 1000000 div (n1 + n2 - n_both)")
+            .as("jaccard_ppm"))
+    }),
+
+    // ---- Wald–Wolfowitz runs test on daily order volume: runs of
+    //      above/below-median days vs the count expected under
+    //      randomness, exactly — lower median (discrete quantile) keeps
+    //      everything integral, median-tied days drop (standard
+    //      practice), expected runs carried in micro units ----
+    "q_runs_test" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy(expr("cast(datediff(o_orderdate, date'1970-01-01') as bigint)")
+          .as("day"))
+        .agg(count(lit(1)).as("n"))
+      val med = daily
+        .withColumn("rk", row_number().over(Window.orderBy(col("n"), col("day"))))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+        .filter(col("rk") === expr("(cnt + 1) div 2"))
+        .select(col("n").as("m"))
+      val signed = daily.crossJoin(broadcast(med))
+        .filter(col("n") =!= col("m"))
+        .select(col("day"), when(col("n") > col("m"), 1L).otherwise(0L)
+          .as("above"))
+      val flips = signed
+        .withColumn("prev", lag("above", 1).over(Window.orderBy("day")))
+        .select(when(col("prev").isNull || col("prev") =!= col("above"), 1L)
+          .otherwise(0L).as("new_run"), col("above"))
+      flips.agg(sum(when(col("above") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("above") === 0, 1L).otherwise(0L)).as("n2"),
+          sum("new_run").as("runs"))
+        .withColumn("expected_micro",
+          expr("1000000 + 2 * n1 * n2 * 1000000 div (n1 + n2)"))
+    }),
+
+    // ---- n-gram novelty: per document, the share of its bigram
+    //      occurrences that are corpus-unique — high novelty separates
+    //      original text from boilerplate. One shuffle on the bigram
+    //      key to fold corpus counts back onto documents ----
+    "q_ngram_novelty" -> ((s, dir) => {
+      val bgDoc = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), expr("filter(" +
+          "split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), " +
+          "x -> x != '')").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "filter(zip_with(t, slice(t, 2, size(t) - 1), " +
+          "(a, b) -> concat(a, ' ', b)), x -> x is not null)")).as("bigram"))
+      val counts = bgDoc.groupBy("bigram").agg(count(lit(1)).as("c"))
+      bgDoc.join(counts, Seq("bigram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_ppm",
+          expr("n_novel * 1000000 div n_bigrams"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -5858,6 +5991,120 @@ object SparkEntry {
              abs(a.actual - f.actual)::BIGINT AS abs_err,
              abs(a.actual - f.actual) * 1000000 // f.actual AS err_ppm
       FROM m a JOIN m f ON a.month_id = f.month_id + 12
+    """,
+
+    "q_psi_buckets" -> """
+      WITH o AS (SELECT year(o_orderdate)::BIGINT AS yr,
+                        floor(o_totalprice * 100 + 0.5)::BIGINT // 5000000
+                          AS bucket
+                 FROM orders),
+      yrs AS (SELECT min(yr) AS y0, max(yr) AS y1 FROM o),
+      b AS (SELECT bucket,
+                   sum(CASE WHEN yr = y0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+                   sum(CASE WHEN yr = y1 THEN 1 ELSE 0 END)::BIGINT AS n1
+            FROM o CROSS JOIN yrs
+            WHERE yr = y0 OR yr = y1
+            GROUP BY 1),
+      tot AS (SELECT sum(n0)::BIGINT AS big0, sum(n1)::BIGINT AS big1
+              FROM b)
+      SELECT bucket, n0, n1,
+             n0 * 1000000 // big0 AS share0_ppm,
+             n1 * 1000000 // big1 AS share1_ppm,
+             abs(n0 * 1000000 // big0 - n1 * 1000000 // big1) AS drift_ppm
+      FROM b CROSS JOIN tot
+    """,
+
+    "q_allen_intervals" -> """
+      WITH spans AS (SELECT o.o_custkey, o.o_orderkey,
+                            date_diff('day', DATE '1970-01-01',
+                              o.o_orderdate)::BIGINT AS s,
+                            e.e
+                     FROM orders o
+                     JOIN (SELECT l_orderkey,
+                                  max(date_diff('day', DATE '1970-01-01',
+                                      l_shipdate))::BIGINT AS e
+                           FROM lineitem GROUP BY 1) e
+                       ON o.o_orderkey = e.l_orderkey),
+      nxt AS (SELECT s, e,
+                     lead(s) OVER w AS s2, lead(e) OVER w AS e2
+              FROM spans
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY s, o_orderkey))
+      SELECT CASE
+               WHEN e < s2 THEN 'precedes'
+               WHEN e = s2 THEN 'meets'
+               WHEN s = s2 AND e = e2 THEN 'equals'
+               WHEN s = s2 THEN 'starts'
+               WHEN e = e2 THEN 'finishes'
+               WHEN s < s2 AND e > e2 THEN 'contains'
+               WHEN s > s2 AND e < e2 THEN 'inside'
+               ELSE 'overlaps' END AS relation,
+             count(*) AS n_pairs
+      FROM nxt WHERE s2 IS NOT NULL
+      GROUP BY 1
+    """,
+
+    "q_audience_overlap" -> """
+      WITH ut AS (SELECT DISTINCT user_id, event_type AS t FROM events),
+      sizes AS (SELECT t, count(*)::BIGINT AS n FROM ut GROUP BY 1),
+      inter AS (SELECT a.t AS t1, b.t AS t2, count(*)::BIGINT AS n_both
+                FROM ut a JOIN ut b
+                  ON a.user_id = b.user_id AND a.t < b.t
+                GROUP BY 1, 2)
+      SELECT t1, t2, s1.n AS n1, s2.n AS n2, n_both,
+             n_both * 1000000 // (s1.n + s2.n - n_both) AS jaccard_ppm
+      FROM inter
+      JOIN sizes s1 ON t1 = s1.t
+      JOIN sizes s2 ON t2 = s2.t
+    """,
+
+    "q_runs_test" -> """
+      WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+                              o_orderdate)::BIGINT AS day,
+                            count(*)::BIGINT AS n
+                     FROM orders GROUP BY 1),
+      med AS (SELECT n AS m
+              FROM (SELECT n, day,
+                           row_number() OVER (ORDER BY n, day) AS rk,
+                           count(*) OVER () AS cnt
+                    FROM daily)
+              WHERE rk = (cnt + 1) // 2),
+      signed AS (SELECT day,
+                        (CASE WHEN n > m THEN 1 ELSE 0 END)::BIGINT
+                          AS above
+                 FROM daily CROSS JOIN med
+                 WHERE n <> m),
+      flips AS (SELECT above,
+                       (CASE WHEN lag(above) OVER (ORDER BY day) IS NULL
+                              OR lag(above) OVER (ORDER BY day) <> above
+                             THEN 1 ELSE 0 END)::BIGINT AS new_run
+                FROM signed)
+      SELECT sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)::BIGINT AS n2,
+             sum(new_run)::BIGINT AS runs,
+             1000000 + 2 * sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                         * sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)
+                         * 1000000
+                       // (sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                           + sum(CASE WHEN above = 0 THEN 1 ELSE 0 END))
+               AS expected_micro
+      FROM flips
+    """,
+
+    "q_ngram_novelty" -> s"""
+      WITH d AS (SELECT doc_id, list_filter($duckToks, x -> x <> '') AS t
+                 FROM documents),
+      bg AS (SELECT doc_id,
+                    unnest(list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i+1]))
+                      AS bigram
+             FROM d WHERE len(t) >= 2),
+      counts AS (SELECT bigram, count(*)::BIGINT AS c FROM bg GROUP BY 1)
+      SELECT doc_id, count(*) AS n_bigrams,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+               AS novelty_ppm
+      FROM bg JOIN counts USING (bigram)
+      GROUP BY 1
     """,
   )
 
