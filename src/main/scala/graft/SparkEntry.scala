@@ -3008,6 +3008,81 @@ object SparkEntry {
         .withColumn("novelty_ppm",
           expr("n_novel * 1000000 div n_bigrams"))
     }),
+
+    // ---- LSH self-evaluation: recall/precision of the banded MinHash
+    //      candidate generator against the exact Jaccard≥0.8 pair set
+    //      — the number that tells you whether 16×4 banding is safe to
+    //      ship before a 100-TB dedup run. Both sides are the library's
+    //      own operators; the tiny pair sets localCheckpoint so LSH
+    //      isn't re-derived for the count ----
+    "q_lsh_recall" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val exact = graft.functions.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", 3, 0.8).select("doc_a", "doc_b")
+      val lsh = graft.functions.Dedup.lshCandidatePairs(
+          docs, "doc_id", "text", 3, 16, 4)
+        .localCheckpoint(eager = true)
+      val nl = lsh.agg(count(lit(1)).as("n_lsh"))
+      exact.join(lsh.withColumn("hit", lit(1L)),
+          Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .crossJoin(broadcast(nl))
+        .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+          expr("n_hit * 1000000 div n_exact").as("recall_ppm"),
+          expr("n_hit * 1000000 div n_lsh").as("precision_ppm"))
+    }),
+
+    // ---- deterministic bootstrap: 32 half-sample replicas of the mean
+    //      order value, membership decided by a per-replica
+    //      multiplicative hash (no RNG state, reproducible across
+    //      engines and partitionings). The replica spread is the CI;
+    //      map-side fan-out ×32 then one hash aggregation ----
+    "q_bootstrap_ci" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .select(col("o_orderkey"), col("cents"),
+          explode(expr("sequence(0L, 31L)")).as("b"))
+        .filter(expr("(o_orderkey * (2654435761 + 2 * b)) % 1000003 < 500002"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(cents) * 10000 div count(1)").as("mean_micro"))),
+
+    // ---- degree distribution of the supplier co-purchase graph:
+    //      incident-edge counts per node, histogrammed in bands of 8.
+    //      Edge derivation shares [[CoOccurrence.edges]] (hub-guarded,
+    //      map-side pair explosion) with the other graph queries ----
+    "q_degree_hist" -> ((s, dir) => {
+      val edges = graft.operators.CoOccurrence.edges(
+        Tables.load(s, dir, "lineitem"), "l_orderkey", "l_suppkey", 5L)
+      edges.select(col("u").as("node"))
+        .unionByName(edges.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+        .groupBy(expr("d div 8").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min("d").as("min_deg"), max("d").as("max_deg"))
+    }),
+
+    // ---- out-of-order arrival audit (the batch question behind every
+    //      streaming watermark choice): per user, how many events
+    //      arrive with a timestamp behind the running max of earlier
+    //      arrivals, and by how much at worst. One window per user in
+    //      arrival (event_id) order ----
+    "q_ooo_lateness" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ns"))
+        .withColumn("prior_max", max("ts_ns").over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("ts_ns") < col("prior_max"), 1L).otherwise(0L))
+            .as("n_late"),
+          max(when(col("ts_ns") < col("prior_max"),
+            col("prior_max") - col("ts_ns")).otherwise(0L))
+            .as("max_late_ns"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -6105,6 +6180,75 @@ object SparkEntry {
                AS novelty_ppm
       FROM bg JOIN counts USING (bigram)
       GROUP BY 1
+    """,
+
+    "q_lsh_recall" -> s"""
+      WITH $minhashLshCtes,
+      sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS i
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      exact AS (SELECT doc_a, doc_b FROM (
+                  SELECT doc_a, doc_b,
+                         round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+                  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                             JOIN sizes sb ON doc_b = sb.doc_id)
+                WHERE jaccard >= 0.8),
+      ne AS (SELECT count(*)::BIGINT AS n_exact FROM exact),
+      nl AS (SELECT count(*)::BIGINT AS n_lsh FROM lsh_pairs),
+      hit AS (SELECT count(*)::BIGINT AS n_hit
+              FROM exact JOIN lsh_pairs USING (doc_a, doc_b))
+      SELECT n_exact, n_lsh, n_hit,
+             n_hit * 1000000 // n_exact AS recall_ppm,
+             n_hit * 1000000 // n_lsh AS precision_ppm
+      FROM ne CROSS JOIN nl CROSS JOIN hit
+    """,
+
+    "q_bootstrap_ci" -> """
+      WITH o AS (SELECT o_orderkey,
+                        floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+                 FROM orders),
+      rep AS (SELECT cents, b::BIGINT AS b
+              FROM o CROSS JOIN (SELECT unnest(range(0, 32)) AS b)
+              WHERE (o_orderkey * (2654435761 + 2 * b)) % 1000003
+                    < 500002)
+      SELECT b, count(*) AS n,
+             sum(cents) * 10000 // count(*) AS mean_micro
+      FROM rep GROUP BY 1
+    """,
+
+    "q_degree_hist" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      e0 AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_suppkey < b.l_suppkey
+             GROUP BY 1, 2),
+      e AS (SELECT u, v FROM e0 WHERE w >= 5),
+      deg AS (SELECT node, count(*)::BIGINT AS d
+              FROM (SELECT u AS node FROM e
+                    UNION ALL SELECT v FROM e)
+              GROUP BY 1)
+      SELECT d // 8 AS bucket, count(*) AS n_nodes,
+             min(d) AS min_deg, max(d) AS max_deg
+      FROM deg GROUP BY 1
+    """,
+
+    "q_ooo_lateness" -> """
+      WITH e AS (SELECT user_id, event_id,
+                        (epoch_ns(ts) // 1000) * 1000 AS tns
+                 FROM events),
+      x AS (SELECT user_id, tns,
+                   max(tns) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prior_max
+            FROM e)
+      SELECT user_id, count(*) AS n_events,
+             sum(CASE WHEN tns < prior_max THEN 1 ELSE 0 END)::BIGINT
+               AS n_late,
+             max(CASE WHEN tns < prior_max THEN prior_max - tns
+                      ELSE 0 END)::BIGINT AS max_late_ns
+      FROM x GROUP BY 1
     """,
   )
 
