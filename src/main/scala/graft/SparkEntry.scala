@@ -3182,6 +3182,81 @@ object SparkEntry {
         .select(col("day"), col("n"), col("sum7"),
           expr("n * 7000000 div sum7").as("vs_mean_ppm"))
     }),
+
+    // ---- ingest-time incremental dedup: which arriving documents (top
+    //      tenth of the id range — an arithmetic cutoff, no sort) are
+    //      near-dups of the EXISTING corpus. Asymmetric filter on the
+    //      LSH candidate pairs: only old→new matches survive, the
+    //      report is per new doc ----
+    "q_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val bounds = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+        .select(expr("mn + (mx - mn) * 9 div 10").as("thr"))
+      graft.functions.Dedup.lshCandidatePairs(
+          docs, "doc_id", "text", 3, 16, 4)
+        .crossJoin(broadcast(bounds))
+        .filter(col("doc_b") > col("thr") && col("doc_a") <= col("thr"))
+        .groupBy(col("doc_b").as("new_doc"))
+        .agg(count(lit(1)).as("n_old_matches"),
+          min("doc_a").as("first_partner"))
+    }),
+
+    // ---- range-partitioner boundary estimation (what Spark's
+    //      RangePartitioning does before a global sort at scale):
+    //      deterministic 1/97 key sample, 31 split points at the
+    //      sample's ntile positions. The sort runs over the SAMPLE
+    //      only — the full table is never globally ordered ----
+    "q_range_boundaries" -> ((s, dir) => {
+      val samp = Tables.load(s, dir, "orders")
+        .filter(expr("o_orderkey % 97 = 0"))
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long")
+          .as("cents"), col("o_orderkey"))
+      val rk = samp.withColumn("rk", row_number().over(
+        Window.orderBy(col("cents"), col("o_orderkey"))))
+      val pos = samp.agg(count(lit(1)).as("n_s"))
+        .select(explode(expr("sequence(1L, 31L)")).as("bucket"), col("n_s"))
+        .select(col("bucket"), expr("bucket * n_s div 32").as("rk"))
+      rk.join(broadcast(pos), Seq("rk"))
+        .select(col("bucket"), col("cents").as("boundary_cents"))
+    }),
+
+    // ---- Z-order (Morton) curve bucketing over (custkey, nation):
+    //      bit-interleave 5+5 bits arithmetically — the address math
+    //      behind [[graft.sources.ZOrderLayout]]'s multi-dimensional
+    //      clustering, verified cross-engine ----
+    "q_zvalue" -> ((s, dir) => {
+      val z = (0 until 5).map(i =>
+        s"((x div ${1 << i}) % 2) * ${1L << (2 * i)} + " +
+        s"((y div ${1 << i}) % 2) * ${1L << (2 * i + 1)}").mkString(" + ")
+      Tables.load(s, dir, "customer")
+        .select(expr("c_custkey % 32").as("x"),
+          expr("cast(c_nationkey as bigint) % 32").as("y"))
+        .select(expr(z).as("z"))
+        .groupBy(expr("z div 64").as("bucket"))
+        .agg(count(lit(1)).as("n"), min("z").as("min_z"),
+          max("z").as("max_z"))
+    }),
+
+    // ---- maximum drawdown of cumulative daily revenue: running peak
+    //      minus running level, worst day reported deterministically
+    //      (max dd, then earliest day). Cents end to end; the global
+    //      day window partitions per instrument in a real book ----
+    "q_drawdown" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .groupBy(expr("cast(datediff(o_orderdate, date'1970-01-01') as bigint)")
+          .as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("rev"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = daily
+        .withColumn("cum", sum("rev").over(w))
+        .withColumn("peak", max(col("cum")).over(w))
+        .withColumn("dd", col("peak") - col("cum"))
+      dd.orderBy(col("dd").desc, col("day")).limit(1)
+        .select(col("day").as("worst_day"), col("dd").as("max_dd_cents"),
+          col("peak").as("peak_cents"), col("cum").as("cum_cents"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -6440,6 +6515,67 @@ object SparkEntry {
       FROM x
       WHERE prev_n IS NOT NULL AND next_n IS NOT NULL AND n7 = 7
         AND n > prev_n AND n > next_n AND 14 * n > 3 * sum7
+    """,
+
+    "q_incremental_dedup" -> s"""
+      WITH $minhashLshCtes,
+      bounds AS (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) * 9 // 10
+                   AS thr
+                 FROM documents)
+      SELECT doc_b AS new_doc, count(*) AS n_old_matches,
+             min(doc_a) AS first_partner
+      FROM lsh_pairs CROSS JOIN bounds
+      WHERE doc_b > thr AND doc_a <= thr
+      GROUP BY 1
+    """,
+
+    "q_range_boundaries" -> """
+      WITH samp AS (SELECT floor(o_totalprice * 100 + 0.5)::BIGINT
+                             AS cents, o_orderkey
+                    FROM orders WHERE o_orderkey % 97 = 0),
+      rk AS (SELECT cents,
+                    row_number() OVER (ORDER BY cents, o_orderkey)::BIGINT
+                      AS rk
+             FROM samp),
+      pos AS (SELECT bucket::BIGINT AS bucket,
+                     bucket * (SELECT count(*) FROM samp) // 32 AS rk
+              FROM (SELECT unnest(range(1, 32)) AS bucket))
+      SELECT bucket, cents AS boundary_cents
+      FROM rk JOIN pos USING (rk)
+    """,
+
+    "q_zvalue" -> s"""
+      WITH xy AS (SELECT c_custkey % 32 AS x,
+                         c_nationkey::BIGINT % 32 AS y
+                  FROM customer),
+      zv AS (SELECT ${(0 until 5).map(i =>
+              s"((x // ${1 << i}) % 2) * ${1L << (2 * i)} + " +
+              s"((y // ${1 << i}) % 2) * ${1L << (2 * i + 1)}")
+              .mkString(" + ")} AS z
+             FROM xy)
+      SELECT z // 64 AS bucket, count(*) AS n,
+             min(z) AS min_z, max(z) AS max_z
+      FROM zv GROUP BY 1
+    """,
+
+    "q_drawdown" -> """
+      WITH daily AS (SELECT date_diff('day', DATE '1970-01-01',
+                              o_orderdate)::BIGINT AS day,
+                            sum(floor(o_totalprice * 100 + 0.5)::BIGINT)
+                              AS rev
+                     FROM orders GROUP BY 1),
+      cm AS (SELECT day, sum(rev) OVER (ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS cum
+             FROM daily),
+      c AS (SELECT day, cum,
+                   max(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                     AS peak
+            FROM cm)
+      SELECT day AS worst_day, (peak - cum)::BIGINT AS max_dd_cents,
+             peak::BIGINT AS peak_cents, cum::BIGINT AS cum_cents
+      FROM c
+      ORDER BY max_dd_cents DESC, day
+      LIMIT 1
     """,
   )
 
