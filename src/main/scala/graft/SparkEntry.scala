@@ -3257,6 +3257,91 @@ object SparkEntry {
         .select(col("day").as("worst_day"), col("dd").as("max_dd_cents"),
           col("peak").as("peak_cents"), col("cum").as("cum_cents"))
     }),
+
+    // ---- weighted sparse cosine pairs: TF-vector similarity via a
+    //      postings join on the token key, df-capped at 100 (both the
+    //      stopword guard and the candidate-volume bound — postings
+    //      above the cap would dominate the join quadratically at
+    //      corpus scale). Cosine² stays integral: cos²·1e6 =
+    //      dot²·1e6 div (‖a‖²·‖b‖²), threshold 0.25 = cos ≥ 0.5, all
+    //      over the df≤100 vocabulary by definition ----
+    "q_sparse_cosine_pairs" -> ((s, dir) => {
+      val tf = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(expr("filter(" +
+          "split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), " +
+          "x -> x != '')")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val kept = tf.withColumn("df",
+          count(lit(1)).over(Window.partitionBy("w")))
+        .filter(col("df") <= 100)
+      val norms = kept.groupBy("doc_id")
+        .agg(sum(expr("tf * tf")).as("n2"))
+      val dot = kept.select(col("doc_id").as("doc_a"), col("w"),
+          col("tf").as("tfa"))
+        .join(kept.select(col("doc_id").as("doc_b"), col("w"),
+          col("tf").as("tfb")), Seq("w"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(expr("tfa * tfb")).as("dot"))
+      dot
+        .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na")),
+          Seq("doc_a"))
+        .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb")),
+          Seq("doc_b"))
+        .withColumn("cos2_ppm", expr("dot * dot * 1000000 div (na * nb)"))
+        .filter(col("cos2_ppm") >= 250000)
+        .select("doc_a", "doc_b", "dot", "cos2_ppm")
+    }),
+
+    // ---- zone-map pruning, layout A/B: the same custkey predicate
+    //      against per-file min/max stats under a custkey-clustered
+    //      layout vs a date-append layout — the number that justifies
+    //      re-clustering a 100-TB table. Pseudo-files are 64ths of
+    //      each layout's order; stats and the prune test are the
+    //      standard zone-map arithmetic ----
+    "q_scan_pruning" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("cast(datediff(o_orderdate, date'1970-01-01') as bigint)")
+            .as("day"))
+      val bounds = o.agg(min("o_custkey").as("mn"), max("o_custkey").as("mx"))
+        .select(expr("mn + (mx - mn) * 4 div 10").as("lo"),
+          expr("mn + (mx - mn) * 5 div 10").as("hi"))
+      def layout(name: String, fileOf: org.apache.spark.sql.Column) =
+        o.withColumn("file_id", fileOf)
+          .groupBy("file_id")
+          .agg(min("o_custkey").as("mn_ck"), max("o_custkey").as("mx_ck"))
+          .crossJoin(broadcast(bounds))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("mx_ck") < col("lo") || col("mn_ck") > col("hi"),
+              1L).otherwise(0L)).as("n_pruned"))
+          .select(lit(name).as("layout"), col("n_files"), col("n_pruned"))
+      val ckFile = ntile(64).over(Window.orderBy(col("o_custkey"),
+        col("o_orderkey"))).cast("long")
+      val dateFile = ntile(64).over(Window.orderBy(col("day"),
+        col("o_orderkey"))).cast("long")
+      layout("clustered_by_custkey", ckFile)
+        .unionByName(layout("appended_by_date", dateFile))
+    }),
+
+    // ---- dictionary-encodability audit: distinct-value density per
+    //      column (ndv·1e6/n) — the layout signal for dictionary vs
+    //      plain encoding at write time. One pass per column, unioned ----
+    "q_dict_encodability" -> ((s, dir) => {
+      def card(df: DataFrame, c: String, table: String) =
+        df.agg(count(lit(1)).as("n"),
+            countDistinct(col(c)).as("ndv"))
+          .select(lit(s"$table.$c").as("column_name"), col("n"), col("ndv"),
+            expr("ndv * 1000000 div n").as("ndv_ppm"))
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      card(li, "l_returnflag", "lineitem")
+        .unionByName(card(li, "l_suppkey", "lineitem"))
+        .unionByName(card(li, "l_extendedprice", "lineitem"))
+        .unionByName(card(o, "o_orderpriority", "orders"))
+        .unionByName(card(o, "o_custkey", "orders"))
+        .unionByName(card(o, "o_totalprice", "orders"))
+    }),
   )
 
   /** DuckDB-dialect oracles. The retention CTE is split into a
@@ -6576,6 +6661,98 @@ object SparkEntry {
       FROM c
       ORDER BY max_dd_cents DESC, day
       LIMIT 1
+    """,
+
+    "q_sparse_cosine_pairs" -> s"""
+      WITH tok AS (SELECT doc_id,
+                          unnest(list_filter($duckToks, x -> x <> ''))
+                            AS w
+                   FROM documents),
+      tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf
+             FROM tok GROUP BY 1, 2),
+      kept AS (SELECT doc_id, w, tf
+               FROM (SELECT doc_id, w, tf,
+                            count(*) OVER (PARTITION BY w) AS df
+                     FROM tf)
+               WHERE df <= 100),
+      norms AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2
+                FROM kept GROUP BY 1),
+      dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     sum(a.tf * b.tf)::BIGINT AS dot
+              FROM kept a JOIN kept b
+                ON a.w = b.w AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+      SELECT doc_a, doc_b, dot,
+             dot * dot * 1000000 // (na.n2 * nb.n2) AS cos2_ppm
+      FROM dot
+      JOIN norms na ON doc_a = na.doc_id
+      JOIN norms nb ON doc_b = nb.doc_id
+      WHERE dot * dot * 1000000 // (na.n2 * nb.n2) >= 250000
+    """,
+
+    "q_scan_pruning" -> """
+      WITH o AS (SELECT o_custkey, o_orderkey,
+                        date_diff('day', DATE '1970-01-01',
+                          o_orderdate)::BIGINT AS day
+                 FROM orders),
+      bounds AS (SELECT min(o_custkey) + (max(o_custkey) - min(o_custkey))
+                          * 4 // 10 AS lo,
+                        min(o_custkey) + (max(o_custkey) - min(o_custkey))
+                          * 5 // 10 AS hi
+                 FROM o),
+      ck AS (SELECT ntile(64) OVER (ORDER BY o_custkey, o_orderkey)
+                      ::BIGINT AS file_id, o_custkey
+             FROM o),
+      dt AS (SELECT ntile(64) OVER (ORDER BY day, o_orderkey)
+                      ::BIGINT AS file_id, o_custkey
+             FROM o),
+      cks AS (SELECT file_id, min(o_custkey) AS mn_ck,
+                     max(o_custkey) AS mx_ck
+              FROM ck GROUP BY 1),
+      dts AS (SELECT file_id, min(o_custkey) AS mn_ck,
+                     max(o_custkey) AS mx_ck
+              FROM dt GROUP BY 1)
+      SELECT 'clustered_by_custkey' AS layout, count(*) AS n_files,
+             sum(CASE WHEN mx_ck < lo OR mn_ck > hi THEN 1 ELSE 0 END)
+               ::BIGINT AS n_pruned
+      FROM cks CROSS JOIN bounds
+      UNION ALL
+      SELECT 'appended_by_date', count(*),
+             sum(CASE WHEN mx_ck < lo OR mn_ck > hi THEN 1 ELSE 0 END)
+               ::BIGINT
+      FROM dts CROSS JOIN bounds
+    """,
+
+    "q_dict_encodability" -> """
+      SELECT 'lineitem.l_returnflag' AS column_name, count(*) AS n,
+             count(DISTINCT l_returnflag)::BIGINT AS ndv,
+             count(DISTINCT l_returnflag) * 1000000 // count(*) AS ndv_ppm
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_suppkey', count(*),
+             count(DISTINCT l_suppkey)::BIGINT,
+             count(DISTINCT l_suppkey) * 1000000 // count(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_extendedprice', count(*),
+             count(DISTINCT l_extendedprice)::BIGINT,
+             count(DISTINCT l_extendedprice) * 1000000 // count(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders.o_orderpriority', count(*),
+             count(DISTINCT o_orderpriority)::BIGINT,
+             count(DISTINCT o_orderpriority) * 1000000 // count(*)
+      FROM orders
+      UNION ALL
+      SELECT 'orders.o_custkey', count(*),
+             count(DISTINCT o_custkey)::BIGINT,
+             count(DISTINCT o_custkey) * 1000000 // count(*)
+      FROM orders
+      UNION ALL
+      SELECT 'orders.o_totalprice', count(*),
+             count(DISTINCT o_totalprice)::BIGINT,
+             count(DISTINCT o_totalprice) * 1000000 // count(*)
+      FROM orders
     """,
   )
 
