@@ -23,6 +23,11 @@ case class BalanceDelta(key: Long, seq: Long, delta: Long)
 case class BalanceState(balance: Long, lastSeq: Long)
 case class BalanceOut(key: Long, seq: Long, balance: Long)
 
+case class LatenessEvent(user_id: Long, event_id: Long, ts_ns: Long)
+case class LatenessState(maxNs: Long, lastId: Long)
+case class LatenessOut(user_id: Long, event_id: Long, late: Long,
+                       late_ns: Long)
+
 case class SessionEvent(user_id: Long, event_id: Long, ts_ns: Long)
 case class SessionState(sessionStartNs: Long, lastNs: Long, n: Long)
 case class SessionOut(user_id: Long, session_start_ns: Long,
@@ -159,6 +164,40 @@ object StreamingOps {
             prev = Some(e.ts_ns)
           }
           prev.foreach(p => state.update(ThrottleState(p)))
+          out.result().iterator
+      }
+  }
+
+  /** Live out-of-order monitor — the streaming dual of
+    * q_ooo_lateness: per arriving event, is its timestamp behind the
+    * running max of earlier arrivals for the same user, and by how
+    * much. Arrival order is the event_id sequence (enforced in-batch
+    * by sort, across batches by `lastId`), so a replay emits exactly
+    * the batch window result. State is O(1) per key: the running max
+    * timestamp and the last applied id — this is the live feed a
+    * watermark-tuning loop would consume.
+    */
+  def latenessMonitor(events: Dataset[LatenessEvent])
+      : Dataset[LatenessOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LatenessState, LatenessOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, it, state: GroupState[LatenessState]) =>
+          val sorted = it.toSeq.sortBy(_.event_id)
+          var st = state.getOption
+            .getOrElse(LatenessState(Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[LatenessOut]
+          sorted.foreach { e =>
+            if (e.event_id > st.lastId) {
+              val late = st.maxNs != Long.MinValue && e.ts_ns < st.maxNs
+              out += LatenessOut(user, e.event_id,
+                if (late) 1L else 0L,
+                if (late) st.maxNs - e.ts_ns else 0L)
+              st = LatenessState(math.max(st.maxNs, e.ts_ns), e.event_id)
+            }
+          }
+          state.update(st)
           out.result().iterator
       }
   }

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.{SessionEvent, StreamingOps, ThrottleEvent}
+import graft.streaming.{LatenessEvent, SessionEvent, StreamingOps,
+  ThrottleEvent}
 
 /** Streaming duals replay the events fixture and must agree with the
   * batch queries on the same data. */
@@ -282,5 +283,45 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("bal")
       .as[(Long, Long, Long)].collect().toSet
     assert(streamed === batch)
+  }
+
+  test("streaming lateness monitor aggregates to the batch OOO audit") {
+    val batch = SparkEntry.queries("q_ooo_lateness")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val stream = StreamingOps.eventsStream(spark, dir)
+      .select($"user_id", $"event_id", $"ts_ns")
+      .as[LatenessEvent]
+    val q = StreamingOps.latenessMonitor(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val agg = spark.table("late")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("late").as("n_late"),
+        max("late_ns").as("max_late_ns"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(agg === batch)
+  }
+
+  test("lateness state carries the running max across microbatches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[LatenessEvent]
+    val q = StreamingOps.latenessMonitor(ms.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late2").start()
+    ms.addData(LatenessEvent(1, 10, 1000), LatenessEvent(1, 11, 900))
+    q.processAllAvailable()
+    // batch 2: 950 is behind the max (1000) seen in batch 1
+    ms.addData(LatenessEvent(1, 12, 950), LatenessEvent(1, 13, 1100))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("late2")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    assert(got(10L) == (0L, 0L))
+    assert(got(11L) == (1L, 100L))
+    assert(got(12L) == (1L, 50L))
+    assert(got(13L) == (0L, 0L))
   }
 }
