@@ -5764,7 +5764,8 @@ object SparkEntry {
             WINDOW w2 AS (PARTITION BY user_id, event_type
                           ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING))
-      SELECT event_id, user_id, event_type, delta, cusum,
+      SELECT event_id, user_id, event_type,
+             delta::BIGINT AS delta, cusum::BIGINT AS cusum,
              (CASE WHEN cusum > mean_c * 4 THEN 1 ELSE 0 END)::BIGINT
                AS alarm
       FROM c
@@ -5892,7 +5893,7 @@ object SparkEntry {
     "q_pps_sample" -> """
       WITH per AS (SELECT o_custkey,
                           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)
-                            AS rev
+                            ::BIGINT AS rev
                    FROM orders GROUP BY 1),
       c AS (SELECT *,
                    sum(rev) OVER (ORDER BY o_custkey
@@ -5979,9 +5980,10 @@ object SparkEntry {
              min(n_chars) AS min_chars, max(n_chars) AS max_chars,
              sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)::BIGINT
                AS n_short,
-             sum(n_chars) * 1000000 // count(*) AS mean_chars_micro,
-             sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) * 1000000
-               // count(*) AS short_ppm
+             (sum(n_chars) * 1000000 // count(*))::BIGINT
+               AS mean_chars_micro,
+             (sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) * 1000000
+               // count(*))::BIGINT AS short_ppm
       FROM documents GROUP BY 1
     """,
 
@@ -6012,8 +6014,9 @@ object SparkEntry {
         FROM s4 GROUP BY k)
       SELECT join_key, sum(cnt)::BIGINT AS n_rows, count(*) AS n_keys,
              max(cnt)::BIGINT AS max_cnt,
-             max(cnt) * 1000000 // sum(cnt) AS top1_ppm,
-             max(cnt) * count(*) * 1000000 // sum(cnt) AS skew_ratio_ppm
+             (max(cnt) * 1000000 // sum(cnt))::BIGINT AS top1_ppm,
+             (max(cnt) * count(*) * 1000000 // sum(cnt))::BIGINT
+               AS skew_ratio_ppm
       FROM agg GROUP BY 1
     """,
 
@@ -6032,8 +6035,8 @@ object SparkEntry {
       SELECT age, age_rev,
              (sum(age_rev) OVER (ORDER BY age
                 ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_rev,
-             (sum(age_rev) OVER (ORDER BY age ROWS UNBOUNDED PRECEDING))
-               * 1000000 // n_users AS ltv_micro
+             ((sum(age_rev) OVER (ORDER BY age ROWS UNBOUNDED PRECEDING))
+               * 1000000 // n_users)::BIGINT AS ltv_micro
       FROM byage CROSS JOIN n
     """,
 
@@ -6136,7 +6139,8 @@ object SparkEntry {
       SELECT brand, count(*) AS n_parts,
              sum(uv1 * q0)::BIGINT AS num,
              sum(uv0 * q0)::BIGINT AS den,
-             sum(uv1 * q0) * 1000000 // sum(uv0 * q0) AS index_ppm
+             (sum(uv1 * q0) * 1000000 // sum(uv0 * q0))::BIGINT
+               AS index_ppm
       FROM base JOIN cur USING (brand, l_partkey)
       GROUP BY 1
     """,
@@ -6152,8 +6156,8 @@ object SparkEntry {
                    count(*) OVER (PARTITION BY segment) AS n
             FROM c)
       SELECT segment, count(*) AS n_kept,
-             sum(cents + 100000) * 10000 // count(*) - 1000000000
-               AS trimmed_mean_micro
+             (sum(cents + 100000) * 10000 // count(*) - 1000000000
+               )::BIGINT AS trimmed_mean_micro
       FROM r WHERE rk > n // 10 AND rk <= n - n // 10
       GROUP BY 1
     """,
@@ -6171,8 +6175,8 @@ object SparkEntry {
       tot AS (SELECT sum(is_f)::BIGINT AS n_f,
                      sum(1 - is_f)::BIGINT AS n_o FROM o)
       SELECT n_f, n_o, max(abs(cum_f * n_o - cum_o * n_f))::BIGINT AS d_num,
-             max(abs(cum_f * n_o - cum_o * n_f)) * 1000000 // (n_f * n_o)
-               AS ks_ppm
+             (max(abs(cum_f * n_o - cum_o * n_f)) * 1000000
+               // (n_f * n_o))::BIGINT AS ks_ppm
       FROM cum CROSS JOIN tot
       GROUP BY 1, 2
     """,
@@ -6192,7 +6196,8 @@ object SparkEntry {
                      sum(1 - is_a)::BIGINT AS n_b FROM e)
       SELECT n_a, n_b,
              sum(ca * (2 * before + ct + 1))::BIGINT AS r2_a,
-             sum(ca * (2 * before + ct + 1)) - n_a * (n_a + 1) AS u2_a
+             (sum(ca * (2 * before + ct + 1)) - n_a * (n_a + 1))::BIGINT
+               AS u2_a
       FROM ranked CROSS JOIN tot
       GROUP BY 1, 2
     """,
@@ -6415,12 +6420,12 @@ object SparkEntry {
       SELECT sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
              sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)::BIGINT AS n2,
              sum(new_run)::BIGINT AS runs,
-             1000000 + 2 * sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
-                         * sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)
-                         * 1000000
-                       // (sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
-                           + sum(CASE WHEN above = 0 THEN 1 ELSE 0 END))
-               AS expected_micro
+             (1000000 + 2 * sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                          * sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)
+                          * 1000000
+                        // (sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)
+                            + sum(CASE WHEN above = 0 THEN 1 ELSE 0 END))
+               )::BIGINT AS expected_micro
       FROM flips
     """,
 
@@ -6435,8 +6440,8 @@ object SparkEntry {
       counts AS (SELECT bigram, count(*)::BIGINT AS c FROM bg GROUP BY 1)
       SELECT doc_id, count(*) AS n_bigrams,
              sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
-             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
-               AS novelty_ppm
+             (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+               // count(*))::BIGINT AS novelty_ppm
       FROM bg JOIN counts USING (bigram)
       GROUP BY 1
     """,
@@ -6473,7 +6478,7 @@ object SparkEntry {
               WHERE (o_orderkey * (2654435761 + 2 * b)) % 1000003
                     < 500002)
       SELECT b, count(*) AS n,
-             sum(cents) * 10000 // count(*) AS mean_micro
+             (sum(cents) * 10000 // count(*))::BIGINT AS mean_micro
       FROM rep GROUP BY 1
     """,
 
@@ -6524,8 +6529,8 @@ object SparkEntry {
             GROUP BY 1, 2, 3)
       SELECT prev2, prev1, next_type, n,
              sum(n) OVER (PARTITION BY prev2, prev1)::BIGINT AS n_ctx,
-             n * 1000000 // sum(n) OVER (PARTITION BY prev2, prev1)
-               AS p_ppm
+             (n * 1000000 // sum(n) OVER (PARTITION BY prev2, prev1)
+               )::BIGINT AS p_ppm
       FROM g
     """,
 
@@ -6578,7 +6583,7 @@ object SparkEntry {
                GROUP BY 1, 2)
       SELECT entry_type, count(*) AS n_sessions,
              sum(converted)::BIGINT AS n_converted,
-             sum(converted) * 1000000 // count(*) AS cvr_ppm
+             (sum(converted) * 1000000 // count(*))::BIGINT AS cvr_ppm
       FROM sess GROUP BY 1
     """,
 
@@ -6596,7 +6601,7 @@ object SparkEntry {
                      RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n7
             FROM daily)
       SELECT day, n, sum7::BIGINT AS sum7,
-             n * 7000000 // sum7 AS vs_mean_ppm
+             (n * 7000000 // sum7)::BIGINT AS vs_mean_ppm
       FROM x
       WHERE prev_n IS NOT NULL AND next_n IS NOT NULL AND n7 = 7
         AND n > prev_n AND n > next_n AND 14 * n > 3 * sum7

@@ -20,11 +20,26 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val suite = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.filter(kv => ks(kv._1)))
+    // A failing query must surface as a RED correctness entry, never a
+    // silently-missing one (round 5 dropped 58 crashed queries from the
+    // artifact and the round read as clean): write a sentinel-schema
+    // parquet in the query's slot — rows/schema/hash all mismatch the
+    // oracle, so the driver records the failure — plus a machine-
+    // readable error dump, and exit nonzero so the run itself is
+    // visibly not clean.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     suite.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        failures(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
+        try {
+          import spark.implicits._
+          Seq(msg.take(500)).toDF("__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +58,14 @@ object Verify {
       .filter(kv => only.forall(_(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    System.err.println(
+      s"[verify] ${suite.size - failures.size}/${suite.size} queries dumped" +
+        (if (failures.isEmpty) "" else s"; ${failures.size} FAILED: " +
+          failures.keys.mkString(", ")))
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

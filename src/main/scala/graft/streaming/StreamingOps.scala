@@ -309,9 +309,11 @@ object StreamingOps {
               expr("(p.ts_ns - c.ts_ns) div 1000").as("gap_us"))
   }
 
-  /** File-stream reader for the events fixture (nanos handled the same
-    * way as the batch loader). The file source requires a DIRECTORY, so
-    * the single fixture file is staged into a temp dir once. */
+  /** File-stream reader for the events fixture — ts normalization is
+    * shared with the batch loader (Tables.normalizeEvents), so both
+    * paths track the fixture's actual encoding (nanos-long vs
+    * timestamp[us]). The file source requires a DIRECTORY, so the
+    * single fixture file is staged into a temp dir once. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
@@ -319,13 +321,15 @@ object StreamingOps {
       s"/tmp/graft_stream_events/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}")
     java.nio.file.Files.createDirectories(dir)
     val dst = dir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(dst))
-      java.nio.file.Files.copy(src, dst)
-    val schema = graft.Tables.load(spark, sfDir, "events").schema
-    spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_ns", expr("(ts_ns div 1000) * 1000"))
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    // re-stage if the fixture changed (size differs) — a stale copy from
+    // a prior run could carry a different ts encoding than the schema
+    // read below, silently corrupting every streamed row
+    if (!java.nio.file.Files.exists(dst) ||
+        java.nio.file.Files.size(dst) != java.nio.file.Files.size(src))
+      java.nio.file.Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    graft.Tables.normalizeEvents(
+      spark.readStream.schema(schema).parquet(dir.toString))
   }
 }

@@ -107,10 +107,9 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(src, stageDir.resolve("a.parquet"))
     java.nio.file.Files.copy(src, stageDir.resolve("b.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.load(spark, dir, "events").schema
-    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = Tables.normalizeEvents(
+      spark.readStream.schema(schema).parquet(stageDir.toString))
     val q = StreamingOps.dedupByIdStream(stream, "event_id", "1 hour")
       .writeStream.outputMode("append")
       .format("memory").queryName("deduped")

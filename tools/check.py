@@ -55,6 +55,17 @@ for name in sorted(oracle):
     if len(spark_df) != len(duck_df):
         print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
         fails += 1; continue
+    # value-KIND mismatch (int vs float) fails the driver's value hash
+    # even when the numbers compare equal — e.g. an un-cast DuckDB
+    # sum(BIGINT) surfaces as HUGEINT -> pandas float64 while Spark
+    # wrote int64. check_dtype=False below would hide it; flag it here.
+    kind_bad = [c for c in spark_df.columns
+                if spark_df[c].dtype.kind != duck_df[c].dtype.kind]
+    if kind_bad:
+        print(f"FAIL {name}: dtype kind mismatch " +
+              ", ".join(f"{c}(spark={spark_df[c].dtype} duck={duck_df[c].dtype})"
+                        for c in kind_bad))
+        fails += 1; continue
     try:
         pd.testing.assert_frame_equal(spark_df, duck_df, check_dtype=False,
                                       check_exact=True)
