@@ -40,11 +40,16 @@ object Bench {
     // two timed passes, min per query: single-pass numbers on a shared
     // 32-thread box swing ±50% from GC/scheduler noise; min-of-2 is the
     // repeatable steady-state figure the 2× perf gate compares against.
-    def timedPass(): Map[String, Double] = suite.map {
+    // an errored query's elapsed time is time-to-exception, not a
+    // benchmark number — drop it from the timing map entirely (it is
+    // reported via the "errors" JSON key and the nonzero exit instead),
+    // so a crash can never read as a speedup
+    def timedPass(): Map[String, Double] = suite.flatMap {
       case (name, fn) =>
         val t0 = System.nanoTime()
         run1(name, fn)
-        name -> (System.nanoTime() - t0) / 1e9
+        if (errors.contains(name)) None
+        else Some(name -> (System.nanoTime() - t0) / 1e9)
     }
     // Between passes, nudge the driver GC: iterative queries
     // (components/pagerank/kmeans) localCheckpoint per round, and those
@@ -57,7 +62,12 @@ object Bench {
     val p1 = timedPass()
     gcPause()
     val p2 = timedPass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    // a query that errored in ANY pass is excluded outright — a number
+    // from the surviving pass would still hide the breakage
+    val results = p1.collect {
+      case (k, v) if !errors.contains(k) =>
+        k -> math.min(v, p2.getOrElse(k, v))
+    }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Incremental-vs-batch replay (skipped under SPARK_GRAFT_ONLY):
@@ -86,8 +96,19 @@ object Bench {
     val fullQs = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // errored queries surface IN the JSON (name -> exception class), not
+    // just on stderr, so a consumer of the artifact alone sees the run
+    // was not clean
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => " "; case c => c.toString
+    } + "\""
+    val errJson =
+      if (errors.isEmpty) ""
+      else ",\"errors\":" + errors.map { case (k, v) =>
+        jstr(k) + ":" + jstr(v.take(120)) }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"$incrJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"$errJson$incrJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -95,7 +116,7 @@ object Bench {
     val budget = 1850
     val sorted = results.toSeq.sortBy(-_._2)
     val fixedFor = (n: Int, omittedSec: Double) =>
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":,"queries_omitted":$n,"omitted_sec":${fmt(omittedSec)},"full":"bench_full.json","sf":"$sfDir"$incrJson}""".length + 2
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":,"queries_omitted":$n,"omitted_sec":${fmt(omittedSec)},"n_errors":${errors.size},"full":"bench_full.json","sf":"$sfDir"$incrJson}""".length + 2
     // strict slowest-prefix: stop at the first entry that doesn't fit,
     // so the omitted set is exactly the fastest tail
     val kept = scala.collection.mutable.ArrayBuffer[String]()
@@ -113,7 +134,7 @@ object Bench {
     val omitted = sorted.drop(keptN)
     val omittedSec = omitted.map(_._2).sum
     val compactQs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,"queries_omitted":${omitted.size},"omitted_sec":${fmt(omittedSec)},"full":"bench_full.json","sf":"$sfDir"$incrJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,"queries_omitted":${omitted.size},"omitted_sec":${fmt(omittedSec)},"n_errors":${errors.size},"full":"bench_full.json","sf":"$sfDir"$incrJson}""")
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (name, msg) =>

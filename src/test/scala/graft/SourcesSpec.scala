@@ -186,4 +186,33 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("ReadSchema") &&
            !scan.contains("o_comment"), "projection must prune unused columns")
   }
+
+  // The events fixture has shipped ts BOTH as TIMESTAMP(NANOS)
+  // (nanosAsLong -> LongType) and as timestamp[us] across rounds; the
+  // loader must yield the identical ts_ns/ts contract for either
+  // encoding (round-5 regression: the long-only assumption crashed all
+  // 58 events-table queries when the fixture switched to micros).
+  test("events ts normalization is encoding-independent") {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val real = Tables.events(spark, dir)
+    assert(real.schema("ts_ns").dataType == LongType)
+    assert(real.schema("ts").dataType == TimestampType)
+    // µs truncation contract: nanos are a whole multiple of 1000 and
+    // agree with the timestamp column exactly
+    assert(real.filter(expr("ts_ns % 1000 != 0")).count() == 0)
+    assert(real.filter(expr("unix_micros(ts) * 1000 != ts_ns")).count() == 0)
+
+    // legacy path: re-encode the same rows as epoch-nanos longs and
+    // assert the normalized frames are row-identical
+    val tmp = Files.createTempDirectory("ev_long").toString + "/events"
+    real.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"), col("ts_ns").as("ts"))
+      .write.mode("overwrite").parquet(tmp)
+    val legacy = Tables.normalizeEvents(spark.read.parquet(tmp))
+    assert(legacy.schema("ts_ns").dataType == LongType)
+    assert(legacy.schema("ts").dataType == TimestampType)
+    val a = real.select("event_id", "ts_ns", "ts")
+    val b = legacy.select("event_id", "ts_ns", "ts")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
 }
