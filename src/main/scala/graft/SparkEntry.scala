@@ -2628,7 +2628,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_parts"),
           sum(expr("uv1 * q0")).as("num"),
           sum(expr("uv0 * q0")).as("den"))
-        .withColumn("index_ppm", expr("num * 1000000 div den"))
+        // num reaches ~1.5e12 per brand at sf0.1, so num * 1e6 overflows
+        // BIGINT — widen the intermediate to decimal(38,0) (DuckDB's
+        // mirror is already HUGEINT); the quotient is ppm-scale, well
+        // inside long
+        .withColumn("index_ppm",
+          expr("cast(cast(num as decimal(38,0)) * 1000000 div den as bigint)"))
     }),
 
     // ---- robust stats: 10%-trimmed mean per segment. Values shift by
@@ -2702,6 +2707,37 @@ object SparkEntry {
         .agg(sum(expr("ca * (2 * before + ct + 1)")).as("r2_a"))
         .withColumn("u2_a", expr("r2_a - n_a * (n_a + 1)"))
     }),
+
+    // ---- threshold classification metrics: 2×2 confusion matrix +
+    //      integer-exact precision/recall/F1 for a scored column vs a
+    //      label. One map-side conditional aggregation — no shuffle of
+    //      data rows at any scale ----
+    "q_confusion" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .as("cents"),
+          (col("o_orderstatus") === "F").as("lbl"))
+      graft.functions.Eval.confusion(o, col("cents") >= 15000000L, col("lbl"))
+    }),
+
+    // ---- score calibration table: equi-depth decile bins by the
+    //      portable crossing rule, positive rate per bin — the
+    //      monotonicity of pos_rate_ppm IS the calibration check ----
+    "q_calibration" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .as("cents"),
+          (col("o_orderstatus") === "F").as("lbl"))
+      graft.functions.Eval.calibration(o, col("cents"), col("lbl"), 10)
+    }),
+
+    // ---- inter-rater agreement (Cohen's kappa) between two boolean
+    //      quality filters over the corpus; kappa emitted as an exact
+    //      BIGINT fraction (it can be negative, and negative integer
+    //      division is not portable cross-engine) ----
+    "q_rater_kappa" -> ((s, dir) =>
+      graft.functions.Eval.raterAgreement(Tables.load(s, dir, "documents"),
+        col("lang") === "en", col("n_chars") >= 200)),
 
     // ---- functional-dependency audit: does LHS determine RHS? Three
     //      candidate FDs checked as hash aggregations (one shuffle per
@@ -6200,6 +6236,67 @@ object SparkEntry {
                AS u2_a
       FROM ranked CROSS JOIN tot
       GROUP BY 1, 2
+    """,
+
+    "q_confusion" -> """
+      WITH o AS (SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS cents,
+                        (o_orderstatus = 'F') AS lbl
+                 FROM orders),
+      c AS (SELECT
+              sum(CASE WHEN cents >= 15000000 AND lbl
+                       THEN 1 ELSE 0 END)::BIGINT AS tp,
+              sum(CASE WHEN cents >= 15000000 AND NOT lbl
+                       THEN 1 ELSE 0 END)::BIGINT AS fp,
+              sum(CASE WHEN cents < 15000000 AND lbl
+                       THEN 1 ELSE 0 END)::BIGINT AS fn,
+              sum(CASE WHEN cents < 15000000 AND NOT lbl
+                       THEN 1 ELSE 0 END)::BIGINT AS tn
+            FROM o),
+      m AS (SELECT *,
+              (tp * 1000000 // (tp + fp))::BIGINT AS precision_ppm,
+              (tp * 1000000 // (tp + fn))::BIGINT AS recall_ppm
+            FROM c)
+      SELECT tp, fp, fn, tn, precision_ppm, recall_ppm,
+             (2 * precision_ppm * recall_ppm
+               // (precision_ppm + recall_ppm))::BIGINT AS f1_ppm
+      FROM m
+    """,
+
+    "q_calibration" -> """
+      WITH o AS (SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS s,
+                        (CASE WHEN o_orderstatus = 'F'
+                              THEN 1 ELSE 0 END)::BIGINT AS y
+                 FROM orders),
+      r AS (SELECT s, y, rank() OVER (ORDER BY s) AS rk,
+                   count(*) OVER () AS n
+            FROM o),
+      g AS (SELECT ((rk - 1) * 10 // n)::BIGINT AS bucket,
+                   count(*)::BIGINT AS n_rows,
+                   sum(y)::BIGINT AS n_pos, sum(s)::BIGINT AS sum_score
+            FROM r GROUP BY 1)
+      SELECT bucket, n_rows, n_pos,
+             (sum_score // n_rows)::BIGINT AS mean_score,
+             (n_pos * 1000000 // n_rows)::BIGINT AS pos_rate_ppm
+      FROM g
+    """,
+
+    "q_rater_kappa" -> """
+      WITH d AS (SELECT (lang = 'en') AS a, (n_chars >= 200) AS b
+                 FROM documents),
+      c AS (SELECT count(*)::BIGINT AS n,
+                   sum(CASE WHEN a = b THEN 1 ELSE 0 END)::BIGINT AS agree,
+                   sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS na1,
+                   sum(CASE WHEN b THEN 1 ELSE 0 END)::BIGINT AS nb1
+            FROM d),
+      m AS (SELECT *,
+              (na1 * nb1 + (n - na1) * (n - nb1))::BIGINT AS pe_num
+            FROM c)
+      SELECT n, agree,
+             (agree * 1000000 // n)::BIGINT AS po_ppm,
+             (pe_num * 1000000 // (n * n))::BIGINT AS pe_ppm,
+             (n * agree - pe_num)::BIGINT AS kappa_num,
+             (n * n - pe_num)::BIGINT AS kappa_den
+      FROM m
     """,
 
     "q_fd_check" -> """

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation / labeling-QA metrics for a training-data pipeline:
+  * threshold classification metrics, score calibration, inter-rater
+  * agreement. The classifier under test is any scored column (a
+  * quality score, a heuristic filter, a model output landed alongside
+  * the data); the evaluation itself is pure relational aggregation.
+  *
+  * Every emitted metric is integer-exact (counts, and ppm/micro
+  * ratios via BIGINT `div`), so results are bit-identical across
+  * engines and across run parallelism — the same contract the rest of
+  * the suite uses (see TextAnalysis.scala `score_micro`).
+  *
+  * Scale shape: confusion and agreement are single map-side
+  * conditional aggregations (one partial-agg shuffle of ONE row per
+  * partition); calibration adds one value-ranked window, the same
+  * sorted-rank shape as quartile/percentile assignment. No all-pairs,
+  * no collect.
+  */
+object Eval {
+
+  /** 2×2 confusion matrix + derived metrics for `pred` vs `label`
+    * (both boolean columns), one output row: tp/fp/fn/tn,
+    * precision_ppm, recall_ppm, f1_ppm. F1 is derived from the ppm
+    * precision/recall integers (2·p·r div (p+r)) so it is reproducible
+    * from the emitted surface alone. */
+  def confusion(df: DataFrame, pred: Column, label: Column): DataFrame = {
+    val p = pred.cast("boolean")
+    val l = label.cast("boolean")
+    df.agg(
+        sum(when(p && l, 1L).otherwise(0L)).as("tp"),
+        sum(when(p && !l, 1L).otherwise(0L)).as("fp"),
+        sum(when(!p && l, 1L).otherwise(0L)).as("fn"),
+        sum(when(!p && !l, 1L).otherwise(0L)).as("tn"))
+      .withColumn("precision_ppm", expr("tp * 1000000 div (tp + fp)"))
+      .withColumn("recall_ppm", expr("tp * 1000000 div (tp + fn)"))
+      .withColumn("f1_ppm", expr(
+        "2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm)"))
+  }
+
+  /** Equal-population calibration table: rank rows by `score`, cut
+    * into `buckets` equi-depth bins with the portable crossing rule
+    * ((rank−1)·k div n — value ties share a rank, so the cut is
+    * data-determined, not order-determined), then per bin emit size,
+    * positive count, floor mean score, and positive rate ppm. A
+    * well-calibrated score has pos_rate_ppm monotone in bucket. */
+  def calibration(df: DataFrame, score: Column, label: Column,
+                  buckets: Int): DataFrame = {
+    df.select(score.cast("long").as("s"),
+        label.cast("boolean").cast("long").as("y"))
+      .withColumn("rk", rank().over(Window.orderBy(col("s"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("bucket", expr(s"(rk - 1) * $buckets div n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum("y").as("n_pos"),
+           sum("s").as("sum_score"))
+      .withColumn("mean_score", expr("sum_score div n_rows"))
+      .withColumn("pos_rate_ppm", expr("n_pos * 1000000 div n_rows"))
+      .drop("sum_score")
+  }
+
+  /** Cohen's-kappa inter-rater agreement between two boolean raters
+    * (e.g. two quality filters over the same corpus). Emits the
+    * observed/expected agreement as ppm plus kappa as an exact
+    * BIGINT fraction (kappa_num / kappa_den, both n²-scaled) — kappa
+    * can be negative, and cross-engine integer division of negative
+    * numerators is not portable (truncation vs floor), so the
+    * fraction IS the contract; consumers divide at display time. */
+  def raterAgreement(df: DataFrame, raterA: Column,
+                     raterB: Column): DataFrame = {
+    val a = raterA.cast("boolean").cast("long")
+    val b = raterB.cast("boolean").cast("long")
+    df.agg(
+        count(lit(1)).as("n"),
+        sum(when(a === b, 1L).otherwise(0L)).as("agree"),
+        sum(a).as("na1"), sum(b).as("nb1"))
+      .withColumn("pe_num", expr(
+        "na1 * nb1 + (n - na1) * (n - nb1)")) // n²-scaled expected agreement
+      .withColumn("po_ppm", expr("agree * 1000000 div n"))
+      .withColumn("pe_ppm", expr("pe_num * 1000000 div (n * n)"))
+      .withColumn("kappa_num", expr("n * agree - pe_num"))
+      .withColumn("kappa_den", expr("n * n - pe_num"))
+      .select("n", "agree", "po_ppm", "pe_ppm", "kappa_num", "kappa_den")
+  }
+}

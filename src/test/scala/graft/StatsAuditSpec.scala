@@ -136,4 +136,53 @@ class StatsAuditSpec extends SparkSpec {
     }
     assert(nPairs == spansPairs)
   }
+
+  test("confusion matrix cells partition the table and F1 is the " +
+       "integer harmonic mean of the emitted ppm precision/recall") {
+    val (tp, fp, fn, tn, p, rec, f1) = run("q_confusion")
+      .select("tp", "fp", "fn", "tn", "precision_ppm", "recall_ppm",
+        "f1_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    val n = Tables.load(spark, dir, "orders").count()
+    assert(tp + fp + fn + tn == n)
+    assert(tp > 0 && fp > 0 && fn > 0 && tn > 0) // threshold really splits
+    assert(p == tp * 1000000L / (tp + fp))
+    assert(rec == tp * 1000000L / (tp + fn))
+    assert(f1 == 2 * p * rec / (p + rec))
+    assert(f1 <= math.max(p, rec) && f1 >= math.min(p, rec))
+  }
+
+  test("calibration buckets partition the rows, rates are in [0, 1e6] " +
+       "and mean score is monotone in bucket") {
+    val rows = run("q_calibration").orderBy("bucket")
+      .select($"bucket".as[Long], $"n_rows".as[Long], $"n_pos".as[Long],
+        $"mean_score".as[Long], $"pos_rate_ppm".as[Long]).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_._2).sum == Tables.load(spark, dir, "orders").count())
+    rows.foreach { case (_, nr, np, _, ppm) =>
+      assert(np <= nr && ppm >= 0 && ppm <= 1000000L)
+      assert(ppm == np * 1000000L / nr)
+    }
+    // equi-depth by VALUE rank: mean score must strictly increase
+    assert(rows.map(_._4).sliding(2).forall(w => w(0) < w(1)))
+  }
+
+  test("rater agreement reproduces a hand-computed kappa on a tiny " +
+       "frame and bounds hold on the corpus") {
+    // hand frame: a=[T,T,F,F], b=[T,F,T,F] -> agree=2, po=0.5, pe=0.5,
+    // kappa = 0 exactly
+    val tiny = Seq((true, true), (true, false), (false, true),
+      (false, false)).toDF("a", "b")
+    val t = graft.functions.Eval.raterAgreement(tiny, col("a"), col("b"))
+      .select("n", "agree", "po_ppm", "pe_ppm", "kappa_num", "kappa_den")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(t == ((4L, 2L, 500000L, 500000L, 0L, 8L)))
+    val c = run("q_rater_kappa")
+      .select("n", "agree", "po_ppm", "pe_ppm", "kappa_num", "kappa_den")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(c._1 == Tables.load(spark, dir, "documents").count())
+    assert(c._2 <= c._1 && c._3 <= 1000000L && c._4 <= 1000000L)
+    // kappa <= 1 always; den > 0 unless a rater is constant
+    assert(c._6 > 0 && c._5 <= c._6)
+  }
 }
