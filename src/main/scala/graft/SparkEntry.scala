@@ -2739,6 +2739,59 @@ object SparkEntry {
       graft.functions.Eval.raterAgreement(Tables.load(s, dir, "documents"),
         col("lang") === "en", col("n_chars") >= 200)),
 
+    // ---- one-way ANOVA over account balances by segment, with a
+    //      floor-exact contract: each group's sum-of-squares term takes
+    //      ONE positive floor division (s² div n), so SSW/SSB/F are
+    //      bit-identical across engines — no variance doubles anywhere.
+    //      One groupBy + one 5-row reduce; v shifts +100000 cents so
+    //      every operand stays nonnegative (negative integer division
+    //      is not portable). Squares widen to decimal(38,0) (the
+    //      oracle's HUGEINT): s_g² brushes the BIGINT ceiling at sf0.1 ----
+    "q_anova" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          (floor(col("c_acctbal") * 100 + 0.5).cast("long") + 100000L)
+            .as("v"))
+      val g = c.groupBy("seg").agg(count(lit(1)).as("n_g"),
+        sum("v").as("s_g"),
+        sum(expr("cast(v as decimal(38,0)) * v")).as("ss_g"))
+      g.select(col("n_g"), col("s_g"), col("ss_g"),
+          expr("ss_g - cast(s_g as decimal(38,0)) * s_g div n_g").as("w_g"))
+        .agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+          sum("s_g").as("s"), sum("ss_g").as("ss_tot"),
+          sum("w_g").as("ssw_d"))
+        .select(col("k"), col("n"),
+          expr("cast(ss_tot - cast(s as decimal(38,0)) * s div n - ssw_d" +
+            " as bigint)").as("ssb"),
+          expr("cast(ssw_d as bigint)").as("ssw"))
+        .withColumn("f_ppm", expr(
+          "cast(cast(ssb as decimal(38,0)) * (n - k) * 1000000" +
+          " div (ssw * (k - 1)) as bigint)"))
+    }),
+
+    // ---- Spearman rank correlation between order price and date,
+    //      exact: ranks are row_number over a deterministic total order
+    //      (value, key tiebreak), rho emitted as the exact integer
+    //      fraction (n(n²−1) − 6Σd²) / n(n²−1) — it can be negative,
+    //      and negative integer division is not cross-engine portable.
+    //      Two value-ranked windows + one reduce; same sorted-rank
+    //      shape as percentile_rank ----
+    "q_spearman" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+          col("o_orderdate"))
+      o.withColumn("rx", row_number().over(
+          Window.orderBy(col("cents"), col("o_orderkey"))).cast("long"))
+        .withColumn("ry", row_number().over(
+          Window.orderBy(col("o_orderdate"), col("o_orderkey"))).cast("long"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("(rx - ry) * (rx - ry)")).as("sum_d2"))
+        .select(col("n"), col("sum_d2"),
+          expr("n * (n * n - 1) - 6 * sum_d2").as("rho_num"),
+          expr("n * (n * n - 1)").as("rho_den"))
+    }),
+
     // ---- functional-dependency audit: does LHS determine RHS? Three
     //      candidate FDs checked as hash aggregations (one shuffle per
     //      candidate, on the LHS key); a group with >1 distinct RHS is
@@ -6297,6 +6350,47 @@ object SparkEntry {
              (n * agree - pe_num)::BIGINT AS kappa_num,
              (n * n - pe_num)::BIGINT AS kappa_den
       FROM m
+    """,
+
+    "q_anova" -> """
+      WITH c AS (SELECT c_mktsegment AS seg,
+                        floor(c_acctbal * 100 + 0.5)::BIGINT + 100000 AS v
+                 FROM customer),
+      g AS (SELECT seg, count(*)::BIGINT AS n_g, sum(v)::BIGINT AS s_g,
+                   sum(v::HUGEINT * v) AS ss_g
+            FROM c GROUP BY 1),
+      w AS (SELECT n_g, s_g, ss_g,
+                   ss_g - (s_g::HUGEINT * s_g // n_g) AS w_g
+            FROM g),
+      t AS (SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+                   sum(s_g)::BIGINT AS s, sum(ss_g) AS ss_tot,
+                   sum(w_g) AS ssw_d
+            FROM w)
+      SELECT k, n,
+             (ss_tot - (s::HUGEINT * s // n) - ssw_d)::BIGINT AS ssb,
+             ssw_d::BIGINT AS ssw,
+             ((ss_tot - (s::HUGEINT * s // n) - ssw_d) * (n - k) * 1000000
+               // (ssw_d * (k - 1)))::BIGINT AS f_ppm
+      FROM t
+    """,
+
+    "q_spearman" -> """
+      WITH o AS (SELECT o_orderkey,
+                        floor(o_totalprice * 100 + 0.5)::BIGINT AS cents,
+                        o_orderdate
+                 FROM orders),
+      r AS (SELECT
+              row_number() OVER (ORDER BY cents, o_orderkey)::BIGINT AS rx,
+              row_number() OVER (ORDER BY o_orderdate, o_orderkey)::BIGINT
+                AS ry
+            FROM o),
+      t AS (SELECT count(*)::BIGINT AS n,
+                   sum((rx - ry) * (rx - ry))::BIGINT AS sum_d2
+            FROM r)
+      SELECT n, sum_d2,
+             (n * (n * n - 1) - 6 * sum_d2)::BIGINT AS rho_num,
+             (n * (n * n - 1))::BIGINT AS rho_den
+      FROM t
     """,
 
     "q_fd_check" -> """

@@ -185,4 +185,27 @@ class StatsAuditSpec extends SparkSpec {
     // kappa <= 1 always; den > 0 unless a rater is constant
     assert(c._6 > 0 && c._5 <= c._6)
   }
+
+  test("ANOVA decomposition is consistent and F matches its own parts") {
+    val (k, n, ssb, ssw, f) = run("q_anova")
+      .select("k", "n", "ssb", "ssw", "f_ppm")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(k == 5 && n == Tables.load(spark, dir, "customer").count())
+    assert(ssb >= 0 && ssw > 0) // floor contract keeps both nonnegative
+    assert(f == BigInt(ssb) * (n - k) * 1000000 / (BigInt(ssw) * (k - 1)))
+    // between-group variation is a small share of balance variance
+    // (mktsegment is ~independent of acctbal) but must be nonzero
+    assert(ssb < ssw)
+  }
+
+  test("Spearman rho fraction is a bounded correlation over true rank " +
+       "permutations") {
+    val (n, d2, num, den) = run("q_spearman")
+      .select("n", "sum_d2", "rho_num", "rho_den")
+      .as[(Long, Long, Long, Long)].head()
+    assert(n == Tables.load(spark, dir, "orders").count())
+    assert(den == n * (n * n - 1))
+    // rho in [-1, 1]  <=>  0 <= 6*sum_d2 <= 2*den
+    assert(d2 >= 0 && 6 * d2 <= 2 * den && math.abs(num) <= den)
+  }
 }
