@@ -1,0 +1,74 @@
+package graft
+
+/** Suite-wide physical-plan lint: every SparkEntry query is PLANNED
+  * (never executed) and screened for the operators that do not survive
+  * a 100 TB deployment. This is the regression guard behind the
+  * repo-wide claims "no cartesian products except broadcast-bounded
+  * ones" and "no driver-side collect in any pipeline" — a new query
+  * that sneaks in an unbounded product fails here, not in production.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("no query plans an unbounded cartesian product") {
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      // CartesianProductExec = both sides non-broadcast: O(|A|·|B|)
+      // shuffle-and-pair, the one join shape with no scale story.
+      // BroadcastNestedLoopJoin is NOT flagged: every crossJoin in the
+      // suite carries a broadcast()-bounded side (1-row aggregates,
+      // bounded query sets, the 49-row month spine).
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded cartesian product in: ${offenders.mkString(", ")}")
+  }
+
+  // Cross joins whose bounded side the structural check below cannot
+  // prove small, each verified by inspection (the bound is data-model
+  // or construction knowledge, not plan shape):
+  //   q_retention_tenant / q_retention_events — the 49-row (resp.
+  //     3-month) month spine, built from a sequence (LocalRelation) but
+  //     sometimes planned behind a project the collector misses;
+  //   q_kmeans / q_sim_ann_kmeans — centroid frames: groupBy over k=8
+  //     cluster labels, ≤ k rows by construction;
+  //   q_sim_cosine_topk / q_sim_quant_topk / q_sim_ann_ivf — the
+  //     bounded query set (a filtered id list ≤ 50 rows) broadcast
+  //     against the corpus — the documented exact-scoring shape;
+  //   q_runs_test — the 1-row median frame (window + rk = (n+1)/2
+  //     filter yields exactly one row, but the plan can't know).
+  private val inspectedBounded = Set(
+    "q_retention_tenant", "q_retention_events", "q_kmeans",
+    "q_sim_ann_kmeans", "q_sim_cosine_topk", "q_sim_quant_topk",
+    "q_sim_ann_ivf", "q_runs_test")
+
+  test("every cross join carries a provably- or inspected-bounded side") {
+    val suspicious = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val df = fn(spark, dir)
+      val plan = df.queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical._
+      val bad = plan.collect {
+        case j: Join if j.joinType.sql == "CROSS" ||
+            j.condition.isEmpty =>
+          val sides = Seq(j.left, j.right)
+          // provably small: a no-grouping-key aggregate (1 row), an
+          // explicit broadcast hint, a literal relation, or a LIMIT
+          val bounded = sides.exists { s =>
+            s.collectFirst {
+              case a: Aggregate if a.groupingExpressions.isEmpty => ()
+              case h: ResolvedHint if h.hints.strategy.isDefined => ()
+              case _: LocalRelation => ()
+              case _: GlobalLimit => ()
+            }.isDefined
+          }
+          if (bounded || inspectedBounded(name)) None else Some(name)
+      }.flatten
+      bad
+    }.distinct
+    assert(suspicious.isEmpty,
+      s"cross join without a bounded side in: ${suspicious.mkString(", ")}" +
+        " — broadcast a provably-small frame or add an inspected entry" +
+        " with its bound")
+  }
+}
