@@ -393,6 +393,12 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, dir) =>
       graft.functions.Similarity.labelBlockedNearDup(
         Tables.load(s, dir, "embeddings"), 0.4)),
+    // MMR diversified top-k: greedy coverage-aware selection from the
+    // relevance top-20, integer dot products end to end (see
+    // Similarity.mmrSelect for the portability contract)
+    "q_mmr_rerank" -> ((s, dir) =>
+      graft.functions.Similarity.mmrSelect(
+        Tables.load(s, dir, "embeddings"), 0L, 20, 5)),
     "q_sim_lsh_buckets" -> ((s, dir) =>
       graft.functions.Similarity.hyperplaneLshBuckets(
         Tables.load(s, dir, "embeddings"), 16, 4)),
@@ -3998,6 +4004,61 @@ object SparkEntry {
           ON a.label = b.label AND a.vec_id < b.vec_id)
       WHERE cos >= 0.4
     """,
+
+    "q_mmr_rerank" -> s"""
+      WITH sc AS (SELECT vec_id,
+                    CAST(list_max(list_transform(embedding, x -> abs(x)))
+                         AS DOUBLE) AS s
+                  FROM embeddings),
+      qv AS (SELECT e.vec_id,
+               CASE WHEN sc.s = 0
+                    THEN list_transform(e.embedding, x -> 0.0)
+                    ELSE list_transform(e.embedding,
+                      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / sc.s + 0.5)
+                                AS DOUBLE))
+               END AS embedding
+             FROM embeddings e JOIN sc USING (vec_id)),
+      q0 AS (SELECT embedding AS qe FROM qv WHERE vec_id = 0),
+      cand AS (SELECT vec_id, embedding,
+                      ${duckIDot("embedding", "qe")} AS rel
+               FROM qv CROSS JOIN q0 WHERE vec_id <> 0
+               ORDER BY rel DESC, vec_id LIMIT 20),
+      pairs AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                       ${duckIDot("a.embedding", "b.embedding")} AS sim
+                FROM cand a CROSS JOIN cand b WHERE a.vec_id <> b.vec_id),
+      s1 AS (SELECT vec_id, rel, 0::BIGINT AS redundancy, 1::BIGINT AS rank
+             FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+      sel1 AS (SELECT * FROM s1),
+      r2 AS (SELECT p.a AS vec_id, max(p.sim)::BIGINT AS red
+             FROM pairs p JOIN sel1 s ON p.b = s.vec_id GROUP BY 1),
+      s2 AS (SELECT c.vec_id, c.rel, r2.red AS redundancy, 2::BIGINT AS rank
+             FROM cand c JOIN r2 USING (vec_id)
+             WHERE c.vec_id NOT IN (SELECT vec_id FROM sel1)
+             ORDER BY c.rel - r2.red DESC, c.vec_id LIMIT 1),
+      sel2 AS (SELECT * FROM sel1 UNION ALL SELECT * FROM s2),
+      r3 AS (SELECT p.a AS vec_id, max(p.sim)::BIGINT AS red
+             FROM pairs p JOIN sel2 s ON p.b = s.vec_id GROUP BY 1),
+      s3 AS (SELECT c.vec_id, c.rel, r3.red AS redundancy, 3::BIGINT AS rank
+             FROM cand c JOIN r3 USING (vec_id)
+             WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+             ORDER BY c.rel - r3.red DESC, c.vec_id LIMIT 1),
+      sel3 AS (SELECT * FROM sel2 UNION ALL SELECT * FROM s3),
+      r4 AS (SELECT p.a AS vec_id, max(p.sim)::BIGINT AS red
+             FROM pairs p JOIN sel3 s ON p.b = s.vec_id GROUP BY 1),
+      s4 AS (SELECT c.vec_id, c.rel, r4.red AS redundancy, 4::BIGINT AS rank
+             FROM cand c JOIN r4 USING (vec_id)
+             WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+             ORDER BY c.rel - r4.red DESC, c.vec_id LIMIT 1),
+      sel4 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM s4),
+      r5 AS (SELECT p.a AS vec_id, max(p.sim)::BIGINT AS red
+             FROM pairs p JOIN sel4 s ON p.b = s.vec_id GROUP BY 1),
+      s5 AS (SELECT c.vec_id, c.rel, r5.red AS redundancy, 5::BIGINT AS rank
+             FROM cand c JOIN r5 USING (vec_id)
+             WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+             ORDER BY c.rel - r5.red DESC, c.vec_id LIMIT 1),
+      sel5 AS (SELECT * FROM sel4 UNION ALL SELECT * FROM s5)
+      SELECT rank, vec_id, rel, redundancy FROM sel5
+    """,
     "q_semantic_dedup" -> s"""
       WITH RECURSIVE pairs AS (
         SELECT vec_a, vec_b FROM (
@@ -7067,6 +7128,14 @@ object SparkEntry {
       s"list_sum(list_transform(range(1, 65), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
     s"round(${d(a, b)} / nullif(sqrt(${d(a, a)}) * sqrt(${d(b, b)}), 0), 6)"
   }
+
+  /** DuckDB snippet: INTEGER dot product of two int8-quantized 64-dim
+    * list exprs (values are whole numbers stored as DOUBLE): products
+    * ≤ 127² summed over 64 dims stay exact in double, so the BIGINT
+    * cast is lossless — mirrors `dotFused(...).cast("long")`. */
+  private def duckIDot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, 65), " +
+      s"i -> $a[i] * $b[i])) AS BIGINT)"
 
   /** DuckDB literal list of Rabin powers B^15..B^0 mod M (B = 257,
     * M = 2³¹−1) — the per-window polynomial weights mirroring

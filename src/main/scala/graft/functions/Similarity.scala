@@ -366,4 +366,60 @@ object Similarity {
               round(cosineFused(col("qe"), col("ce")), 6).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Maximal-marginal-relevance diversified top-k: greedily select `k`
+    * results from the `pool` most query-relevant candidates, each pick
+    * maximizing relevance MINUS redundancy (max similarity to anything
+    * already selected; λ = ½ makes the argmax scale-free so the ½
+    * cancels). The retrieval-diversification step of a training-data
+    * selection pass — pure relevance top-k returns near-duplicates,
+    * MMR spends the same budget on coverage.
+    *
+    * Integer-exact contract: scores are RAW int8-quantized dot
+    * products (BIGINT; products of ints ≤ 127² summed over 64 dims —
+    * exact in double, cast to long), no cosine normalization and no
+    * division anywhere, so every comparison is integer and ties break
+    * by vec_id — the greedy trajectory is bit-identical on any engine.
+    *
+    * Scale shape: one |corpus| scan scores relevance (broadcast query
+    * vector), top-`pool` bounds everything after; the pairwise matrix
+    * and the k greedy rounds run on ≤ pool² = 400 rows. The greedy
+    * loop is inherently sequential in k — unrolled here exactly like
+    * the k-means Lloyd iterations, NOT collect()ed. */
+  def mmrSelect(emb: DataFrame, queryId: Long, pool: Int,
+                k: Int): DataFrame = {
+    val q = quantizedEmbeddings(emb)
+    def idot(a: Column, b: Column): Column = dotFused(a, b).cast("long")
+    val qv = q.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    val cand = q.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("embedding"),
+        idot(col("embedding"), col("qe")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(pool)
+      .localCheckpoint(eager = true) // consumed k+1 times; 20 rows
+    val pairs = cand.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(broadcast(
+        cand.select(col("vec_id").as("b"), col("embedding").as("eb"))))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), idot(col("ea"), col("eb")).as("sim"))
+      .localCheckpoint(eager = true) // pool² − pool rows
+    var out = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("rel"), lit(0L).as("redundancy"),
+        lit(1L).as("rank"))
+    for (r <- 2 to k) {
+      val red = pairs
+        .join(out.select(col("vec_id").as("b")), Seq("b"))
+        .groupBy(col("a").as("vec_id")).agg(max("sim").as("redundancy"))
+      val next = cand
+        .join(out.select("vec_id"), Seq("vec_id"), "left_anti")
+        .join(red, Seq("vec_id"))
+        .orderBy((col("rel") - col("redundancy")).desc, col("vec_id"))
+        .limit(1)
+        .select(col("vec_id"), col("rel"), col("redundancy"),
+          lit(r.toLong).as("rank"))
+      out = out.unionByName(next)
+    }
+    out.select(col("rank"), col("vec_id"), col("rel"), col("redundancy"))
+  }
 }

@@ -114,4 +114,44 @@ class EmbedQuantSpec extends SparkSpec {
       .as[(Long, Array[Long])].collect().toMap.view.mapValues(_.toSeq).toMap
     assert(q2 == run())
   }
+
+  test("mmrSelect matches an independent plain-Scala greedy over the " +
+       "same candidates and pairs") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val (queryId, pool, k) = (0L, 20, 5)
+    // rebuild the operator's INPUTS with the same building blocks, then
+    // run the greedy loop independently in plain Scala — a differential
+    // on the unrolled-iteration wiring (joins, anti-joins, tiebreaks)
+    val q = Similarity.quantizedEmbeddings(emb)
+    val qe = q.filter(col("vec_id") === queryId)
+      .select(col("embedding")).as[Seq[Double]].head()
+    val cand = q.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Double])]
+      .collect()
+      .map { case (id, e) =>
+        (id, e, e.zip(qe).map { case (x, y) => x * y }.sum.toLong) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(pool)
+    val sims = (for {
+      (ia, ea, _) <- cand; (ib, eb, _) <- cand if ia != ib
+    } yield ((ia, ib),
+      ea.zip(eb).map { case (x, y) => x * y }.sum.toLong)).toMap
+    var selected = Vector(cand.head) // max rel, id tiebreak via sort
+    var expected = Vector((1L, cand.head._1, cand.head._3, 0L))
+    for (r <- 2 to k) {
+      val pick = cand.filterNot(c => selected.exists(_._1 == c._1))
+        .map { c =>
+          val red = selected.map(s => sims((c._1, s._1))).max
+          (c, red, c._3 - red)
+        }
+        .sortBy { case (c, _, score) => (-score, c._1) }.head
+      selected :+= pick._1
+      expected :+= ((r.toLong, pick._1._1, pick._1._3, pick._2))
+    }
+    val got = Similarity.mmrSelect(emb, queryId, pool, k)
+      .orderBy("rank")
+      .select("rank", "vec_id", "rel", "redundancy")
+      .as[(Long, Long, Long, Long)].collect().toVector
+    assert(got == expected)
+  }
 }
