@@ -849,6 +849,12 @@ object SparkEntry {
       graft.functions.InvertedIndex.rankedSearch(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "window", "stream"), 10)),
+    // BM25 (k1=1.2, b=0.75) with the integer-exact saturation/length
+    // normalization derivation — see InvertedIndex.bm25Search
+    "q_bm25_search" -> ((s, dir) =>
+      graft.functions.InvertedIndex.bm25Search(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "stream"), 10)),
 
     // ---- exact k-NN self-join (all-pairs baseline for the ANN ops) ----
     "q_knn_join" -> ((s, dir) =>
@@ -4630,6 +4636,35 @@ object SparkEntry {
       SELECT doc_id, sum((tf * 1000000) // df)::BIGINT AS score_micro,
              count(*) AS n_terms
       FROM h GROUP BY 1
+      ORDER BY score_micro DESC, doc_id LIMIT 10
+    """,
+
+    "q_bm25_search" -> s"""
+      WITH p AS (
+        SELECT term, doc_id, count(*)::BIGINT AS tf FROM (
+          SELECT doc_id, unnest($duckToks) AS term FROM documents)
+        WHERE term <> '' GROUP BY 1, 2),
+      len AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM p GROUP BY 1),
+      st AS (SELECT sum(dl)::BIGINT AS tot, count(*)::BIGINT AS nd
+             FROM len),
+      h AS (SELECT p.doc_id, p.tf,
+                   count(*) OVER (PARTITION BY p.term)::BIGINT AS df,
+                   len.dl, st.tot, st.nd
+            FROM p JOIN len USING (doc_id) CROSS JOIN st
+            WHERE p.term IN ('spark', 'window', 'stream')),
+      sc AS (SELECT doc_id, tf, df, dl,
+                    (tot * 1000 // nd)::BIGINT AS s_milli,
+                    dl * 1000 AS d_milli, nd
+             FROM h),
+      ts AS (SELECT doc_id,
+                    ((44 * tf * s_milli * 1000000 //
+                       (20 * tf * s_milli + 6 * s_milli + 18 * d_milli))
+                     * (nd * 1000000 // df) // 1000000)::BIGINT
+                      AS term_score
+             FROM sc)
+      SELECT doc_id, sum(term_score)::BIGINT AS score_micro,
+             count(*) AS n_terms
+      FROM ts GROUP BY 1
       ORDER BY score_micro DESC, doc_id LIMIT 10
     """,
     "q_knn_join" -> s"""

@@ -93,6 +93,51 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** BM25 ranked retrieval (k1 = 1.2, b = 0.75), integer-exact. The
+    * classic saturated-tf × length-normalized × rarity-weighted score,
+    * re-derived so every step is BIGINT arithmetic both engines
+    * reproduce bit-identically:
+    *
+    *   sat = tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))     — clear the
+    *   rational k1/b and avgdl denominators (×20·avgdl_milli):
+    *   sat_micro  = 44·tf·S·10⁶ div (20·tf·S + 6·S + 18·d)
+    *     where S = avgdl in milli-tokens (tot·1000 div n_docs) and
+    *           d = dl·1000
+    *   w_ppm      = N·10⁶ div df            — log-free rarity weight
+    *                (N/df instead of ln-idf: keeps the score integral;
+    *                same ranking direction, spec'd contract)
+    *   term_score = sat_micro·w_ppm div 10⁶
+    *
+    * Doc length comes from the SAME postings relation the scorer uses
+    * (dl = Σ tf over all the doc's terms), so tokenization stays
+    * single-sourced. N = docs with ≥1 token. Scale shape identical to
+    * [[rankedSearch]]: postings groupBy, a df window per query term,
+    * one broadcast 1-row stats frame — no text rescan. */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size)
+    import org.apache.spark.sql.expressions.Window
+    val posts = postings(docs, idCol, textCol)
+    val dl = posts.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+    val stats = dl.agg(sum("dl").as("tot"), count(lit(1)).as("nd"))
+    posts.filter(col("term").isin(terms: _*))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("s_milli", expr("tot * 1000 div nd"))
+      .withColumn("d_milli", expr("dl * 1000"))
+      .withColumn("sat_micro", expr(
+        "44 * tf * s_milli * 1000000 div" +
+        " (20 * tf * s_milli + 6 * s_milli + 18 * d_milli)"))
+      .withColumn("w_ppm", expr("nd * 1000000 div df"))
+      .withColumn("term_score", expr("sat_micro * w_ppm div 1000000"))
+      .groupBy(col(idCol))
+      .agg(sum("term_score").as("score_micro"),
+           count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Conjunctive search: documents containing EVERY query term, via
     * posting-list intersection — a doc qualifies iff it appears in all
     * |terms| posting sets. One aggregate keyed on the doc id; no text

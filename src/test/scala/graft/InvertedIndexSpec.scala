@@ -102,4 +102,36 @@ class InvertedIndexSpec extends SparkSpec {
       .groupBy("vec_id").count().select("count").as[Long].collect()
     assert(counts.nonEmpty && counts.forall(_ == 3L))
   }
+
+  test("bm25 reproduces the integer formula on a hand fixture and " +
+       "rewards shorter docs and rarer terms") {
+    // corpus: tot = 3+3+3+3 = 12 tokens over nd = 4 docs -> S = 3000
+    val corpus = Seq(
+      (1L, "spark data lake"),          // hit tf=1, dl=3
+      (2L, "spark spark spark"),        // hit tf=3, dl=3 (saturation)
+      (3L, "spark among many other words extra pad pad pad"), // dl=9
+      (4L, "data data data")            // no hit
+    ).toDF("doc_id", "text")
+    val got = InvertedIndex.bm25Search(corpus, "doc_id", "text",
+        Seq("spark"), 10)
+      .select("doc_id", "score_micro", "n_terms")
+      .as[(Long, Long, Long)].collect().toList
+    // corpus stats: tot=18 tokens (3+3+9+3), S = 18000/4 div = 4500
+    def sat(tf: Long, dl: Long): Long = {
+      val s = 18L * 1000 / 4; val d = dl * 1000
+      44 * tf * s * 1000000L / (20 * tf * s + 6 * s + 18 * d)
+    }
+    def score(tf: Long, dl: Long, df: Long): Long =
+      sat(tf, dl) * (4L * 1000000 / df) / 1000000
+    val expected = List(
+      (2L, score(3, 3, 3), 1L),  // saturated tf=3 highest
+      (1L, score(1, 3, 3), 1L),  // short doc beats long doc at tf=1
+      (3L, score(1, 9, 3), 1L))
+      .sortBy { case (id, s, _) => (-s, id) }
+    assert(got == expected)
+    // ordering properties: saturation grows sublinearly; shorter doc
+    // outranks longer at equal tf/df
+    assert(sat(3, 3) < 3 * sat(1, 3))
+    assert(score(1, 3, 3) > score(1, 9, 3))
+  }
 }
