@@ -855,6 +855,11 @@ object SparkEntry {
       graft.functions.InvertedIndex.bm25Search(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "window", "stream"), 10)),
+    // hybrid-retrieval rank fusion: RRF over the rarity and BM25 runs
+    "q_rrf_fusion" -> ((s, dir) =>
+      graft.functions.InvertedIndex.rrfFusion(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "stream"), 20, 10)),
 
     // ---- exact k-NN self-join (all-pairs baseline for the ANN ops) ----
     "q_knn_join" -> ((s, dir) =>
@@ -4666,6 +4671,56 @@ object SparkEntry {
              count(*) AS n_terms
       FROM ts GROUP BY 1
       ORDER BY score_micro DESC, doc_id LIMIT 10
+    """,
+
+    "q_rrf_fusion" -> s"""
+      WITH p AS (
+        SELECT term, doc_id, count(*)::BIGINT AS tf FROM (
+          SELECT doc_id, unnest($duckToks) AS term FROM documents)
+        WHERE term <> '' GROUP BY 1, 2),
+      ha AS (SELECT doc_id, tf,
+                    count(*) OVER (PARTITION BY term)::BIGINT AS df
+             FROM p WHERE term IN ('spark', 'window', 'stream')),
+      runa AS (SELECT doc_id,
+                      sum((tf * 1000000) // df)::BIGINT AS score
+               FROM ha GROUP BY 1
+               ORDER BY score DESC, doc_id LIMIT 20),
+      ra AS (SELECT doc_id, row_number() OVER
+               (ORDER BY score DESC, doc_id)::BIGINT AS rank_a
+             FROM runa),
+      len AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM p GROUP BY 1),
+      st AS (SELECT sum(dl)::BIGINT AS tot, count(*)::BIGINT AS nd
+             FROM len),
+      hb AS (SELECT p.doc_id, p.tf,
+                    count(*) OVER (PARTITION BY p.term)::BIGINT AS df,
+                    len.dl, st.tot, st.nd
+             FROM p JOIN len USING (doc_id) CROSS JOIN st
+             WHERE p.term IN ('spark', 'window', 'stream')),
+      sc AS (SELECT doc_id, tf, df,
+                    (tot * 1000 // nd)::BIGINT AS s_milli,
+                    dl * 1000 AS d_milli, nd
+             FROM hb),
+      ts AS (SELECT doc_id,
+                    ((44 * tf * s_milli * 1000000 //
+                       (20 * tf * s_milli + 6 * s_milli + 18 * d_milli))
+                     * (nd * 1000000 // df) // 1000000)::BIGINT
+                      AS term_score
+             FROM sc),
+      runb AS (SELECT doc_id, sum(term_score)::BIGINT AS score
+               FROM ts GROUP BY 1
+               ORDER BY score DESC, doc_id LIMIT 20),
+      rb AS (SELECT doc_id, row_number() OVER
+               (ORDER BY score DESC, doc_id)::BIGINT AS rank_b
+             FROM runb),
+      f AS (SELECT doc_id,
+                   (coalesce(1000000 // (60 + rank_a), 0)
+                    + coalesce(1000000 // (60 + rank_b), 0))::BIGINT
+                     AS rrf_micro,
+                   coalesce(rank_a, 0)::BIGINT AS rank_a,
+                   coalesce(rank_b, 0)::BIGINT AS rank_b
+            FROM ra FULL OUTER JOIN rb USING (doc_id))
+      SELECT doc_id, rrf_micro, rank_a, rank_b
+      FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10
     """,
     "q_knn_join" -> s"""
       WITH n AS (

@@ -138,6 +138,34 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion of two retrieval runs (the standard
+    * hybrid-search combiner): each run contributes 10⁶ div (60 + rank)
+    * for the docs it returned, fused score is the sum — integer-exact,
+    * score-scale-free (only ranks matter, so a micro-scaled run and a
+    * ppm-scaled run fuse cleanly). Here the two runs are the rarity
+    * ranking ([[rankedSearch]]) and BM25 ([[bm25Search]]) over the
+    * same query; the general shape fuses any two (id, rank) lists.
+    * Both inputs are top-`pool` LIMITed — the fusion join is bounded
+    * on both sides at any corpus size. */
+  def rrfFusion(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], pool: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(run: DataFrame, tag: String): DataFrame = run
+      .withColumn(s"rank_$tag", row_number().over(
+        Window.orderBy(col("score_micro").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col(s"rank_$tag"))
+    val a = ranked(rankedSearch(docs, idCol, textCol, terms, pool), "a")
+    val b = ranked(bm25Search(docs, idCol, textCol, terms, pool), "b")
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        expr("coalesce(1000000 div (60 + rank_a), 0)" +
+          " + coalesce(1000000 div (60 + rank_b), 0)").as("rrf_micro"),
+        coalesce(col("rank_a"), lit(0L)).as("rank_a"),
+        coalesce(col("rank_b"), lit(0L)).as("rank_b"))
+      .orderBy(col("rrf_micro").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Conjunctive search: documents containing EVERY query term, via
     * posting-list intersection — a doc qualifies iff it appears in all
     * |terms| posting sets. One aggregate keyed on the doc id; no text

@@ -134,4 +134,36 @@ class InvertedIndexSpec extends SparkSpec {
     assert(sat(3, 3) < 3 * sat(1, 3))
     assert(score(1, 3, 3) > score(1, 9, 3))
   }
+
+  test("rrf fusion is the reciprocal-rank sum of the two runs") {
+    val corpus = Seq(
+      (1L, "spark data lake"),
+      (2L, "spark spark spark"),
+      (3L, "spark among many other words extra pad pad pad"),
+      (4L, "data data data")
+    ).toDF("doc_id", "text")
+    def ranks(run: org.apache.spark.sql.DataFrame): Map[Long, Long] = run
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .select("doc_id").as[Long].collect().zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val ra = ranks(InvertedIndex.rankedSearch(corpus, "doc_id", "text",
+      Seq("spark"), 20))
+    val rb = ranks(InvertedIndex.bm25Search(corpus, "doc_id", "text",
+      Seq("spark"), 20))
+    val got = InvertedIndex.rrfFusion(corpus, "doc_id", "text",
+        Seq("spark"), 20, 10)
+      .select("doc_id", "rrf_micro", "rank_a", "rank_b")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got.nonEmpty)
+    got.foreach { case (id, rrf, a, b) =>
+      assert(a == ra.getOrElse(id, 0L) && b == rb.getOrElse(id, 0L))
+      val expected = (if (a > 0) 1000000L / (60 + a) else 0L) +
+        (if (b > 0) 1000000L / (60 + b) else 0L)
+      assert(rrf == expected)
+    }
+    // fused order is by rrf desc, id — and every returned doc appears
+    // in at least one run
+    assert(got.map(r => (-r._2, r._1)) == got.map(r => (-r._2, r._1)).sorted)
+    got.foreach { case (id, _, a, b) => assert(a > 0 || b > 0) }
+  }
 }
