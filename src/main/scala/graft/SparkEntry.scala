@@ -860,6 +860,11 @@ object SparkEntry {
       graft.functions.InvertedIndex.rrfFusion(
         Tables.load(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "window", "stream"), 20, 10)),
+    // Kendall tau-a agreement between the two retrieval runs
+    "q_rank_tau" -> ((s, dir) =>
+      graft.functions.InvertedIndex.rankAgreement(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "stream"), 20)),
 
     // ---- exact k-NN self-join (all-pairs baseline for the ANN ops) ----
     "q_knn_join" -> ((s, dir) =>
@@ -4721,6 +4726,57 @@ object SparkEntry {
             FROM ra FULL OUTER JOIN rb USING (doc_id))
       SELECT doc_id, rrf_micro, rank_a, rank_b
       FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10
+    """,
+
+    "q_rank_tau" -> s"""
+      WITH p AS (
+        SELECT term, doc_id, count(*)::BIGINT AS tf FROM (
+          SELECT doc_id, unnest($duckToks) AS term FROM documents)
+        WHERE term <> '' GROUP BY 1, 2),
+      ha AS (SELECT doc_id, tf,
+                    count(*) OVER (PARTITION BY term)::BIGINT AS df
+             FROM p WHERE term IN ('spark', 'window', 'stream')),
+      runa AS (SELECT doc_id,
+                      sum((tf * 1000000) // df)::BIGINT AS score
+               FROM ha GROUP BY 1
+               ORDER BY score DESC, doc_id LIMIT 20),
+      ra AS (SELECT doc_id, row_number() OVER
+               (ORDER BY score DESC, doc_id)::BIGINT AS ra
+             FROM runa),
+      len AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM p GROUP BY 1),
+      st AS (SELECT sum(dl)::BIGINT AS tot, count(*)::BIGINT AS nd
+             FROM len),
+      hb AS (SELECT p.doc_id, p.tf,
+                    count(*) OVER (PARTITION BY p.term)::BIGINT AS df,
+                    len.dl, st.tot, st.nd
+             FROM p JOIN len USING (doc_id) CROSS JOIN st
+             WHERE p.term IN ('spark', 'window', 'stream')),
+      sc AS (SELECT doc_id, tf, df,
+                    (tot * 1000 // nd)::BIGINT AS s_milli,
+                    dl * 1000 AS d_milli, nd
+             FROM hb),
+      ts AS (SELECT doc_id,
+                    ((44 * tf * s_milli * 1000000 //
+                       (20 * tf * s_milli + 6 * s_milli + 18 * d_milli))
+                     * (nd * 1000000 // df) // 1000000)::BIGINT
+                      AS term_score
+             FROM sc),
+      runb AS (SELECT doc_id, sum(term_score)::BIGINT AS score
+               FROM ts GROUP BY 1
+               ORDER BY score DESC, doc_id LIMIT 20),
+      rb AS (SELECT doc_id, row_number() OVER
+               (ORDER BY score DESC, doc_id)::BIGINT AS rb
+             FROM runb),
+      common AS (SELECT doc_id, ra, rb FROM ra JOIN rb USING (doc_id)),
+      pr AS (SELECT sign((a.ra - b.ra) * (a.rb - b.rb)) AS s
+             FROM common a JOIN common b ON a.doc_id < b.doc_id)
+      SELECT sum(CASE WHEN s > 0 THEN 1 ELSE 0 END)::BIGINT AS concordant,
+             sum(CASE WHEN s < 0 THEN 1 ELSE 0 END)::BIGINT AS discordant,
+             count(*)::BIGINT AS n_pairs,
+             (sum(CASE WHEN s > 0 THEN 1 ELSE 0 END)
+              - sum(CASE WHEN s < 0 THEN 1 ELSE 0 END))::BIGINT AS tau_num,
+             count(*)::BIGINT AS tau_den
+      FROM pr
     """,
     "q_knn_join" -> s"""
       WITH n AS (

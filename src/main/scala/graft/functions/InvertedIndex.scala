@@ -166,6 +166,38 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** Kendall tau-a rank agreement between the rarity and BM25 runs,
+    * over the docs BOTH runs returned: tau = (C − D) / (m(m−1)/2)
+    * where C/D count concordant/discordant doc pairs. Emitted as the
+    * exact BIGINT fraction (tau is signed; negative integer division
+    * is not cross-engine portable) plus the pair counts. The pair
+    * join is over the two LIMIT-bounded runs' intersection — ≤ pool²
+    * pairs at any corpus size, broadcast both sides. */
+  def rankAgreement(docs: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String], pool: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(run: DataFrame, tag: String): DataFrame = run
+      .withColumn(s"r$tag", row_number().over(
+        Window.orderBy(col("score_micro").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col(s"r$tag"))
+    val common = ranked(rankedSearch(docs, idCol, textCol, terms, pool), "a")
+      .join(ranked(bm25Search(docs, idCol, textCol, terms, pool), "b"),
+        Seq(idCol))
+    val pairs = common.select(col(idCol).as("i"),
+        col("ra").as("rai"), col("rb").as("rbi"))
+      .join(broadcast(common.select(col(idCol).as("j"),
+        col("ra").as("raj"), col("rb").as("rbj"))),
+        col("i") < col("j"))
+      .select(expr("sign((rai - raj) * (rbi - rbj))").as("s"))
+    pairs
+      .agg(sum(when(col("s") > 0, 1L).otherwise(0L)).as("concordant"),
+           sum(when(col("s") < 0, 1L).otherwise(0L)).as("discordant"),
+           count(lit(1)).as("n_pairs"))
+      .select(col("concordant"), col("discordant"), col("n_pairs"),
+        expr("concordant - discordant").as("tau_num"),
+        col("n_pairs").as("tau_den"))
+  }
+
   /** Conjunctive search: documents containing EVERY query term, via
     * posting-list intersection — a doc qualifies iff it appears in all
     * |terms| posting sets. One aggregate keyed on the doc id; no text

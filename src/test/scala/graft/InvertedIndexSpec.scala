@@ -166,4 +166,20 @@ class InvertedIndexSpec extends SparkSpec {
     assert(got.map(r => (-r._2, r._1)) == got.map(r => (-r._2, r._1)).sorted)
     got.foreach { case (id, _, a, b) => assert(a > 0 || b > 0) }
   }
+
+  test("rank agreement counts every common pair exactly once with no " +
+       "ties and keeps tau in [-1, 1]") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val (c, d, n, num, den) = InvertedIndex.rankAgreement(docs,
+        "doc_id", "text", Seq("spark", "window", "stream"), 20)
+      .select("concordant", "discordant", "n_pairs", "tau_num", "tau_den")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // row_number ranks are tie-free, so every pair is concordant or
+    // discordant — never neutral
+    assert(c + d == n && n > 0)
+    // n = m(m-1)/2 for the m docs common to both runs
+    val m = (1 + math.sqrt(1 + 8.0 * n)).toLong / 2
+    assert(m * (m - 1) / 2 == n && m <= 20)
+    assert(num == c - d && den == n && math.abs(num) <= den)
+  }
 }
