@@ -816,6 +816,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ---- Markov stationary distribution of the event-type chain:
+    //      3 unrolled power-iteration steps in ppm integers. Per step,
+    //      each edge contributes v_i · p_ij div 10⁶ (floor per edge —
+    //      the deterministic contract; mass may leak a few ppm to
+    //      flooring, which is the point: bit-identical on any engine).
+    //      The state space is |event_type| (~5), so every frame after
+    //      the transition groupBy is a broadcast-size matrix; the one
+    //      corpus-scale pass is the same lead-window q_transitions
+    //      runs ----
+    "q_markov_stationary" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      val trans = Tables.events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val p = trans
+        .withColumn("out_n", sum("n").over(Window.partitionBy("src")))
+        .withColumn("p_ppm", expr("n * 1000000 div out_n"))
+        .select("src", "dst", "p_ppm")
+        .localCheckpoint(eager = true) // ≤ |states|² rows, reused 3×
+      val states = p.select(col("src").as("state")).distinct()
+      val nStates = states.agg(count(lit(1)).as("k"))
+      var v = states.crossJoin(broadcast(nStates))
+        .select(col("state"), expr("1000000 div k").as("v_ppm"))
+      for (_ <- 1 to 3) {
+        v = p.join(v.withColumnRenamed("state", "src"), Seq("src"))
+          .select(col("dst").as("state"),
+            expr("v_ppm * p_ppm div 1000000").as("c"))
+          .groupBy("state").agg(sum("c").as("v_ppm"))
+      }
+      v.orderBy("state")
+    }),
+
     // ---- bloom-prefiltered join (runtime semi-join filter as a
     //      library operator; results exact, oracle = plain join) ----
     "q_bloom_join" -> ((s, dir) =>
@@ -4595,6 +4629,36 @@ object SparkEntry {
                          AND v.valid_from <= e.ts_ns
                        ORDER BY v.valid_from DESC LIMIT 1) x
     """,
+    "q_markov_stationary" -> """
+      WITH e AS (SELECT user_id, event_type, event_id,
+                        (epoch_ns(ts) // 1000) * 1000 AS ts_ns FROM events),
+      t AS (SELECT event_type AS src, next_type AS dst,
+                   count(*)::BIGINT AS n
+            FROM (SELECT user_id, event_type, event_id, ts_ns,
+                         lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts_ns, event_id) AS next_type
+                  FROM e)
+            WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      p AS (SELECT src, dst,
+                   (n * 1000000 // sum(n) OVER (PARTITION BY src))::BIGINT
+                     AS p_ppm
+            FROM t),
+      s AS (SELECT DISTINCT src AS state FROM p),
+      kk AS (SELECT count(*)::BIGINT AS k FROM s),
+      v0 AS (SELECT state, (1000000 // k)::BIGINT AS v_ppm
+             FROM s CROSS JOIN kk),
+      v1 AS (SELECT p.dst AS state,
+                    sum(v_ppm * p_ppm // 1000000)::BIGINT AS v_ppm
+             FROM p JOIN v0 ON p.src = v0.state GROUP BY 1),
+      v2 AS (SELECT p.dst AS state,
+                    sum(v_ppm * p_ppm // 1000000)::BIGINT AS v_ppm
+             FROM p JOIN v1 ON p.src = v1.state GROUP BY 1),
+      v3 AS (SELECT p.dst AS state,
+                    sum(v_ppm * p_ppm // 1000000)::BIGINT AS v_ppm
+             FROM p JOIN v2 ON p.src = v2.state GROUP BY 1)
+      SELECT state, v_ppm FROM v3
+    """,
+
     "q_transitions" -> """
       WITH e AS (SELECT user_id, event_type, event_id,
                         (epoch_ns(ts) // 1000) * 1000 AS ts_ns FROM events)

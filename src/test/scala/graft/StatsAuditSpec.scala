@@ -208,4 +208,15 @@ class StatsAuditSpec extends SparkSpec {
     // rho in [-1, 1]  <=>  0 <= 6*sum_d2 <= 2*den
     assert(d2 >= 0 && 6 * d2 <= 2 * den && math.abs(num) <= den)
   }
+
+  test("markov stationary vector stays a (floor-lossy) distribution") {
+    val rows = run("q_markov_stationary")
+      .select("state", "v_ppm").as[(String, Long)].collect()
+    assert(rows.length >= 2 && rows.forall(_._2 > 0))
+    val mass = rows.map(_._2).sum
+    // each of the 3 iterations floors once per edge (≤ k² edges of ~5
+    // states) plus the uniform init floors once per state — total
+    // leakage well under 1000 ppm, and mass can never grow
+    assert(mass <= 1000000L && mass >= 999000L)
+  }
 }
