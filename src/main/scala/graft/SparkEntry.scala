@@ -2827,11 +2827,14 @@ object SparkEntry {
 
     // ---- Spearman rank correlation between order price and date,
     //      exact: ranks are row_number over a deterministic total order
-    //      (value, key tiebreak), rho emitted as the exact integer
-    //      fraction (n(n²−1) − 6Σd²) / n(n²−1) — it can be negative,
-    //      and negative integer division is not cross-engine portable.
-    //      Two value-ranked windows + one reduce; same sorted-rank
-    //      shape as percentile_rank ----
+    //      (value, key tiebreak). rho's exact fraction n(n²−1) − 6Σd²
+    //      over n(n²−1) grows as n³ (BIGINT wraps at n ≈ 2.1M), so the
+    //      whole computation runs in decimal(38,0) — the oracle's
+    //      HUGEINT — and the surface is the bounded shifted form
+    //      rho_shift_ppm = (rho+1)/2 · 10⁶ ∈ [0, 10⁶]: nonnegative
+    //      (so integer division is portable — Spark div truncates,
+    //      DuckDB // floors, they agree only on nonnegatives) and
+    //      BIGINT at any n. Two value-ranked windows + one reduce ----
     "q_spearman" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"),
@@ -2842,10 +2845,15 @@ object SparkEntry {
         .withColumn("ry", row_number().over(
           Window.orderBy(col("o_orderdate"), col("o_orderkey"))).cast("long"))
         .agg(count(lit(1)).as("n"),
-          sum(expr("(rx - ry) * (rx - ry)")).as("sum_d2"))
-        .select(col("n"), col("sum_d2"),
-          expr("n * (n * n - 1) - 6 * sum_d2").as("rho_num"),
-          expr("n * (n * n - 1)").as("rho_den"))
+          sum(expr("cast((rx - ry) * (rx - ry) as decimal(38,0))"))
+            .as("sum_d2_w"))
+        .select(col("n"),
+          expr("cast(sum_d2_w as bigint)").as("sum_d2"),
+          expr("cast((2 * cast(n as decimal(38,0)) *" +
+            " (cast(n as decimal(38,0)) * n - 1) - 6 * sum_d2_w)" +
+            " * 1000000 div (2 * cast(n as decimal(38,0)) *" +
+            " (cast(n as decimal(38,0)) * n - 1)) as bigint)")
+            .as("rho_shift_ppm"))
     }),
 
     // ---- functional-dependency audit: does LHS determine RHS? Three
@@ -6656,11 +6664,13 @@ object SparkEntry {
                 AS ry
             FROM o),
       t AS (SELECT count(*)::BIGINT AS n,
-                   sum((rx - ry) * (rx - ry))::BIGINT AS sum_d2
+                   sum((rx - ry)::HUGEINT * (rx - ry)) AS sum_d2_w
             FROM r)
-      SELECT n, sum_d2,
-             (n * (n * n - 1) - 6 * sum_d2)::BIGINT AS rho_num,
-             (n * (n * n - 1))::BIGINT AS rho_den
+      SELECT n, sum_d2_w::BIGINT AS sum_d2,
+             ((2 * n::HUGEINT * (n::HUGEINT * n - 1) - 6 * sum_d2_w)
+               * 1000000
+               // (2 * n::HUGEINT * (n::HUGEINT * n - 1)))::BIGINT
+               AS rho_shift_ppm
       FROM t
     """,
 

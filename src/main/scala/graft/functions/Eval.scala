@@ -47,17 +47,28 @@ object Eval {
     * ((rank−1)·k div n — value ties share a rank, so the cut is
     * data-determined, not order-determined), then per bin emit size,
     * positive count, floor mean score, and positive rate ppm. A
-    * well-calibrated score has pos_rate_ppm monotone in bucket. */
+    * well-calibrated score has pos_rate_ppm monotone in bucket.
+    *
+    * Scale shape: rows aggregate to DISTINCT score values FIRST (one
+    * hash shuffle), so the only global-sort window walks the distinct
+    * values, not the rows — rank(s) with min-ties is 1 + Σ counts of
+    * strictly-smaller values, identical to a per-row rank() but
+    * bounded by score cardinality (the q_mad/q_winsorize pattern). */
   def calibration(df: DataFrame, score: Column, label: Column,
                   buckets: Int): DataFrame = {
-    df.select(score.cast("long").as("s"),
+    val byValue = df.select(score.cast("long").as("s"),
         label.cast("boolean").cast("long").as("y"))
-      .withColumn("rk", rank().over(Window.orderBy(col("s"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n_s"), sum("y").as("pos_s"))
+    val below = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byValue
+      .withColumn("rk", coalesce(sum(col("n_s")).over(below), lit(0L)) + 1L)
+      .withColumn("n", sum(col("n_s")).over(Window.partitionBy()))
       .withColumn("bucket", expr(s"(rk - 1) * $buckets div n"))
       .groupBy("bucket")
-      .agg(count(lit(1)).as("n_rows"), sum("y").as("n_pos"),
-           sum("s").as("sum_score"))
+      .agg(sum("n_s").as("n_rows"), sum("pos_s").as("n_pos"),
+           sum(expr("s * n_s")).as("sum_score"))
       .withColumn("mean_score", expr("sum_score div n_rows"))
       .withColumn("pos_rate_ppm", expr("n_pos * 1000000 div n_rows"))
       .drop("sum_score")

@@ -71,13 +71,17 @@ class PlanLintSpec extends SparkSpec {
       val bad = plan.collect {
         case j: Join if j.joinType.sql == "CROSS" ||
             j.condition.isEmpty =>
+          // In optimizedPlan EliminateResolvedHint has already folded
+          // ResolvedHint nodes into Join.hint, so a broadcast() bound
+          // must be read off the join itself, not a child hint node.
+          val hinted = Seq(j.hint.leftHint, j.hint.rightHint)
+            .flatten.exists(_.strategy.isDefined)
           val sides = Seq(j.left, j.right)
-          // provably small: a no-grouping-key aggregate (1 row), an
-          // explicit broadcast hint, a literal relation, or a LIMIT
-          val bounded = sides.exists { s =>
+          // provably small: a no-grouping-key aggregate (1 row), a
+          // literal relation, or a LIMIT
+          val bounded = hinted || sides.exists { s =>
             s.collectFirst {
               case a: Aggregate if a.groupingExpressions.isEmpty => ()
-              case h: ResolvedHint if h.hints.strategy.isDefined => ()
               case _: LocalRelation => ()
               case _: GlobalLimit => ()
             }.isDefined
@@ -90,6 +94,75 @@ class PlanLintSpec extends SparkSpec {
       s"cross join without a bounded side in: ${suspicious.mkString(", ")}" +
         " — broadcast a provably-small frame or add an inspected entry" +
         " with its bound")
+    }
+  }
+
+  // Global-sort windows (empty partitionBy) whose input the structural
+  // check cannot prove small, each verified by inspection:
+  //   q_spearman — exact Spearman needs a unique global rank per ROW
+  //     (value, key tiebreak); ties don't collapse to distinct values.
+  //     The documented 100-TB path is a range-partitioned sort + per-
+  //     partition offset rank; the one-task window is the honest exact
+  //     form for the cross-engine oracle.
+  //   q_range_boundaries — the window ranks a 1/97 systematic SAMPLE
+  //     (o_orderkey % 97 filter); input is bounded by the sampling
+  //     rate, which a structural check can't see through a Filter.
+  //   q_neg_sample — global dense-index assignment over documents so
+  //     negative draws can hit a contiguous [0, n) space; scale path
+  //     is a precomputed dense id map (or zipWithIndex at build time).
+  //   q_scan_pruning — ntile(64) SIMULATES two file layouts to measure
+  //     min/max pruning; a layout-audit measurement query, not a
+  //     production pipeline stage.
+  private val inspectedGlobalWindow: Set[String] = Set(
+    "q_spearman", "q_range_boundaries", "q_neg_sample", "q_scan_pruning")
+
+  test("no global window over a raw (un-aggregated, unbounded) relation") {
+    withDefaultPlanner {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.optimizedPlan
+      val bad = plan.collect {
+        // A Window with no partition keys serializes the whole input
+        // through ONE task — acceptable only when the input is provably
+        // collapsed first (an Aggregate: DISTINCT values or grouped
+        // rollup), literal, or LIMIT-bounded.
+        case w: Window if w.partitionSpec.isEmpty =>
+          val bounded = w.child.collectFirst {
+            case _: Aggregate => ()
+            case _: LocalRelation => ()
+            case _: GlobalLimit => ()
+          }.isDefined
+          if (bounded || inspectedGlobalWindow(name)) None else Some(name)
+      }.flatten
+      bad
+    }.distinct
+    assert(offenders.isEmpty,
+      s"global (no-partitionBy) window over raw input in: " +
+        s"${offenders.mkString(", ")} — pre-aggregate to DISTINCT" +
+        " values first, or add an inspected entry with its bound")
+    }
+  }
+
+  test("no back-to-back shuffle on identical partitioning (double exchange)") {
+    withDefaultPlanner {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan
+      val doubled = plan.collect {
+        case e: ShuffleExchangeExec =>
+          // an Exchange whose subtree re-shuffles the same keys right
+          // below it (through at most narrow projections) paid one
+          // shuffle for nothing
+          val childEx = e.child.collectFirst {
+            case c: ShuffleExchangeExec => c }
+          childEx.exists { c =>
+            e.outputPartitioning.toString == c.outputPartitioning.toString }
+      }
+      if (doubled.contains(true)) Some(name) else None
+    }.distinct
+    assert(offenders.isEmpty,
+      s"double shuffle on the same partitioning in: " +
+        s"${offenders.mkString(", ")}")
     }
   }
 }

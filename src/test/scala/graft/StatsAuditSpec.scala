@@ -198,15 +198,19 @@ class StatsAuditSpec extends SparkSpec {
     assert(ssb < ssw)
   }
 
-  test("Spearman rho fraction is a bounded correlation over true rank " +
-       "permutations") {
-    val (n, d2, num, den) = run("q_spearman")
-      .select("n", "sum_d2", "rho_num", "rho_den")
-      .as[(Long, Long, Long, Long)].head()
+  test("Spearman rho shifted-ppm surface is a bounded correlation over " +
+       "true rank permutations") {
+    val (n, d2, shift) = run("q_spearman")
+      .select("n", "sum_d2", "rho_shift_ppm")
+      .as[(Long, Long, Long)].head()
     assert(n == Tables.load(spark, dir, "orders").count())
-    assert(den == n * (n * n - 1))
-    // rho in [-1, 1]  <=>  0 <= 6*sum_d2 <= 2*den
-    assert(d2 >= 0 && 6 * d2 <= 2 * den && math.abs(num) <= den)
+    val den = BigInt(n) * (BigInt(n) * n - 1)
+    // rho in [-1, 1]  <=>  0 <= 6*sum_d2 <= 2*den; shift = (rho+1)/2·1e6
+    assert(d2 >= 0 && BigInt(6) * d2 <= 2 * den)
+    assert(shift >= 0L && shift <= 1000000L)
+    // shift reproduces from the surface: (2·den − 6·Σd²)·1e6 / (2·den)
+    val expect = ((2 * den - BigInt(6) * d2) * 1000000 / (2 * den)).toLong
+    assert(shift == expect)
   }
 
   test("markov stationary vector stays a (floor-lossy) distribution") {
