@@ -5,101 +5,108 @@ import org.apache.spark.sql.functions._
 
 /** One media object: payload as an opaque binary column + typed
   * metadata — the columnar layout for multimodal corpora (images,
-  * audio, video frames) in a training-data pipeline. */
+  * audio, video frame stacks) in a training-data pipeline. The
+  * payload is a REAL encoded file ([[Codecs]]: 24-bit BMP, PCM16
+  * WAV, concatenated-BMP stack), not a synthetic blob. */
 case class MediaRecord(
     media_id: Long,
     kind: String,           // "image" | "audio" | "video"
     bytes: Array[Byte],
-    format: String,         // container/codec tag, e.g. "png", "wav"
-    width: Int, height: Int, // 0 when not applicable
+    format: String,         // "bmp" | "wav" | "bmps" (BMP stack)
+    width: Int, height: Int, // claimed metadata; 0 when not applicable
     duration_ms: Long)       // 0 for stills
 
-case class MediaFeatures(
-    media_id: Long,
-    kind: String,
-    n_bytes: Long,
-    byte_entropy: Double,
-    feature: Array[Float])  // fixed-dim embedding-shaped output
+/** Header-parse surface: container metadata recovered from the
+  * payload itself, plus `meta_ok` cross-checking the claimed columns
+  * against the parsed header — the shard-QA gate that catches
+  * metadata drift before a corrupt batch trains. */
+case class MediaDecode(
+    media_id: Long, kind: String, format: String, n_bytes: Long,
+    width: Long, height: Long, n_frames: Long,
+    sample_rate: Long, n_samples: Long, meta_ok: Long)
 
-/** Integer-exact feature surface for cross-engine verification: DOUBLE
-  * entropy / FLOAT features can't hash-match across engines, so the
-  * oracle-checked query emits only integers derivable from the payload
-  * bytes — byte-value histogram quartile counts, byte sum, and one
-  * fold bucket (count of bytes ≡ 0 mod 16, the d=0 cell of
-  * [[Multimodal.decodeStub]]'s folded histogram feature). */
-case class MediaIntFeatures(
-    media_id: Long,
-    kind: String,
-    n_bytes: Long,
-    byte_sum: Long,
-    hist_q0: Long, hist_q1: Long, hist_q2: Long, hist_q3: Long,
-    fold_mod16_0: Long)
+/** Integer-exact image features from DECODED pixels (not raw payload
+  * bytes): per-channel sums and mean luma in milli-units
+  * (299R+587G+114B per pixel — the integer Rec.601 weights). */
+case class ImageStats(
+    media_id: Long, width: Long, height: Long, n_px: Long,
+    sum_r: Long, sum_g: Long, sum_b: Long, mean_luma_milli: Long)
 
-/** Multimodal column plumbing (additive — BASELINE.json north star).
+/** Integer-exact audio features from decoded PCM samples: sum,
+  * absolute sum, energy (Σs²), peak amplitude, zero crossings. */
+case class AudioStats(
+    media_id: Long, sample_rate: Long, n_samples: Long,
+    sum_s: Long, sum_abs: Long, energy: Long, peak_abs: Long,
+    zero_cross: Long)
+
+/** Per-frame image features for video stacks — one row per frame,
+  * produced by direct frame seek (offset arithmetic), not a scan. */
+case class FrameStats(
+    media_id: Long, frame_idx: Long, width: Long, height: Long,
+    sum_r: Long, sum_g: Long, sum_b: Long)
+
+/** Multimodal column tier (additive — the reference has no media
+  * path; BASELINE.json north star).
   *
-  * The Spark-side mechanics are real and tested: binary payload
-  * columns with typed metadata, partition-parallel batch decode via
-  * `mapPartitions` over a typed Dataset (the Scala-native analogue of
-  * Python's `mapInPandas` batches — one decoder instantiation per
-  * partition, not per row), deterministic frame sampling as a
-  * generator. ONLY the codec step is stubbed: this container ships no
-  * image/audio libraries, so [[decodeStub]] derives features from the
-  * raw bytes deterministically where a real implementation would call
-  * into a decoder (marked below).
+  * Real decode, pure JVM: payloads are genuine BMP / WAV / BMP-stack
+  * files built and parsed by [[Codecs]] — header validation, stride
+  * and padding handling, RIFF chunk walking, bottom-up row flip.
+  * Decode runs as `mapPartitions` over a typed Dataset (one decoder
+  * scope per partition — the Scala-native analogue of `mapInPandas`
+  * batches), emits integer-exact features, and every `q_media_*`
+  * query is oracle-checked in DuckDB by re-deriving the SAME numbers
+  * from the payload bytes with fixed-offset hex arithmetic.
   *
-  * Scale notes: payloads ride the same parquet scan as everything else
-  * (binary column pages are only read when the decode stage needs
-  * them — column pruning applies to blobs too); decode is pure
-  * map-side work, no shuffle; frame sampling multiplies rows BEFORE
-  * feature extraction so the expensive stage parallelizes across
-  * frames, not videos.
+  * Scale notes: payloads ride the parquet scan like any column
+  * (binary pages are only read when the decode stage projects them —
+  * column pruning applies to blobs); decode is pure map-side work, no
+  * shuffle; frame extraction multiplies rows BEFORE per-frame feature
+  * work so the expensive stage parallelizes across frames, not
+  * videos; malformed payloads throw (fail-loud) rather than emitting
+  * garbage features.
   */
 object Multimodal {
 
-  val FeatureDim = 16
+  // ---- deterministic real-format corpus ----
 
-  /** Deterministic synthetic corpus (no media libs in the container —
-    * payload bytes are seeded pseudo-random, sized like thumbnails). */
+  private def imagePixels(seed: Long, w: Int, h: Int, f: Int): Array[Int] =
+    Array.tabulate(w * h) { p =>
+      val x = p % w; val y = p / w
+      val r = ((seed * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
+      val g = ((seed * 17 + f * 59 + x * 3 + y * 29) % 256).toInt
+      val b = ((seed * 23 + f * 71 + x * 11 + y * 5) % 256).toInt
+      (r << 16) | (g << 8) | b
+    }
+
+  /** Deterministic corpus of REAL encoded media: every third record an
+    * image (BMP, dims varied so row padding 0-3 bytes is exercised),
+    * audio (WAV PCM16 mono), and a video (2-4 equal-shape BMP frames
+    * concatenated). Seeded arithmetic only — bit-identical across
+    * runs, so fixtures regenerate stably for the cross-engine oracle. */
   def syntheticCorpus(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
-      val kind = Seq("image", "audio", "video")((i % 3).toInt)
-      val len = 256 + (i * 37 % 512).toInt
-      val bytes = Array.tabulate(len)(j => ((i * 131 + j * 7) % 256).toByte)
-      MediaRecord(i, kind,
-        bytes,
-        Seq("png", "wav", "mp4")((i % 3).toInt),
-        if (kind == "audio") 0 else 64, if (kind == "audio") 0 else 64,
-        if (kind == "image") 0L else 1000L + i % 9000)
-    }
-  }
-
-  /** Batch feature extraction. A production build would decode
-    * `r.bytes` with an image/audio codec here; the container has none,
-    * so the stub derives a deterministic feature vector from the raw
-    * payload (byte histogram folded to FeatureDim) — the surrounding
-    * plumbing (typed batches, per-partition execution, output schema)
-    * is exactly what the real decoder would plug into. */
-  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      // per-partition init — where a real codec/ONNX session would be
-      // constructed once and reused across the batch:
-      it.map { r =>
-        val hist = new Array[Long](256)
-        r.bytes.foreach(b => hist(b & 0xff) += 1)
-        val total = math.max(r.bytes.length, 1).toDouble
-        val entropy = -hist.filter(_ > 0).map { c =>
-          val p = c / total; p * math.log(p) / math.log(2)
-        }.sum
-        val feature = Array.tabulate(FeatureDim) { d =>
-          // real impl: decoded-pixel / spectrogram features (??? in
-          // spirit — deterministic fake so tests can assert exact
-          // values without a codec)
-          (0 until 256 by FeatureDim).map(k => hist(k + d)).sum.toFloat / total.toFloat
-        }
-        MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong,
-          entropy, feature)
+      (i % 3) match {
+        case 0 =>
+          val w = 8 + (i * 7 % 13).toInt  // 8..20 → strides with padding
+          val h = 8 + (i * 5 % 11).toInt  // 8..18
+          val img = Codecs.Image(w, h, imagePixels(i, w, h, 0))
+          MediaRecord(i, "image", Codecs.encodeBmp24(img), "bmp", w, h, 0L)
+        case 1 =>
+          val ns = 200 + (i * 37 % 300).toInt
+          val samples = Array.tabulate(ns) { t =>
+            ((((i * 131 + t * 97) % 4001) - 2000) * 8).toShort
+          }
+          val wav = Codecs.encodeWavPcm16(Codecs.Audio(8000, samples))
+          MediaRecord(i, "audio", wav, "wav", 0, 0, ns * 1000L / 8000)
+        case _ =>
+          val nf = 2 + (i % 3).toInt      // 2..4 frames
+          val side = 8 + (i % 5).toInt
+          val stack = (0 until nf).toArray.flatMap { f =>
+            Codecs.encodeBmp24(
+              Codecs.Image(side, side, imagePixels(i, side, side, f)))
+          }
+          MediaRecord(i, "video", stack, "bmps", side, side, nf * 1000L)
       }
     }
   }
@@ -108,12 +115,11 @@ object Multimodal {
     * read the IDENTICAL payload bytes Spark processes (testdata is
     * read-only; target/ is the repo's gitignored scratch space, and an
     * absolute path keeps Spark and DuckDB agreeing regardless of cwd). */
-  val CorpusPath = "/root/repo/target/graft_fixtures/multimodal_corpus.parquet"
+  val CorpusPath = "/root/repo/target/graft_fixtures/media_corpus.parquet"
 
-  /** Materialize the deterministic synthetic corpus as parquet and read
-    * it back — both engines consume the same file, so the comparison
-    * checks the decode math, not corpus generation. Overwrite is cheap
-    * (single small file) and keeps the fixture fresh across runs. */
+  /** Materialize the corpus as parquet and read it back — both engines
+    * consume the same file, so the comparison checks the decode math,
+    * not corpus generation. */
   def corpusParquet(spark: SparkSession, n: Int,
                     path: String = CorpusPath): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -122,56 +128,121 @@ object Multimodal {
     spark.read.parquet(path).as[MediaRecord]
   }
 
-  /** Integer-exact batch feature extraction (oracle-checked variant of
-    * [[decodeStub]]): same mapPartitions plumbing — per-partition batch
-    * stage over binary payloads, where a real codec would sit — but the
-    * emitted features are integers DuckDB reproduces bit-for-bit from
-    * `hex(bytes)` (see SparkEntry.oracleSql q_multimodal_features). */
-  def decodeIntFeatures(media: Dataset[MediaRecord]): Dataset[MediaIntFeatures] = {
+  // ---- decode stages (map-side, per-partition batches) ----
+
+  /** Parse every payload's container header and cross-check the
+    * claimed metadata columns — the whole-corpus QA pass. */
+  def decodeHeaders(media: Dataset[MediaRecord]): Dataset[MediaDecode] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        var sum = 0L
-        val hist = new Array[Long](4)
-        var mod16 = 0L
-        r.bytes.foreach { b =>
-          val v = b & 0xff
-          sum += v
-          hist(v >> 6) += 1
-          if (v % 16 == 0) mod16 += 1
+        r.kind match {
+          case "image" =>
+            val img = Codecs.decodeBmp24(r.bytes)
+            MediaDecode(r.media_id, r.kind, r.format, r.bytes.length.toLong,
+              img.width.toLong, img.height.toLong, 1L, 0L, 0L,
+              if (img.width == r.width && img.height == r.height) 1L else 0L)
+          case "audio" =>
+            val a = Codecs.decodeWavPcm16(r.bytes)
+            MediaDecode(r.media_id, r.kind, r.format, r.bytes.length.toLong,
+              0L, 0L, 0L, a.sampleRate.toLong, a.samples.length.toLong,
+              if (r.width == 0 && r.height == 0) 1L else 0L)
+          case _ =>
+            val frames = Codecs.decodeBmpStack(r.bytes)
+            val f0 = frames.head
+            MediaDecode(r.media_id, r.kind, r.format, r.bytes.length.toLong,
+              f0.width.toLong, f0.height.toLong, frames.length.toLong, 0L, 0L,
+              if (f0.width == r.width && f0.height == r.height) 1L else 0L)
         }
-        MediaIntFeatures(r.media_id, r.kind, r.bytes.length.toLong, sum,
-          hist(0), hist(1), hist(2), hist(3), mod16)
       }
     }
   }
 
-  /** "Resize" stage stub: a real implementation decodes, scales to
-    * `side`×`side`, re-encodes. Without a codec, the stub
-    * deterministically subsamples the payload to side*side bytes
-    * (stride sampling) and rewrites the metadata — exercising the real
-    * plumbing (binary in, binary out, metadata update, map-side only).
-    */
-  def resizeStub(media: Dataset[MediaRecord], side: Int): Dataset[MediaRecord] = {
+  private def imageStatsOf(id: Long, img: Codecs.Image): ImageStats = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    img.pixels.foreach { p =>
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+    }
+    val nPx = img.pixels.length.toLong
+    ImageStats(id, img.width.toLong, img.height.toLong, nPx, sr, sg, sb,
+      (299L * sr + 587L * sg + 114L * sb) / nPx)
+  }
+
+  /** Decode still images and emit integer pixel statistics. */
+  def imageStats(media: Dataset[MediaRecord]): Dataset[ImageStats] = {
     import media.sparkSession.implicits._
-    media.map { r =>
-      val n = side * side
-      val out =
-        if (r.bytes.length <= n) r.bytes
-        else Array.tabulate(n)(i => r.bytes((i.toLong * r.bytes.length / n).toInt))
-      r.copy(bytes = out, width = math.min(r.width, side),
-             height = math.min(r.height, side))
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.map(r => imageStatsOf(r.media_id, Codecs.decodeBmp24(r.bytes)))
     }
   }
 
-  /** Deterministic frame sampling for videos: one row per sampled
-    * frame at `everyMs` intervals (generator shape — rows multiply
-    * before the expensive per-frame stage). */
-  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
-    media.filter(col("kind") === "video")
-      .withColumn("frame_ts_ms",
-        explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))))
-      .select(col("media_id"), col("frame_ts_ms"),
-              // real impl: seek+decode the frame; stub keeps plumbing
-              substring(col("bytes"), 1, 64).as("frame_bytes"))
+  /** Decode audio and emit integer PCM statistics. */
+  def audioStats(media: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.map { r =>
+        val a = Codecs.decodeWavPcm16(r.bytes)
+        var sum = 0L; var sabs = 0L; var energy = 0L; var peak = 0L
+        var zc = 0L; var prevNonNeg = true; var i = 0
+        while (i < a.samples.length) {
+          val s = a.samples(i).toLong
+          sum += s; sabs += math.abs(s); energy += s * s
+          peak = math.max(peak, math.abs(s))
+          val nonNeg = s >= 0
+          if (i > 0 && nonNeg != prevNonNeg) zc += 1
+          prevNonNeg = nonNeg
+          i += 1
+        }
+        AudioStats(r.media_id, a.sampleRate.toLong,
+          a.samples.length.toLong, sum, sabs, energy, peak, zc)
+      }
+    }
+  }
+
+  /** Explode video stacks into per-frame rows with decoded pixel
+    * statistics — rows multiply BEFORE the per-frame work, so frames
+    * parallelize across the cluster. */
+  def frameStats(media: Dataset[MediaRecord]): Dataset[FrameStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      Codecs.decodeBmpStack(r.bytes).zipWithIndex.map { case (img, f) =>
+        val s = imageStatsOf(r.media_id, img)
+        FrameStats(r.media_id, f.toLong, s.width, s.height,
+          s.sum_r, s.sum_g, s.sum_b)
+      }
+    }
+  }
+
+  /** Decode → nearest-neighbor resize to `side`×`side` → re-encode:
+    * the real thumbnail stage (binary in, binary out, metadata
+    * updated), map-side only. */
+  def resizeImages(media: Dataset[MediaRecord],
+                   side: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.map { r =>
+        val resized = Codecs.resizeNearest(Codecs.decodeBmp24(r.bytes), side)
+        r.copy(bytes = Codecs.encodeBmp24(resized),
+               width = side, height = side)
+      }
+    }
+  }
+
+  /** Deterministic frame sampling: one row per frame at `everyNth`
+    * stride, the frame payload cut out by offset arithmetic (frame k
+    * lives at [k·frameSize, (k+1)·frameSize) — seek, not scan). */
+  def sampleFrames(media: Dataset[MediaRecord],
+                   everyNth: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      val frameSize = Codecs.bmpSize(r.width, r.height)
+      val nFrames = r.bytes.length / frameSize
+      (0 until nFrames by everyNth).map { f =>
+        r.copy(kind = "image", format = "bmp",
+          bytes = java.util.Arrays.copyOfRange(
+            r.bytes, f * frameSize, (f + 1) * frameSize),
+          duration_ms = 0L)
+      }
+    }
+  }
 }

@@ -1,44 +1,157 @@
 package graft
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{Codecs, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("decode plumbing: deterministic features, full coverage, fixed dim") {
-    val corpus = Multimodal.syntheticCorpus(spark, 30)
-    val feats = Multimodal.decodeStub(corpus).collect()
-    assert(feats.length == 30)
-    assert(feats.forall(_.feature.length == Multimodal.FeatureDim))
-    assert(feats.forall(f => f.byte_entropy > 0 && f.byte_entropy <= 8.0))
-    // deterministic: second run identical
-    val again = Multimodal.decodeStub(corpus).collect()
-    assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id)).forall {
-      case (a, b) => a.feature.sameElements(b.feature) &&
-        a.byte_entropy == b.byte_entropy
-    })
-  }
+  // ---- codec unit coverage (no Spark needed) ----
 
-  test("resize stub bounds payload and metadata, deterministic") {
-    val corpus = Multimodal.syntheticCorpus(spark, 20)
-    val resized = Multimodal.resizeStub(corpus, 8).collect()
-    assert(resized.forall(_.bytes.length <= 64))
-    assert(resized.forall(r => r.width <= 8 && r.height <= 8))
-    val again = Multimodal.resizeStub(corpus, 8).collect()
-    assert(resized.sortBy(_.media_id).zip(again.sortBy(_.media_id))
-      .forall { case (a, b) => a.bytes.sameElements(b.bytes) })
-  }
-
-  test("frame sampling multiplies video rows at the requested cadence") {
-    val corpus = Multimodal.syntheticCorpus(spark, 30).toDF()
-    val frames = Multimodal.sampleFrames(corpus, 500L)
-    val perVideo = frames.groupBy("media_id").count().collect()
-    assert(perVideo.nonEmpty)
-    val durations = corpus.filter($"kind" === "video")
-      .select($"media_id", $"duration_ms").as[(Long, Long)].collect().toMap
-    perVideo.foreach { r =>
-      val expect = durations(r.getLong(0)) / 500L + 1
-      assert(r.getLong(1) == expect)
+  test("BMP round-trip is exact across padded strides (w*3 % 4 != 0)") {
+    for (w <- 8 to 20; h <- Seq(5, 9)) {
+      val px = Array.tabulate(w * h)(p => (p * 2654435761L % 0x1000000).toInt)
+      val img = Codecs.Image(w, h, px)
+      val decoded = Codecs.decodeBmp24(Codecs.encodeBmp24(img))
+      assert(decoded.width == w && decoded.height == h)
+      assert(decoded.pixels.sameElements(px), s"mismatch at ${w}x$h")
     }
+  }
+
+  test("WAV round-trip is exact, including extreme sample values") {
+    val samples = Array[Short](0, 1, -1, Short.MaxValue, Short.MinValue,
+      12345, -12345) ++ Array.tabulate(300)(t => ((t * 97) % 4001 - 2000).toShort)
+    val a = Codecs.Audio(8000, samples)
+    val back = Codecs.decodeWavPcm16(Codecs.encodeWavPcm16(a))
+    assert(back.sampleRate == 8000)
+    assert(back.samples.sameElements(samples))
+  }
+
+  test("WAV decode walks RIFF chunks: extra chunk before data still decodes") {
+    val samples = Array.tabulate(10)(t => (t * 100).toShort)
+    val canonical = Codecs.encodeWavPcm16(Codecs.Audio(44100, samples))
+    // splice a 6-byte LIST chunk between fmt and data (pad to even)
+    val pre = canonical.take(36)
+    val post = canonical.drop(36)
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0,
+      'I', 'N', 'F', 'O', 'x', 0)
+    val spliced = pre ++ extra ++ post
+    // fix the RIFF size field
+    spliced(4) = ((spliced.length - 8) & 0xff).toByte
+    spliced(5) = (((spliced.length - 8) >> 8) & 0xff).toByte
+    val back = Codecs.decodeWavPcm16(spliced)
+    assert(back.sampleRate == 44100 && back.samples.sameElements(samples))
+  }
+
+  test("malformed payloads fail loudly, not with garbage features") {
+    val img = Codecs.encodeBmp24(Codecs.Image(4, 4, new Array[Int](16)))
+    intercept[IllegalArgumentException] {
+      Codecs.decodeBmp24(img.take(30)) }          // truncated header
+    intercept[IllegalArgumentException] {
+      Codecs.decodeBmp24(img.take(img.length - 4)) } // truncated pixels
+    val bad = img.clone(); bad(0) = 'X'
+    intercept[IllegalArgumentException] { Codecs.decodeBmp24(bad) }
+    val wav = Codecs.encodeWavPcm16(Codecs.Audio(8000, Array[Short](1, 2)))
+    intercept[IllegalArgumentException] {
+      Codecs.decodeWavPcm16(wav.take(20)) }
+  }
+
+  test("frame stack seek: decodeBmpStack recovers every frame exactly") {
+    val frames = (0 until 4).map { f =>
+      Codecs.Image(9, 7, Array.tabulate(63)(p => (p * 31 + f * 1000) % 0x1000000))
+    }
+    val stack = frames.toArray.flatMap(Codecs.encodeBmp24)
+    val back = Codecs.decodeBmpStack(stack)
+    assert(back.length == 4)
+    back.zip(frames).foreach { case (a, b) =>
+      assert(a.pixels.sameElements(b.pixels)) }
+  }
+
+  test("nearest-neighbor resize matches the integer mapping spec") {
+    val w = 10; val h = 6
+    val px = Array.tabulate(w * h)(identity)
+    val r = Codecs.resizeNearest(Codecs.Image(w, h, px), 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(r.pixels(y * 4 + x) == px((y * h / 4) * w + (x * w / 4)))
+  }
+
+  // ---- Spark-side pipeline coverage ----
+
+  test("corpus decode: headers parse, metadata cross-check passes for all") {
+    val corpus = Multimodal.syntheticCorpus(spark, 60)
+    val d = Multimodal.decodeHeaders(corpus).collect()
+    assert(d.length == 60)
+    assert(d.forall(_.meta_ok == 1L), "claimed metadata diverged from header")
+    assert(d.filter(_.kind == "image").forall(x => x.n_frames == 1L &&
+      x.width >= 8 && x.height >= 8))
+    assert(d.filter(_.kind == "audio").forall(x =>
+      x.sample_rate == 8000L && x.n_samples >= 200L))
+    assert(d.filter(_.kind == "video").forall(x =>
+      x.n_frames >= 2L && x.n_frames <= 4L))
+  }
+
+  test("image stats agree with a driver-side re-decode of the same bytes") {
+    val corpus = Multimodal.syntheticCorpus(spark, 30)
+    val stats = Multimodal.imageStats(corpus).collect()
+      .map(s => s.media_id -> s).toMap
+    corpus.filter(_.kind == "image").collect().foreach { r =>
+      val img = Codecs.decodeBmp24(r.bytes)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      img.pixels.foreach { p =>
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff }
+      val s = stats(r.media_id)
+      assert(s.sum_r == sr && s.sum_g == sg && s.sum_b == sb)
+      assert(s.mean_luma_milli ==
+        (299L * sr + 587L * sg + 114L * sb) / (img.width * img.height))
+    }
+  }
+
+  test("audio stats: energy/peak/crossings consistent and bounded") {
+    val corpus = Multimodal.syntheticCorpus(spark, 30)
+    val stats = Multimodal.audioStats(corpus).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { s =>
+      assert(s.peak_abs <= 16008L)          // corpus amplitude bound
+      assert(s.sum_abs >= math.abs(s.sum_s))
+      assert(s.energy >= s.peak_abs * s.peak_abs)
+      assert(s.zero_cross < s.n_samples)
+    }
+  }
+
+  test("frame stats: one row per frame, frames differ (seed includes f)") {
+    val corpus = Multimodal.syntheticCorpus(spark, 30)
+    val fs = Multimodal.frameStats(corpus).collect()
+    val perVideo = fs.groupBy(_.media_id)
+    val nFrames = Multimodal.decodeHeaders(corpus).collect()
+      .filter(_.kind == "video").map(d => d.media_id -> d.n_frames).toMap
+    perVideo.foreach { case (id, rows) =>
+      assert(rows.length.toLong == nFrames(id))
+      assert(rows.map(r => (r.sum_r, r.sum_g, r.sum_b)).distinct.length > 1,
+        s"frames of video $id are identical — frame seed not applied")
+    }
+  }
+
+  test("resize pipeline: round-trips through real encode, 8x8 output") {
+    val corpus = Multimodal.syntheticCorpus(spark, 30)
+    val resized = Multimodal.resizeImages(corpus, 8)
+    val d = Multimodal.decodeHeaders(resized).collect()
+    assert(d.nonEmpty)
+    assert(d.forall(x => x.width == 8L && x.height == 8L && x.meta_ok == 1L))
+    // deterministic
+    val a = resized.collect().sortBy(_.media_id)
+    val b = Multimodal.resizeImages(corpus, 8).collect().sortBy(_.media_id)
+    a.zip(b).foreach { case (x, y) => assert(x.bytes.sameElements(y.bytes)) }
+  }
+
+  test("frame sampling emits decodable standalone BMP frames") {
+    val corpus = Multimodal.syntheticCorpus(spark, 30)
+    val sampled = Multimodal.sampleFrames(corpus, 2)
+    val d = Multimodal.decodeHeaders(sampled).collect()
+    assert(d.nonEmpty)
+    assert(d.forall(x => x.kind == "image" && x.n_frames == 1L))
+    // every other frame: stack of nf frames yields ceil(nf/2) samples
+    val perVideo = sampled.groupByKey(_.media_id).count().collect().toMap
+    val nf = Multimodal.decodeHeaders(corpus).collect()
+      .filter(_.kind == "video").map(x => x.media_id -> x.n_frames).toMap
+    perVideo.foreach { case (id, n) => assert(n == (nf(id) + 1) / 2) }
   }
 }
