@@ -70,6 +70,16 @@ object Bench {
     }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Box-state transparency: a hot host inflates every number ~uniformly
+    // (round 6 saw a 1.21x median drift between byte-identical runs), so
+    // the artifact records the 1/5/15-min load averages at the moment the
+    // timing ended — a consumer can see whether a slow total is the code
+    // or the machine.
+    val loadJson = try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ")
+      s""","loadavg":[${parts(0)},${parts(1)},${parts(2)}]"""
+    } catch { case _: Throwable => "" }
     // Incremental-vs-batch replay (skipped under SPARK_GRAFT_ONLY):
     // separate keys, NOT added to the query total — it measures a
     // different execution model (streaming state maintenance) against
@@ -108,7 +118,7 @@ object Bench {
       else ",\"errors\":" + errors.map { case (k, v) =>
         jstr(k) + ":" + jstr(v.take(120)) }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"$errJson$incrJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"$loadJson$errJson$incrJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -116,7 +126,7 @@ object Bench {
     val budget = 1850
     val sorted = results.toSeq.sortBy(-_._2)
     val fixedFor = (n: Int, omittedSec: Double) =>
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":,"queries_omitted":$n,"omitted_sec":${fmt(omittedSec)},"n_errors":${errors.size},"full":"bench_full.json","sf":"$sfDir"$incrJson}""".length + 2
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":,"queries_omitted":$n,"omitted_sec":${fmt(omittedSec)},"n_errors":${errors.size},"full":"bench_full.json","sf":"$sfDir"$loadJson$incrJson}""".length + 2
     // strict slowest-prefix: stop at the first entry that doesn't fit,
     // so the omitted set is exactly the fastest tail
     val kept = scala.collection.mutable.ArrayBuffer[String]()
@@ -134,7 +144,7 @@ object Bench {
     val omitted = sorted.drop(keptN)
     val omittedSec = omitted.map(_._2).sum
     val compactQs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,"queries_omitted":${omitted.size},"omitted_sec":${fmt(omittedSec)},"n_errors":${errors.size},"full":"bench_full.json","sf":"$sfDir"$incrJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,"queries_omitted":${omitted.size},"omitted_sec":${fmt(omittedSec)},"n_errors":${errors.size},"full":"bench_full.json","sf":"$sfDir"$loadJson$incrJson}""")
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (name, msg) =>
