@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.{Dedup, InvertedIndex}
+import graft.retention.StarAdapter
+
+/** The SQL front door: one call gives a SQL-only user the whole engine
+  * — base tables ([[Tables.registerAll]]), the custom scalar/agg
+  * functions ([[GraftExtensions]], injected at session build), and the
+  * operator families materialized as temp views so retention, dedup,
+  * and retrieval run from `spark.sql(...)` with no Scala:
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions").getOrCreate()
+  * graft.GraftSql.install(spark, "/data/sf")
+  * spark.sql("SELECT * FROM retention_history WHERE retained").show()
+  * spark.sql("""SELECT term, doc_id, tf FROM postings
+  *              WHERE term = 'spark'""").show()
+  * }}}
+  *
+  * Views are lazy logical plans, not materializations — each query
+  * against them plans/prunes/pushes down exactly like the Scala API
+  * (they ARE the Scala API's plans, registered by name). docs/SQL.md
+  * documents the surface with runnable recipes; ExtensionsSpec pins
+  * every recipe against its Scala-API twin.
+  */
+object GraftSql {
+
+  /** Register base tables + operator-family views for `sfDir`. */
+  def install(spark: SparkSession, sfDir: String): Unit = {
+    Tables.registerAll(spark, sfDir)
+
+    // ---- retention family (the reference pipeline, S1-S9/J1-J7) ----
+    val persons = StarAdapter.persons(spark, sfDir)
+    val encounters = StarAdapter.encounters(spark, sfDir)
+    val cfg = StarAdapter.config(spark, sfDir)
+    graft.retention.Retention.fullHistory(persons, encounters, cfg)
+      .createOrReplaceTempView("retention_history")
+    graft.retention.Retention.householdRanges(persons, encounters, cfg)
+      .createOrReplaceTempView("retention_ranges")
+
+    // ---- retrieval family: the postings relation IS the index; a
+    //      SQL user composes searches over it (docs/SQL.md §4) ----
+    val docs = Tables.load(spark, sfDir, "documents")
+    InvertedIndex.postings(docs, "doc_id", "text")
+      .createOrReplaceTempView("postings")
+    InvertedIndex.postings(docs, "doc_id", "text")
+      .groupBy("doc_id").agg(org.apache.spark.sql.functions.sum("tf").as("dl"))
+      .createOrReplaceTempView("doc_lengths")
+
+    // ---- dedup family: LSH candidate pairs + the near-dup-free view ----
+    Dedup.lshCandidatePairs(docs, "doc_id", "text", 3, 16, 4)
+      .createOrReplaceTempView("dedup_pairs")
+    Dedup.dropNearDuplicates(docs, "doc_id", "text", 3, 16, 4)
+      .createOrReplaceTempView("documents_deduped")
+  }
+}

@@ -138,6 +138,82 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** BM25 top-k with WAND-style max-score pruning — the 100-TB scale
+    * path next to [[bm25Search]] (identical results, differential- and
+    * oracle-tested). At scale the disjunctive-query cost is posting
+    * volume: every posting of every query term flows through the dl
+    * join + saturation arithmetic + global top-k. The max-score trick
+    * prunes whole documents BEFORE the expensive exact scoring using
+    * per-term score ceilings — the metadata a production index stores
+    * next to each posting list:
+    *
+    *   u_t   = sat_micro(max tf of t, min dl anywhere) · w_ppm(t)
+    *           — an upper bound on ANY doc's score contribution from t
+    *           (sat is monotone ↑ in tf, ↓ in dl)
+    *   θ     = k-th best EXACT score among the docs of the rarest
+    *           query term (shortest posting list → cheapest to score;
+    *           any ≥k exactly-scored docs give a sound lower bound on
+    *           the global k-th score; θ=0 when it has <k docs)
+    *   prune = drop every doc with Σ_{t ∈ doc} u_t < θ — its exact
+    *           score is ≤ the bound, so it cannot reach the top k
+    *
+    * The bound pass touches only (term, doc, tf) — no dl join, no
+    * saturation math; survivors alone pay exact scoring. Soundness:
+    * score(d) ≤ bound(d) < θ ≤ score of ≥k other docs ⇒ d is not in
+    * the top k (strict <, so θ-ties are kept). */
+  def bm25SearchPruned(docs: DataFrame, idCol: String, textCol: String,
+                       terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size)
+    import org.apache.spark.sql.expressions.Window
+    val posts = postings(docs, idCol, textCol)
+    val dl = posts.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+    val stats = dl.agg(sum("dl").as("tot"), count(lit(1)).as("nd"),
+                       min("dl").as("min_dl"))
+    val hits = posts.filter(col("term").isin(terms: _*))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    // per-term ceiling u_t from index metadata (max tf) + corpus stats
+    val ub = hits.groupBy(col("term"))
+      .agg(max("tf").as("max_tf"), first("df").as("df"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s_milli", expr("tot * 1000 div nd"))
+      .withColumn("u_t", expr(
+        "(44 * max_tf * s_milli * 1000000 div" +
+        " (20 * max_tf * s_milli + 6 * s_milli + 18 * min_dl * 1000))" +
+        " * (nd * 1000000 div df) div 1000000"))
+      .select(col("term"), col("u_t"))
+    def exactScores(subset: DataFrame): DataFrame =
+      hits.join(subset, Seq(idCol), "left_semi")
+        .join(dl, idCol)
+        .crossJoin(broadcast(stats))
+        .withColumn("s_milli", expr("tot * 1000 div nd"))
+        .withColumn("term_score", expr(
+          "(44 * tf * s_milli * 1000000 div" +
+          " (20 * tf * s_milli + 6 * s_milli + 18 * dl * 1000))" +
+          " * (nd * 1000000 div df) div 1000000"))
+        .groupBy(col(idCol))
+        .agg(sum("term_score").as("score_micro"),
+             count(lit(1)).as("n_terms"))
+    // θ: exact k-th best within the rarest term's (shortest) postings
+    val rarest = hits.select(col("term"), col("df")).distinct()
+      .orderBy(col("df"), col("term")).limit(1).select(col("term"))
+    val seedDocs = hits.join(broadcast(rarest), "term")
+      .select(col(idCol)).distinct()
+    val theta = exactScores(seedDocs)
+      .orderBy(col("score_micro").desc).limit(k)
+      .agg(coalesce(
+        when(count(lit(1)) >= k, min("score_micro")).otherwise(lit(0L)),
+        lit(0L)).as("theta"))
+    // cheap bound pass: no dl join, no saturation math — then prune
+    val survivors = hits.join(broadcast(ub), "term")
+      .groupBy(col(idCol)).agg(sum("u_t").as("bound"))
+      .crossJoin(broadcast(theta))
+      .filter(col("bound") >= col("theta"))
+      .select(col(idCol))
+    exactScores(survivors)
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion of two retrieval runs (the standard
     * hybrid-search combiner): each run contributes 10⁶ div (60 + rank)
     * for the docs it returned, fused score is the sum — integer-exact,

@@ -109,4 +109,95 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(nonLit.getMessage.toLowerCase.contains("foldable") ||
            nonLit.getMessage.contains("literal"))
   }
+
+  // ---- docs/SQL.md — the SQL front door, spec-tested verbatim ----
+
+  /** Every fenced ```sql block in docs/SQL.md carries a
+    * `-- recipe: <name>` tag; this parses them so the DOC is the test
+    * input — a doc edit that breaks a recipe fails here. */
+  private lazy val recipes: Map[String, String] = {
+    val md = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("docs/SQL.md")), "UTF-8")
+    val re = "(?s)```sql\\s*\\n-- recipe: (\\w+)\\n(.*?)```".r
+    re.findAllMatchIn(md).map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val installed: Unit = GraftSql.install(spark, sfDir)
+
+  private def run(name: String) = {
+    installed
+    assert(recipes.contains(name), s"docs/SQL.md lost recipe '$name'")
+    spark.sql(recipes(name))
+  }
+
+  test("docs/SQL.md recipes run verbatim: retention views match the " +
+       "Scala pipeline") {
+    import org.apache.spark.sql.functions._
+    val cfg = graft.retention.StarAdapter.config(spark, sfDir)
+    val ranges = graft.retention.Retention.householdRanges(
+      graft.retention.StarAdapter.persons(spark, sfDir),
+      graft.retention.StarAdapter.encounters(spark, sfDir), cfg)
+    val viaSql = run("retention_retained_households").collect().toSet
+    val viaScala = ranges.filter(col("retained"))
+      .select("household_id", "gte", "lte", "start_date", "end_date")
+      .collect().toSet
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+    val hist = run("retention_person_history")
+    assert(hist.count() > 0)
+    // every person's range count reconciles with the history view
+    val n = spark.sql(
+      "SELECT sum(n_ranges) FROM (" + recipes("retention_person_history") + ")")
+      .head().getLong(0)
+    assert(n == spark.table("retention_history").count())
+  }
+
+  test("docs/SQL.md recipes run verbatim: dedup family") {
+    import spark.implicits._
+    val dup = run("exact_dedup_groups").as[(String, Long, Long)].collect()
+    dup.foreach { case (_, copies, _) => assert(copies > 1) }
+    val pairsSql = run("near_dup_sources")
+    assert(pairsSql.columns.toList == List("src_a", "src_b", "dup_pairs"))
+    val nPairsViaView = spark.table("dedup_pairs").count()
+    assert(pairsSql.agg(org.apache.spark.sql.functions.sum("dup_pairs"))
+      .head().getLong(0) == nPairsViaView)
+    val kept = run("deduped_count").head().getLong(0)
+    val expected = graft.functions.Dedup.dropNearDuplicates(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text", 3, 16, 4)
+      .count()
+    assert(kept == expected && kept > 0)
+  }
+
+  test("docs/SQL.md recipes run verbatim: BM25 over the postings view " +
+       "equals the Scala scorer") {
+    import spark.implicits._
+    val viaSql = run("bm25_topk").as[(Long, Long, Long)].collect().toList
+    val viaScala = graft.functions.InvertedIndex.bm25Search(
+        Tables.load(spark, sfDir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "stream"), 10)
+      .as[(Long, Long, Long)].collect().toList
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+  }
+
+  test("docs/SQL.md recipes run verbatim: similarity + simhash") {
+    import spark.implicits._
+    val top = run("cosine_topk").as[(Long, Double)].collect().toList
+    assert(top.size == 5)
+    assert(top.head._1 == 7L && math.abs(top.head._2 - 1.0) < 1e-6,
+      "the query vector must be its own best match")
+    assert(top.map(-_._2) == top.map(-_._2).sorted, "cos DESC order")
+    val sh = run("shingle_simhash")
+    // Scala-API twin of the exact recipe composition: 3-shingles of the
+    // normalized tokens through the same Catalyst expressions
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.functions.{col, length, split}
+    import graft.functions.expressions.{SimHash60, WordShingles}
+    val toks = split(graft.functions.TextAnalysis.normalized(col("text")), " ")
+    val viaScala = Tables.load(spark, sfDir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), GraftSqlBridge.column(SimHash60(
+        WordShingles(GraftSqlBridge.expression(toks), 3))).as("sh"))
+    assert(sh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      viaScala.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
 }

@@ -182,4 +182,39 @@ class InvertedIndexSpec extends SparkSpec {
     assert(m * (m - 1) / 2 == n && m <= 20)
     assert(num == c - d && den == n && math.abs(num) <= den)
   }
+
+  test("WAND-pruned BM25 returns the exhaustive top-k, identically, " +
+       "across query shapes") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    for ((terms, k) <- Seq(
+        (Seq("spark", "window", "stream"), 10),
+        (Seq("spark"), 5),                       // single term
+        (Seq("the", "spark"), 8),                // common + rare mix
+        (Seq("spark", "window", "stream"), 5000) // k ≫ matches: no prune room
+      )) {
+      val exact = InvertedIndex.bm25Search(docs, "doc_id", "text", terms, k)
+        .as[(Long, Long, Long)].collect().toList
+      val pruned = InvertedIndex.bm25SearchPruned(docs, "doc_id", "text",
+          terms, k).as[(Long, Long, Long)].collect().toList
+      assert(pruned == exact, s"diverged for terms=$terms k=$k")
+    }
+  }
+
+  test("WAND bound pass genuinely prunes on a skewed corpus") {
+    // 3 strong docs stuffed with the rare term + 200 weak one-hit docs:
+    // θ from the rare term's postings exceeds every weak doc's ceiling
+    val strong = (0L until 3L).map(i =>
+      (i, ("needle " * 10) + ("filler" + i + " ") * 5))
+    val weak = (10L until 210L).map(i =>
+      (i, s"common$i words everywhere needle"))
+    val docs = (strong ++ weak).toDF("doc_id", "text")
+    val k = 3
+    val exact = InvertedIndex.bm25Search(docs, "doc_id", "text",
+        Seq("needle"), k).as[(Long, Long, Long)].collect().toList
+    val pruned = InvertedIndex.bm25SearchPruned(docs, "doc_id", "text",
+        Seq("needle"), k).as[(Long, Long, Long)].collect().toList
+    assert(pruned == exact)
+    assert(exact.map(_._1).toSet == Set(0L, 1L, 2L),
+      "stuffed docs must win on saturated tf")
+  }
 }
