@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1-class fixture generator: replicates an existing sf dir N× with
+  * key-domain offsets (FK structure preserved) and deterministic
+  * content perturbation (rotated document text, rotated embedding
+  * vectors, shifted dates) so replicas read as NEW entities, not
+  * exact copies — the data-proportional operator families (dedup,
+  * graph, retrieval) see genuine 10× candidate volume, not a
+  * degenerate all-duplicates corpus.
+  *
+  * The driver ships sf0.001/0.01/0.1 only (TESTDATA.md, read-only);
+  * this writes to a scratch dir for the scale sweep. Usage:
+  *   runMain graft.ScaleFixture /root/testdata/sf0.1 /tmp/graft_sf1 10
+  */
+object ScaleFixture {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir) = args.take(2)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(i => f(df, i)).reduce(_ unionByName _)
+
+    // key-domain strides: one per id space, from the source's max
+    def stride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1L
+
+    val src = (n: String) => spark.read.parquet(s"$srcDir/$n.parquet")
+
+    // dimension tables ride along unchanged (replicating nations would
+    // break the fixed geography the queries assert on)
+    Seq("region", "nation").foreach { n =>
+      src(n).write.mode("overwrite").parquet(s"$outDir/$n.parquet") }
+
+    val custS = stride(src("customer"), "c_custkey")
+    val ordS = stride(src("orders"), "o_orderkey")
+    val partS = stride(src("part"), "p_partkey")
+    val suppS = stride(src("supplier"), "s_suppkey")
+
+    rep(src("customer")) { (d, i) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(i * custS))
+    }.write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
+    rep(src("supplier")) { (d, i) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(i * suppS))
+    }.write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+
+    rep(src("part")) { (d, i) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(i * partS))
+    }.write.mode("overwrite").parquet(s"$outDir/part.parquet")
+
+    rep(src("orders")) { (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * ordS))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * custS))
+        .withColumn("o_orderdate", date_add(col("o_orderdate"), i))
+    }.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    rep(src("lineitem")) { (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * ordS))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * partS))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppS))
+        .withColumn("l_shipdate", date_add(col("l_shipdate"), i))
+    }.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    val evDf = Tables.events(spark, srcDir)
+    rep(evDf) { (d, i) =>
+      d.withColumn("user_id", col("user_id") + lit(i * custS))
+        .withColumn("ts_ns", col("ts_ns") + lit(i * 3600L * 1000000000L))
+        .withColumn("ts", (col("ts_ns") / lit(1000000000.0))
+          .cast("timestamp"))
+    }.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    val docS = stride(src("documents"), "doc_id")
+    rep(src("documents")) { (d, i) =>
+      // rotate words by i — replicas share vocabulary but not shingles,
+      // so they behave as fresh documents for n-gram/LSH candidates
+      d.withColumn("doc_id", col("doc_id") + lit(i * docS))
+        .withColumn("text", when(lit(i) === 0, col("text")).otherwise(
+          array_join(concat(
+            slice(split(col("text"), " "), i + 1, 100000),
+            slice(split(col("text"), " "), 1, i)), " ")))
+    }.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val vecS = stride(src("embeddings"), "vec_id")
+    rep(src("embeddings")) { (d, i) =>
+      // rotate vector components by i — unit norms preserved, angles not
+      d.withColumn("vec_id", col("vec_id") + lit(i * vecS))
+        .withColumn("embedding", when(lit(i) === 0, col("embedding"))
+          .otherwise(concat(
+            slice(col("embedding"), i + 1, 100000),
+            slice(col("embedding"), 1, i))))
+    }.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    println(s"[scale-fixture] wrote ${copies}x $srcDir -> $outDir")
+    spark.stop()
+  }
+}
+
+/** ANSI-mode scale sweep: runs SparkEntry queries against a (large)
+  * fixture dir with spark.sql.ansi.enabled=true, so BIGINT overflow
+  * and bad casts THROW instead of silently wrapping — Spark's
+  * non-ANSI wrap is exactly the silent cross-engine divergence class
+  * the sf0.1 sweep caught once already (q_price_index) and ADVICE
+  * flagged again (q_spearman). Each query is planned and counted;
+  * failures are reported per query and the exit code is nonzero.
+  *
+  *   SPARK_GRAFT_ONLY=q_a,q_b runMain graft.ScaleSweep /tmp/graft_sf1
+  */
+object ScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/tmp/graft_sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val suite = only.fold(SparkEntry.queries)(ks =>
+      SparkEntry.queries.filter(kv => ks(kv._1)))
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    suite.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        val n = fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[sweep] OK   $name%-28s rows=$n%-10d ${sec}%.1fs")
+      } catch { case e: Throwable =>
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        failures(name) = msg
+        println(s"[sweep] FAIL $name $msg")
+      }
+    }
+    println(s"[sweep] ${suite.size - failures.size}/${suite.size} clean" +
+      (if (failures.isEmpty) "" else s"; failures: ${failures.keys.mkString(", ")}"))
+    spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
+  }
+}
