@@ -35,16 +35,28 @@ object InvertedIndex {
     * and the sorted posting list (stringified — the cross-engine-
     * stable surface for an array aggregate). `minDf`/`maxDf` drop
     * hapaxes and stopword-grade terms — the standard cap that keeps a
-    * web-scale index's heaviest posting lists out of a single task. */
+    * web-scale index's heaviest posting lists out of a single task.
+    * `maxDfPct` is the SCALE-INVARIANT form of the cap (df ≤ pct% of
+    * the corpus): an absolute maxDf tuned at one corpus size silently
+    * empties the index at 10× (caught by the sf1 ANSI sweep — every
+    * term's df outgrew the absolute cap). Applied relationally (one
+    * broadcast 1-row count), integer-exact (df·100 ≤ n·pct). */
   def index(docs: DataFrame, idCol: String, textCol: String,
-            minDf: Long = 1L, maxDf: Long = Long.MaxValue): DataFrame =
-    postings(docs, idCol, textCol)
+            minDf: Long = 1L, maxDf: Long = Long.MaxValue,
+            maxDfPct: Int = 100): DataFrame = {
+    val rolled = postings(docs, idCol, textCol)
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
            concat_ws(",",
              transform(array_sort(collect_list(col(idCol))),
                        x => x.cast("string"))).as("posting_list"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
+    if (maxDfPct >= 100) rolled
+    else rolled
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .filter(expr(s"df * 100 <= n_docs * $maxDfPct"))
+      .drop("n_docs")
+  }
 
   /** Positional postings: one row per (doc, position, term) over the
     * normalized token sequence — the layout phrase queries need

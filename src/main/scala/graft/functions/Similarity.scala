@@ -233,7 +233,7 @@ object Similarity {
         row_number().over(Window.orderBy(col("h"), col("vec_id"))))
       .select(col("cid"), col("embedding").as("ce"))
     for (_ <- 1 to iters)
-      centroids = update(assign(centroids)).localCheckpoint()
+      centroids = graft.operators.LoopCheckpoint(update(assign(centroids)))
     (assign(centroids), centroids)
   }
 

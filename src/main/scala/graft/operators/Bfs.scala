@@ -53,9 +53,9 @@ object Bfs {
       val reached = frontier.join(sym, frontier("node") === sym("u"))
         .select(sym("v").as("node")).distinct()
       // strictly-new nodes only: their BFS distance is exactly h
-      frontier = reached.join(dist, Seq("node"), "left_anti")
-        .select(col("node"), lit(h).as("dist"))
-        .localCheckpoint(eager = true)
+      frontier = LoopCheckpoint(
+        reached.join(dist, Seq("node"), "left_anti")
+          .select(col("node"), lit(h).as("dist")))
       // dist is a union of checkpointed frontiers — lineage depth is
       // the hop count, not the data size, so no checkpoint needed
       dist = dist.union(frontier)
@@ -88,9 +88,9 @@ object Bfs {
       val relaxed = dist.join(sym, dist("node") === sym("u"))
         .select(sym("v").as("node"),
                 (dist("cost") + sym("cost")).as("cost"))
-      dist = dist.union(relaxed)
-        .groupBy("node").agg(min("cost").as("cost"))
-        .localCheckpoint(eager = true)
+      dist = LoopCheckpoint(
+        dist.union(relaxed)
+          .groupBy("node").agg(min("cost").as("cost")))
     }
     dist
   }

@@ -62,10 +62,10 @@ object ConnectedComponents {
     // Seed label = min(self, direct neighbors) in ONE aggregation: for
     // clique-shaped dedup clusters this is already the fixpoint, so
     // the loop usually runs a single confirming round.
-    var labels = sym.groupBy("u").agg(min(col("v")).as("_mv"))
-      .select(col("u").as("node"),
-              least(col("u"), col("_mv")).as("label"))
-      .localCheckpoint(true)
+    var labels = LoopCheckpoint(
+      sym.groupBy("u").agg(min(col("v")).as("_mv"))
+        .select(col("u").as("node"),
+                least(col("u"), col("_mv")).as("label")))
     val edgeNodes = labels.select("node")
     var iter = 0
     var done = false
@@ -103,7 +103,7 @@ object ConnectedComponents {
       // deeper 8-stage DAG outweighs the saved checkpoint/probe jobs)
       val seeded = labels.select(col("node"), col("label"),
                                  col("label").as("_old"))
-      val next = propagate(seeded).localCheckpoint(true)
+      val next = LoopCheckpoint(propagate(seeded))
       done = next.filter(col("label") =!= col("_old")).isEmpty
       labels = next.select("node", "label")
       iter += 1

@@ -43,11 +43,10 @@ object KCore {
       val keep = sym.groupBy("u").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("u")
         .localCheckpoint(eager = true)
-      sym = sym
+      sym = LoopCheckpoint(sym
         .join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
-        .select("u", "v")
-        .localCheckpoint(eager = true)
+        .select("u", "v"))
     }
     sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }

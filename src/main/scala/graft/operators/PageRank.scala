@@ -46,7 +46,7 @@ object PageRank {
                       Seq("node"), "left")
         .select(col("node"),
                 (lit(150000L) + coalesce(col("s"), lit(0L))).as("pr"))
-        .localCheckpoint()
+      pr = LoopCheckpoint(pr)
     }
     pr
   }

@@ -29,10 +29,14 @@ private[graft] object RetrievalQueries {
     }),
 
     // ---- inverted index build + conjunctive search ----
+    // maxDfPct, not an absolute cap: 80% of the corpus — at sf0.01
+    // that is exactly the old maxDf=400, but it stays meaningful at
+    // any scale (the sf1 sweep showed an absolute 400 empties the
+    // index once every term's df outgrows it)
     "q_inverted_index" -> ((s, dir) =>
       graft.functions.InvertedIndex.index(
         Tables.load(s, dir, "documents"), "doc_id", "text",
-        minDf = 1L, maxDf = 400L)),
+        minDf = 1L, maxDfPct = 80)),
     "q_index_search" -> ((s, dir) =>
       graft.functions.InvertedIndex.searchAll(
         Tables.load(s, dir, "documents"), "doc_id", "text",
@@ -125,7 +129,8 @@ private[graft] object RetrievalQueries {
                string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
                  AS posting_list
         FROM p GROUP BY 1)
-      WHERE df BETWEEN 1 AND 400
+      WHERE df >= 1
+        AND df * 100 <= 80 * (SELECT count(*) FROM documents)
     """,
     "q_index_search" -> s"""
       SELECT doc_id, lang, n_chars FROM documents

@@ -103,12 +103,14 @@ private[graft] object SimilarityQueries {
           expr("(sum_milli + 10000 * n) * 1000 div n - 10000000"))),
 
     // ---- weighted sparse cosine pairs: TF-vector similarity via a
-    //      postings join on the token key, df-capped at 100 (both the
-    //      stopword guard and the candidate-volume bound — postings
-    //      above the cap would dominate the join quadratically at
-    //      corpus scale). Cosine² stays integral: cos²·1e6 =
-    //      dot²·1e6 div (‖a‖²·‖b‖²), threshold 0.25 = cos ≥ 0.5, all
-    //      over the df≤100 vocabulary by definition ----
+    //      postings join on the token key, df-capped at 20% of the
+    //      corpus (both the stopword guard and the candidate-volume
+    //      bound — postings above the cap would dominate the join
+    //      quadratically at corpus scale). The cap is FRACTIONAL, not
+    //      absolute: an absolute df≤100 emptied the vocabulary at the
+    //      sf1 sweep (every term outgrew it); 20% of sf0.01's 500 docs
+    //      is the old 100 exactly. Cosine² stays integral: cos²·1e6 =
+    //      dot²·1e6 div (‖a‖²·‖b‖²), threshold 0.25 = cos ≥ 0.5 ----
     "q_sparse_cosine_pairs" -> ((s, dir) => {
       val tf = Tables.load(s, dir, "documents")
         .select(col("doc_id"), explode(expr("filter(" +
@@ -117,7 +119,9 @@ private[graft] object SimilarityQueries {
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val kept = tf.withColumn("df",
           count(lit(1)).over(Window.partitionBy("w")))
-        .filter(col("df") <= 100)
+        .crossJoin(broadcast(Tables.load(s, dir, "documents")
+          .agg(count(lit(1)).as("n_docs"))))
+        .filter(expr("df * 100 <= n_docs * 20")).drop("n_docs")
       val norms = kept.groupBy("doc_id")
         .agg(sum(expr("tf * tf")).as("n2"))
       val dot = kept.select(col("doc_id").as("doc_a"), col("w"),
@@ -382,7 +386,7 @@ private[graft] object SimilarityQueries {
                FROM (SELECT doc_id, w, tf,
                             count(*) OVER (PARTITION BY w) AS df
                      FROM tf)
-               WHERE df <= 100),
+               WHERE df * 100 <= 20 * (SELECT count(*) FROM documents)),
       norms AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2
                 FROM kept GROUP BY 1),
       dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

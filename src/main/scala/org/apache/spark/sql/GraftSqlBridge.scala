@@ -19,6 +19,39 @@ object GraftSqlBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Strip the origin statistics Spark 4 preserves through an eager
+    * `localCheckpoint` (SPARK-39748: `LogicalRDD` carries the source
+    * plan's `Statistics` so checkpointing doesn't lose CBO info).
+    * In an ITERATIVE DataFrame loop that preservation is a time bomb:
+    * round r's plan multiplies the carried sizeInBytes through its
+    * join tree (a 3-level pointer-jump chain raises it to the ~4th
+    * power), the checkpoint carries THAT product into round r+1, and
+    * the BigInt's bit length grows geometrically — by round ~10 the
+    * driver hangs multiplying million-bit integers inside
+    * SizeInBytesOnlyStatsPlanVisitor (observed: ConnectedComponents
+    * on the sf1 sweep, main thread pinned in BigInteger.multiply).
+    * Rebuilding the LogicalRDD without originStats resets each round
+    * to the default estimate while KEEPING the checkpointed RDD,
+    * output partitioning, and ordering — zero data movement. */
+  def dropCarriedStats(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case l: execution.LogicalRDD =>
+        // The checkpoint was EAGER, so the blocks exist — replace the
+        // carried estimate with the RDD's ACTUAL cached size where the
+        // block manager reports one (keeps small loop frames broadcast-
+        // eligible); otherwise fall back to the default estimate.
+        val actual = df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .map(i => i.memSize + i.diskSize)
+          .filter(_ > 0L)
+          .map(sz => catalyst.plans.logical.Statistics(BigInt(sz)))
+        ofRows(df.sparkSession, new execution.LogicalRDD(
+          l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+          l.isStreaming, l.stream)(
+          df.sparkSession.asInstanceOf[classic.SparkSession], actual, None))
+      case _ => df
+    }
+
   /** Raise a proper `AnalysisException` (the constructors are
     * `private[sql]`) for invalid arguments to graft's injected SQL
     * functions — function-builder validation errors should surface at
