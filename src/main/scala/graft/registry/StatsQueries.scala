@@ -308,7 +308,13 @@ private[graft] object StatsQueries {
       per
         .withColumn("cum", sum("rev").over(cumW))
         .crossJoin(broadcast(tot))
-        .withColumn("cum_ppm", expr("cum * 1000000 div total_rev"))
+        // cum·10⁶ tops BIGINT at ~sf1 total revenue (DuckDB's sum is
+        // already HUGEINT, so a Spark wrap would diverge silently) —
+        // widen the product through decimal(38,0); the ppm quotient is
+        // bounded and lands back in BIGINT
+        .withColumn("cum_ppm",
+          expr("cast(cast(cum as decimal(38,0)) * 1000000" +
+            " div total_rev as bigint)"))
         .withColumn("abc",
           when(col("cum_ppm") <= 800000L, "A")
             .when(col("cum_ppm") <= 950000L, "B").otherwise("C"))
