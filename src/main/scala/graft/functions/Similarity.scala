@@ -194,6 +194,31 @@ object Similarity {
     kmeansModel(emb, k, iters)._1
       .select(col("vec_id"), col("cid"), col("dist").cast("long").as("dist_q"))
 
+  /** Cluster-balanced deterministic sampling (the SemDeDup/D4-style
+    * curation move): k-means the embedding corpus, then take at most
+    * `m` vectors PER CLUSTER by a seeded hash order — so the sample
+    * covers embedding space evenly instead of mirroring the corpus's
+    * density skew (random sampling over-draws the dense clusters that
+    * dedup should have thinned). Hash order (md5 of the id), not
+    * distance order: distance-ranked picks collapse to near-identical
+    * center points; hash-ranked picks spread within the cluster and
+    * are reproducible across engines and runs.
+    *
+    * Scale shape: k-means is the bounded-iteration quantized loop
+    * ([[kmeansModel]]); the per-cluster rank is one window partitioned
+    * by cid — k partitions, each bounded by its cluster size. */
+  def clusterBalancedSample(emb: DataFrame, k: Int, iters: Int,
+                            m: Int): DataFrame = {
+    val assigned = kmeansModel(emb, k, iters)._1
+    val w = Window.partitionBy("cid")
+      .orderBy(col("h"), col("vec_id"))
+    assigned
+      .withColumn("h", Dedup.md5Hash60(col("vec_id").cast("string")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= m)
+      .select(col("vec_id"), col("cid"), col("rk"))
+  }
+
   /** The full k-means model: (final assignments with quantized vectors
     * and exact squared distances, final centroids) — the pieces
     * [[annIvfKmeans]] probes. */

@@ -202,6 +202,47 @@ object TextAnalysis {
                 .as("ratio_micro"))
   }
 
+  /** Corpus-bigram language-model quality score — the integer-exact
+    * stand-in for the LM-perplexity filter a pretraining pipeline runs
+    * (CCNet-style: score each document against a reference LM; cut the
+    * tails). The LM here is the corpus's own bigram table; a doc's
+    * score is the MEAN conditional probability of its bigrams in ppm
+    * (arithmetic mean, so the surface stays in BIGINT `div` arithmetic
+    * both engines reproduce bit-identically — the geometric mean that
+    * true perplexity takes needs logs, which are not integer-exact).
+    * Low score = improbable token transitions (noise, shuffled text,
+    * wrong language); high = formulaic/repetitive.
+    *
+    * Scale shape: the LM is one groupBy over corpus bigrams (shuffle
+    * on the bigram key); scoring joins the doc bigrams against it on
+    * the same key, then one groupBy(doc). No broadcast requirement (a
+    * web-scale vocab² LM shuffles fine), no collect, no text rescan. */
+  def lmScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        filter(split(normalized(col(textCol)), " "), t => t =!= "").as("t"))
+      .filter(size(col("t")) >= 2)
+    val docBigrams = toks.select(col("doc_id"), explode(expr(
+      "filter(zip_with(t, slice(t, 2, size(t) - 1), " +
+      "(a, b) -> concat(a, ' ', b)), x -> x is not null)")).as("bigram"))
+    val lm = docBigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
+    val uni = lm
+      .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum("n").as("n_w1"))
+    val scored = lm
+      .join(uni, substring_index(col("bigram"), " ", 1) === uni("w1"))
+      .select(col("bigram"),
+        expr("cast(n as decimal(38,0)) * 1000000 div n_w1").as("cond_ppm"))
+    docBigrams.join(scored, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum("cond_ppm").as("sum_ppm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("cast(cast(sum_ppm as decimal(38,0)) div n_bigrams as bigint)")
+          .as("lm_score_ppm"))
+  }
+
   /** Quality signals: length, alphabetic ratio, punctuation ratio,
     * stopword ratio, mean token length — the classic cheap filters a
     * pretraining pipeline runs before anything expensive. */

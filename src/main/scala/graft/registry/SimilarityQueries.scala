@@ -77,6 +77,12 @@ private[graft] object SimilarityQueries {
     "q_kmeans" -> ((s, dir) =>
       graft.functions.Similarity.kmeansQuantized(
         Tables.load(s, dir, "embeddings"), 8, 2)),
+    // cluster-balanced deterministic sample (SemDeDup/D4-style): ≤10
+    // vectors per k-means cluster in seeded-hash order, so the draw
+    // covers embedding space instead of mirroring density skew
+    "q_cluster_sample" -> ((s, dir) =>
+      graft.functions.Similarity.clusterBalancedSample(
+        Tables.load(s, dir, "embeddings"), 8, 2, 10)),
     // the composed pipeline: quantize → cluster → probe nearest cells
     "q_sim_ann_kmeans" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
@@ -334,6 +340,17 @@ private[graft] object SimilarityQueries {
     """,
     "q_kmeans" -> (kmeansCtes(8, 2) + """
       SELECT vec_id, cid, dist::BIGINT AS dist_q FROM a2
+    """),
+    "q_cluster_sample" -> (kmeansCtes(8, 2) + """
+      SELECT vec_id, cid, rk FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY cid ORDER BY h, vec_id)
+                 ::BIGINT AS rk
+        FROM (SELECT vec_id, cid,
+                     ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT
+                       AS h
+              FROM a2))
+      WHERE rk <= 10
     """),
     "q_sim_ann_kmeans" -> (kmeansCtes(8, 2) + s""",
       q AS (SELECT vec_id AS query_id, embedding AS qe, xx

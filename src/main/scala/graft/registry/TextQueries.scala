@@ -122,6 +122,15 @@ private[graft] object TextQueries {
           expr("cast(n as decimal(38,0)) * 1000000 div n_w1").as("cond_ppm"))
     }),
 
+    // ---- bigram-LM quality score (CCNet-style perplexity filtering,
+    //      integer-exact mean-conditional-probability form): LM from
+    //      the corpus's own bigram table, each doc scored against it.
+    //      One shuffle to build the LM, one bigram-keyed join + one
+    //      doc groupBy to score — no text rescan ----
+    "q_lm_score" -> ((s, dir) =>
+      graft.functions.TextAnalysis.lmScore(
+        Tables.load(s, dir, "documents"), "doc_id", "text")),
+
     // ---- pairwise source vocabulary overlap: MarketBasket on
     //      token→source baskets, projected to Jaccard ppm ----
     "q_vocab_overlap" -> ((s, dir) => {
@@ -378,6 +387,25 @@ private[graft] object TextQueries {
       SELECT bigram, n, (n::HUGEINT * 1000000 // n_w1)::BIGINT AS cond_ppm
       FROM bg JOIN uni ON split_part(bigram, ' ', 1) = w1
       WHERE n >= 10
+    """,
+
+    "q_lm_score" -> s"""
+      WITH d AS (SELECT doc_id, list_filter($duckToks, x -> x <> '') AS t
+                 FROM documents),
+      db AS (SELECT doc_id,
+                    unnest(list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i+1]))
+                      AS bigram
+             FROM d WHERE len(t) >= 2),
+      lm AS (SELECT bigram, count(*) AS n FROM db GROUP BY 1),
+      uni AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(n) AS n_w1
+              FROM lm GROUP BY 1),
+      sc AS (SELECT bigram, (n::HUGEINT * 1000000 // n_w1) AS cond_ppm
+             FROM lm JOIN uni ON split_part(bigram, ' ', 1) = w1)
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             (sum(cond_ppm) // count(*))::BIGINT AS lm_score_ppm
+      FROM db JOIN sc USING (bigram)
+      GROUP BY doc_id
     """,
 
     "q_vocab_overlap" -> s"""
