@@ -84,6 +84,66 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact substring-duplication SPANS — the output shape of
+    * substring-level dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better": cut verbatim repeated spans, not
+    * whole documents). An anchor is a positional `k`-token gram; it is
+    * duplicated when the same gram occurs anywhere else in the corpus
+    * (another doc, or the same doc again). Per document, overlapping/
+    * adjacent duplicated anchors merge into maximal spans (fixed-width
+    * intervals sorted by start: a new span starts where the position
+    * gap exceeds k−1 — the gaps-and-islands collapse the retention
+    * pipeline is built on), and the surface reports span count and
+    * duplicated-token coverage — exactly what a span-cutting pass
+    * consumes.
+    *
+    * Scale shape: positional grams hash to 8 bytes before the df
+    * shuffle (the string never crosses an exchange; md5-60 — the
+    * cross-engine hash the oracle reproduces exactly, so both engines
+    * agree even on hypothetical collisions); duplication is a count
+    * window over the gram-hash key; the span merge is one window per
+    * document over its ANCHOR positions only. No pair join at all —
+    * cost is linear in corpus tokens. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+        filter(split(TextAnalysis.normalized(col(textCol)), " "),
+               t => t =!= "").as("t"))
+      .filter(size(col("t")) >= k)
+    val anchors = toks.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, size(t) - ${k - 1}), " +
+          s"i -> array_join(slice(t, i, $k), ' '))"))
+          .as(Seq("p", "g")))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+              md5Hash60(col("g")).as("h"))
+    val wdf = Window.partitionBy("h")
+    val dup = anchors
+      .withColumn("occ", count(lit(1)).over(wdf))
+      .filter(col("occ") > 1)
+      .select("doc_id", "p")
+    val wp = Window.partitionBy("doc_id").orderBy("p")
+    val spans = dup
+      .withColumn("prev", lag(col("p"), 1).over(wp))
+      .withColumn("brk",
+        when(col("prev").isNull || col("p") - col("prev") > (k - 1), 1L)
+          .otherwise(0L))
+      .withColumn("span", sum(col("brk")).over(
+        wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span")
+      .agg((max("p") - min("p") + k).as("span_tokens"))
+    val perDoc = anchors.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_anchors"))
+    perDoc.join(
+        spans.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+               sum("span_tokens").as("dup_tokens")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_anchors"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
   /** Directed n-gram containment pairs: C(A→B) = |A∩B| / |A| over
     * word-n-gram sets — the asymmetric near-dup measure that catches
     * what Jaccard misses: a short document quoted wholesale inside a

@@ -27,6 +27,13 @@ private[graft] object DedupQueries {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))),
 
     // ---- dedup: n-gram Jaccard + MinHash LSH (additive) ----
+    // exact substring-duplication spans (Lee et al. span-cutting
+    // surface): positional 8-token anchors, corpus-duplicated anchors
+    // merged into maximal spans per doc via the islands collapse.
+    // Linear in corpus tokens - no pair join
+    "q_dup_spans" -> ((s, dir) =>
+      graft.functions.Dedup.duplicatedSpans(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 8)),
     "q_dedup_ngram" -> ((s, dir) =>
       graft.functions.Dedup.ngramJaccardPairs(
         Tables.load(s, dir, "documents"), "doc_id", "text", 3, 0.8)),
@@ -144,6 +151,38 @@ private[graft] object DedupQueries {
       SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
              min(doc_id) AS keep_id, count(*) AS n_docs
       FROM documents GROUP BY 1
+    """,
+    "q_dup_spans" -> s"""
+      WITH d AS (SELECT doc_id, list_filter($duckToks, x -> x <> '') AS t
+                 FROM documents),
+      a AS (SELECT doc_id, i AS p,
+                   ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')),
+                                   1, 15))::BIGINT AS h
+            FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+                  FROM d WHERE len(t) >= 8)),
+      occ AS (SELECT doc_id, p,
+                     count(*) OVER (PARTITION BY h) AS occ
+              FROM a),
+      dup AS (SELECT doc_id, p FROM occ WHERE occ > 1),
+      isl AS (SELECT doc_id, p,
+                     CASE WHEN lag(p) OVER w IS NULL
+                            OR p - lag(p) OVER w > 7 THEN 1 ELSE 0
+                     END AS brk
+              FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+      sp AS (SELECT doc_id,
+                    sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                                   ROWS UNBOUNDED PRECEDING) AS span, p
+             FROM isl),
+      spans AS (SELECT doc_id, span, max(p) - min(p) + 8 AS span_tokens
+                FROM sp GROUP BY 1, 2),
+      per_doc AS (SELECT doc_id, count(*)::BIGINT AS n_anchors
+                  FROM a GROUP BY 1)
+      SELECT per_doc.doc_id, n_anchors,
+             coalesce(x.n_spans, 0)::BIGINT AS n_spans,
+             coalesce(x.dup_tokens, 0)::BIGINT AS dup_tokens
+      FROM per_doc LEFT JOIN (
+        SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
+        FROM spans GROUP BY 1) x USING (doc_id)
     """,
     "q_dedup_ngram" -> s"""
       WITH ex AS (

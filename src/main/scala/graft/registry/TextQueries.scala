@@ -131,6 +131,20 @@ private[graft] object TextQueries {
       graft.functions.TextAnalysis.lmScore(
         Tables.load(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- tokenizer fertility per language: BPE-ish pretokens per
+    //      whitespace word - the corpus-budgeting metric that decides
+    //      how many LLM tokens a language's text really costs ----
+    "q_fertility" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.functions.TextAnalysis.tokenCount(col("text"))
+            .cast("long")).as("n_words"),
+          sum(graft.functions.TextAnalysis.bpeTokenCount(col("text"))
+            .cast("long")).as("n_bpe"))
+        .withColumn("fertility_ppm", expr("n_bpe * 1000000 div n_words"))
+    }),
+
     // ---- pairwise source vocabulary overlap: MarketBasket on
     //      token→source baskets, projected to Jaccard ppm ----
     "q_vocab_overlap" -> ((s, dir) => {
@@ -387,6 +401,21 @@ private[graft] object TextQueries {
       SELECT bigram, n, (n::HUGEINT * 1000000 // n_w1)::BIGINT AS cond_ppm
       FROM bg JOIN uni ON split_part(bigram, ' ', 1) = w1
       WHERE n >= 10
+    """,
+
+    "q_fertility" -> """
+      SELECT lang, count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+'))
+                 END)::BIGINT AS n_words,
+             sum(len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')))::BIGINT AS n_bpe,
+             (sum(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')))::HUGEINT * 1000000
+              // sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END))::BIGINT AS fertility_ppm
+      FROM documents GROUP BY lang
     """,
 
     "q_lm_score" -> s"""
