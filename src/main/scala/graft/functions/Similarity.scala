@@ -219,6 +219,37 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("rk"))
   }
 
+  /** SemDeDup proper (Abbas et al.): k-means the embedding corpus,
+    * then prune near-duplicate vectors WITHIN each cell — pairs above
+    * the cosine threshold drop the larger id (deterministic min-id
+    * keeper). The cells make candidate generation an equi-join on the
+    * cluster id, never corpus × corpus; the summary surface (per cell:
+    * total / dropped / kept) is what a curation run reports.
+    *
+    * Scale shape: bounded-iteration quantized k-means
+    * ([[kmeansModel]]) + one within-cell self-join. Cell sizes bound
+    * the pair volume — at 100 TB, k scales with the corpus so cells
+    * stay bounded (k ≈ n/1e5 in the paper's setting). */
+  def semDedupKmeans(emb: DataFrame, k: Int, iters: Int,
+                     threshold: Double): DataFrame = {
+    val assigned = kmeansModel(emb, k, iters)._1
+      .select(col("vec_id"), col("embedding"), col("cid"))
+      .localCheckpoint(true) // consumed 3x: two pair sides + the summary
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cid").as("cid"), col("b.vec_id").as("victim"),
+        round(cosineFused(col("a.embedding"), col("b.embedding")), 6)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+      .select("cid", "victim").distinct()
+    assigned.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+      .join(dropped.groupBy("cid").agg(count(lit(1)).as("n_dropped")),
+        Seq("cid"), "left")
+      .select(col("cid"), col("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+  }
+
   /** The full k-means model: (final assignments with quantized vectors
     * and exact squared distances, final centroids) — the pieces
     * [[annIvfKmeans]] probes. */

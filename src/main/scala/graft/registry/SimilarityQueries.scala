@@ -77,6 +77,10 @@ private[graft] object SimilarityQueries {
     "q_kmeans" -> ((s, dir) =>
       graft.functions.Similarity.kmeansQuantized(
         Tables.load(s, dir, "embeddings"), 8, 2)),
+    // SemDeDup proper: within-kmeans-cell cosine pruning, min-id keeper
+    "q_semdedup" -> ((s, dir) =>
+      graft.functions.Similarity.semDedupKmeans(
+        Tables.load(s, dir, "embeddings"), 8, 2, 0.5)),
     // cluster-balanced deterministic sample (SemDeDup/D4-style): ≤10
     // vectors per k-means cluster in seeded-hash order, so the draw
     // covers embedding space instead of mirroring density skew
@@ -340,6 +344,20 @@ private[graft] object SimilarityQueries {
     """,
     "q_kmeans" -> (kmeansCtes(8, 2) + """
       SELECT vec_id, cid, dist::BIGINT AS dist_q FROM a2
+    """),
+    "q_semdedup" -> (kmeansCtes(8, 2) + s""",
+      asg AS (SELECT vec_id, embedding, cid FROM a2),
+      pr AS (SELECT a.cid, b.vec_id AS victim,
+                    ${duckCos("a.embedding", "b.embedding")} AS cos
+             FROM asg a JOIN asg b
+               ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      dr AS (SELECT DISTINCT cid, victim FROM pr WHERE cos >= 0.5),
+      nv AS (SELECT cid, count(*)::BIGINT AS n_vecs FROM asg GROUP BY 1)
+      SELECT nv.cid, n_vecs,
+             coalesce(d.n, 0)::BIGINT AS n_dropped,
+             (n_vecs - coalesce(d.n, 0))::BIGINT AS n_kept
+      FROM nv LEFT JOIN (SELECT cid, count(*) AS n FROM dr GROUP BY 1) d
+        USING (cid)
     """),
     "q_cluster_sample" -> (kmeansCtes(8, 2) + """
       SELECT vec_id, cid, rk FROM (
