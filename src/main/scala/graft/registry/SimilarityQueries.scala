@@ -81,6 +81,19 @@ private[graft] object SimilarityQueries {
     "q_semdedup" -> ((s, dir) =>
       graft.functions.Similarity.semDedupKmeans(
         Tables.load(s, dir, "embeddings"), 8, 2, 0.5)),
+    // embedding outliers: top-decile distance-to-centroid within each
+    // k-means cell (row_number·10 ≤ cell size — integer-exact decile),
+    // the noise/mislabel pruning pass next to SemDeDup's near-dup one
+    "q_emb_outliers" -> ((s, dir) => {
+      val asg = graft.functions.Similarity.kmeansQuantized(
+        Tables.load(s, dir, "embeddings"), 8, 2)
+      val w = Window.partitionBy("cid")
+        .orderBy(col("dist_q").desc, col("vec_id"))
+      asg.withColumn("n_c", count(lit(1)).over(Window.partitionBy("cid")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") * 10 <= col("n_c"))
+        .select(col("vec_id"), col("cid"), col("dist_q"), col("rk"))
+    }),
     // cluster-balanced deterministic sample (SemDeDup/D4-style): ≤10
     // vectors per k-means cluster in seeded-hash order, so the draw
     // covers embedding space instead of mirroring density skew
@@ -358,6 +371,15 @@ private[graft] object SimilarityQueries {
              (n_vecs - coalesce(d.n, 0))::BIGINT AS n_kept
       FROM nv LEFT JOIN (SELECT cid, count(*) AS n FROM dr GROUP BY 1) d
         USING (cid)
+    """),
+    "q_emb_outliers" -> (kmeansCtes(8, 2) + """
+      SELECT vec_id, cid, dist_q, rk FROM (
+        SELECT vec_id, cid, dist::BIGINT AS dist_q,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY dist DESC, vec_id)::BIGINT AS rk,
+               count(*) OVER (PARTITION BY cid) AS n_c
+        FROM a2)
+      WHERE rk * 10 <= n_c
     """),
     "q_cluster_sample" -> (kmeansCtes(8, 2) + """
       SELECT vec_id, cid, rk FROM (
