@@ -32,6 +32,24 @@ private[graft] object QueryHelpers {
         StarAdapter.persons(s, dir), StarAdapter.encounters(s, dir),
         StarAdapter.config(s, dir)))
 
+  /** One cached k-means model per (session, sf dir, k, iters): five
+    * suite queries (cells, SemDeDup, balanced sample, outliers, ANN
+    * probe) are views over the SAME model, so they share one Lloyd
+    * run and one materialized assignment instead of five — the
+    * library pattern a real curation pipeline uses (mirrors
+    * retentionCores). The assignment frame is eagerly checkpointed so
+    * every consumer reads the materialized RDD. */
+  private val kmeansModels = scala.collection.concurrent.TrieMap[
+    (SparkSession, String, Int, Int),
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+  def kmeansModelFor(s: SparkSession, dir: String, k: Int, iters: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    kmeansModels.getOrElseUpdate((s, dir, k, iters), {
+      val (assigned, cents) = graft.functions.Similarity.kmeansModel(
+        Tables.load(s, dir, "embeddings"), k, iters)
+      (graft.operators.LoopCheckpoint(assigned), cents)
+    })
+
   /** Shared real-format media fixture for the q_media_* family: written
     * once per JVM (the corpus is seeded-deterministic, so the write is
     * idempotent — the guard just avoids 5 redundant rewrites when the

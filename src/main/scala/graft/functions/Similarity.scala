@@ -208,8 +208,11 @@ object Similarity {
     * ([[kmeansModel]]); the per-cluster rank is one window partitioned
     * by cid — k partitions, each bounded by its cluster size. */
   def clusterBalancedSample(emb: DataFrame, k: Int, iters: Int,
-                            m: Int): DataFrame = {
-    val assigned = kmeansModel(emb, k, iters)._1
+                            m: Int): DataFrame =
+    clusterSampleFromAssigned(kmeansModel(emb, k, iters)._1, m)
+
+  /** [[clusterBalancedSample]] over a pre-computed assignment frame. */
+  def clusterSampleFromAssigned(assigned: DataFrame, m: Int): DataFrame = {
     val w = Window.partitionBy("cid")
       .orderBy(col("h"), col("vec_id"))
     assigned
@@ -231,10 +234,19 @@ object Similarity {
     * the pair volume — at 100 TB, k scales with the corpus so cells
     * stay bounded (k ≈ n/1e5 in the paper's setting). */
   def semDedupKmeans(emb: DataFrame, k: Int, iters: Int,
-                     threshold: Double): DataFrame = {
-    val assigned = kmeansModel(emb, k, iters)._1
-      .select(col("vec_id"), col("embedding"), col("cid"))
-      .localCheckpoint(true) // consumed 3x: two pair sides + the summary
+                     threshold: Double): DataFrame =
+    semDedupFromAssigned(
+      kmeansModel(emb, k, iters)._1
+        .select(col("vec_id"), col("embedding"), col("cid"))
+        .localCheckpoint(true), // consumed 3x: two pair sides + summary
+      threshold)
+
+  /** [[semDedupKmeans]] over a pre-computed (ideally materialized)
+    * assignment frame — the shape a pipeline that shares ONE k-means
+    * model across its curation passes uses. */
+  def semDedupFromAssigned(assigned0: DataFrame,
+                           threshold: Double): DataFrame = {
+    val assigned = assigned0.select("vec_id", "embedding", "cid")
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.cid").as("cid"), col("b.vec_id").as("victim"),
@@ -303,6 +315,13 @@ object Similarity {
   def annIvfKmeans(queries: DataFrame, corpus: DataFrame, kCells: Int,
                    iters: Int, nprobe: Int, k: Int): DataFrame = {
     val (assigned, cents) = kmeansModel(corpus, kCells, iters)
+    annIvfFromModel(queries, assigned, cents, nprobe, k)
+  }
+
+  /** [[annIvfKmeans]] probing a pre-computed model — shares one
+    * k-means run across the ANN / dedup / sampling consumers. */
+  def annIvfFromModel(queries: DataFrame, assigned: DataFrame,
+                      cents: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val qxx = quantizedEmbeddings(queries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .withColumn("xx", dotFused(col("qe"), col("qe")))

@@ -75,18 +75,20 @@ private[graft] object SimilarityQueries {
     //      q_sim_ann_ivf otherwise takes as given; integer-exact
     //      iterations, oracle unrolls them as CTE stages ----
     "q_kmeans" -> ((s, dir) =>
-      graft.functions.Similarity.kmeansQuantized(
-        Tables.load(s, dir, "embeddings"), 8, 2)),
+      kmeansModelFor(s, dir, 8, 2)._1
+        .select(col("vec_id"), col("cid"),
+                col("dist").cast("long").as("dist_q"))),
     // SemDeDup proper: within-kmeans-cell cosine pruning, min-id keeper
     "q_semdedup" -> ((s, dir) =>
-      graft.functions.Similarity.semDedupKmeans(
-        Tables.load(s, dir, "embeddings"), 8, 2, 0.5)),
+      graft.functions.Similarity.semDedupFromAssigned(
+        kmeansModelFor(s, dir, 8, 2)._1, 0.5)),
     // embedding outliers: top-decile distance-to-centroid within each
     // k-means cell (row_number·10 ≤ cell size — integer-exact decile),
     // the noise/mislabel pruning pass next to SemDeDup's near-dup one
     "q_emb_outliers" -> ((s, dir) => {
-      val asg = graft.functions.Similarity.kmeansQuantized(
-        Tables.load(s, dir, "embeddings"), 8, 2)
+      val asg = kmeansModelFor(s, dir, 8, 2)._1
+        .select(col("vec_id"), col("cid"),
+                col("dist").cast("long").as("dist_q"))
       val w = Window.partitionBy("cid")
         .orderBy(col("dist_q").desc, col("vec_id"))
       asg.withColumn("n_c", count(lit(1)).over(Window.partitionBy("cid")))
@@ -98,13 +100,14 @@ private[graft] object SimilarityQueries {
     // vectors per k-means cluster in seeded-hash order, so the draw
     // covers embedding space instead of mirroring density skew
     "q_cluster_sample" -> ((s, dir) =>
-      graft.functions.Similarity.clusterBalancedSample(
-        Tables.load(s, dir, "embeddings"), 8, 2, 10)),
+      graft.functions.Similarity.clusterSampleFromAssigned(
+        kmeansModelFor(s, dir, 8, 2)._1, 10)),
     // the composed pipeline: quantize → cluster → probe nearest cells
     "q_sim_ann_kmeans" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      graft.functions.Similarity.annIvfKmeans(
-        emb.filter(col("vec_id") < 5), emb, 8, 2, 2, 5)
+      val (assigned, cents) = kmeansModelFor(s, dir, 8, 2)
+      graft.functions.Similarity.annIvfFromModel(
+        emb.filter(col("vec_id") < 5), assigned, cents, 2, 5)
     }),
 
     // ---- grouped embedding centroids: per-label mean vector in exact
