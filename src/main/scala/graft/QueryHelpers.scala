@@ -50,6 +50,19 @@ private[graft] object QueryHelpers {
       (graft.operators.LoopCheckpoint(assigned), cents)
     })
 
+  /** One cached, materialized MinHash-LSH candidate-pair relation per
+    * (session, sf dir) at the standard (n=3, k=16, bands=4) setting:
+    * the pair query, the cluster query, and the contamination matrix
+    * are three consumers of the SAME relation — share one signature
+    * pass + band join instead of three (mirrors kmeansModels). */
+  private val lshPairs = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), org.apache.spark.sql.DataFrame]()
+  def lshPairsFor(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    lshPairs.getOrElseUpdate((s, dir),
+      graft.operators.LoopCheckpoint(graft.functions.Dedup.lshCandidatePairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 3, 16, 4)))
+
   /** Shared real-format media fixture for the q_media_* family: written
     * once per JVM (the corpus is seeded-deterministic, so the write is
     * idempotent — the guard just avoids 5 redundant rewrites when the

@@ -37,19 +37,15 @@ private[graft] object DedupQueries {
     "q_dedup_ngram" -> ((s, dir) =>
       graft.functions.Dedup.ngramJaccardPairs(
         Tables.load(s, dir, "documents"), "doc_id", "text", 3, 0.8)),
-    "q_dedup_minhash_lsh" -> ((s, dir) =>
-      graft.functions.Dedup.lshCandidatePairs(
-        Tables.load(s, dir, "documents"), "doc_id", "text", 3, 16, 4)),
+    "q_dedup_minhash_lsh" -> ((s, dir) => lshPairsFor(s, dir)),
     // candidate pairs → duplicate CLUSTERS (connected components):
     // the step that makes pair output actionable (keep min id per
     // component, drop the rest)
     "q_dedup_clusters" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val pairs = graft.functions.Dedup.lshCandidatePairs(
-        docs, "doc_id", "text", 3, 16, 4)
       graft.operators.ConnectedComponents.run(
         docs.select(col("doc_id").as("node")),
-        pairs.select(col("doc_a"), col("doc_b")))
+        lshPairsFor(s, dir).select(col("doc_a"), col("doc_b")))
     }),
     // per-row (aggregation-free) LSH band signatures — the streaming-
     // safe bucketing stage, pinned batch-equal to the wide-agg path

@@ -86,7 +86,7 @@ private[graft] object RetrievalQueries {
     "q_contamination_matrix" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val src = docs.select(col("doc_id"), col("source"))
-      graft.functions.Dedup.lshCandidatePairs(docs, "doc_id", "text", 3, 16, 4)
+      lshPairsFor(s, dir)
         .join(src.select(col("doc_id").as("doc_a"),
           col("source").as("sa")), "doc_a")
         .join(src.select(col("doc_id").as("doc_b"),
