@@ -104,9 +104,7 @@ private[graft] object DedupQueries {
       val docs = Tables.load(s, dir, "documents")
       val exact = graft.functions.Dedup.ngramJaccardPairs(
         docs, "doc_id", "text", 3, 0.8).select("doc_a", "doc_b")
-      val lsh = graft.functions.Dedup.lshCandidatePairs(
-          docs, "doc_id", "text", 3, 16, 4)
-        .localCheckpoint(eager = true)
+      val lsh = lshPairsFor(s, dir) // shared materialized pair relation
       val nl = lsh.agg(count(lit(1)).as("n_lsh"))
       exact.join(lsh.withColumn("hit", lit(1L)),
           Seq("doc_a", "doc_b"), "left")
