@@ -63,6 +63,18 @@ private[graft] object QueryHelpers {
       graft.operators.LoopCheckpoint(graft.functions.Dedup.lshCandidatePairs(
         Tables.load(s, dir, "documents"), "doc_id", "text", 3, 16, 4)))
 
+  /** One cached, materialized postings relation per (session, sf dir)
+    * over the documents table — at 100 TB the postings ARE the stored
+    * index artifact; here six retrieval queries (ranked, BM25, WAND,
+    * RRF, tau) share one tokenize + (term, doc) aggregation. */
+  private val postingsCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), org.apache.spark.sql.DataFrame]()
+  def postingsFor(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    postingsCache.getOrElseUpdate((s, dir),
+      graft.operators.LoopCheckpoint(graft.functions.InvertedIndex.postings(
+        Tables.load(s, dir, "documents"), "doc_id", "text")))
+
   /** Shared real-format media fixture for the q_media_* family: written
     * once per JVM (the corpus is seeded-deterministic, so the write is
     * idempotent — the guard just avoids 5 redundant rewrites when the

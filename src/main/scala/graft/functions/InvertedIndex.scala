@@ -91,10 +91,17 @@ object InvertedIndex {
     * the query terms' postings only — filter first, then count — so
     * the scan touches |query terms| posting buckets, not the corpus. */
   def rankedSearch(docs: DataFrame, idCol: String, textCol: String,
-                   terms: Seq[String], k: Int): DataFrame = {
+                   terms: Seq[String], k: Int): DataFrame =
+    rankedSearchFrom(postings(docs, idCol, textCol), idCol, terms, k)
+
+  /** [[rankedSearch]] over a pre-built (ideally materialized) postings
+    * relation — the persisted-index shape: at 100 TB the postings ARE
+    * the stored artifact and every search reuses them. */
+  def rankedSearchFrom(posts: DataFrame, idCol: String,
+                       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty && terms.distinct.size == terms.size)
     import org.apache.spark.sql.expressions.Window
-    val hits = postings(docs, idCol, textCol)
+    val hits = posts
       .filter(col("term").isin(terms: _*))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .withColumn("score_micro", expr("tf * 1000000 div df"))
@@ -126,10 +133,14 @@ object InvertedIndex {
     * [[rankedSearch]]: postings groupBy, a df window per query term,
     * one broadcast 1-row stats frame — no text rescan. */
   def bm25Search(docs: DataFrame, idCol: String, textCol: String,
-                 terms: Seq[String], k: Int): DataFrame = {
+                 terms: Seq[String], k: Int): DataFrame =
+    bm25SearchFrom(postings(docs, idCol, textCol), idCol, terms, k)
+
+  /** [[bm25Search]] over a pre-built postings relation. */
+  def bm25SearchFrom(posts: DataFrame, idCol: String,
+                     terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty && terms.distinct.size == terms.size)
     import org.apache.spark.sql.expressions.Window
-    val posts = postings(docs, idCol, textCol)
     val dl = posts.groupBy(col(idCol)).agg(sum("tf").as("dl"))
     val stats = dl.agg(sum("dl").as("tot"), count(lit(1)).as("nd"))
     posts.filter(col("term").isin(terms: _*))
@@ -174,10 +185,14 @@ object InvertedIndex {
     * score(d) ≤ bound(d) < θ ≤ score of ≥k other docs ⇒ d is not in
     * the top k (strict <, so θ-ties are kept). */
   def bm25SearchPruned(docs: DataFrame, idCol: String, textCol: String,
-                       terms: Seq[String], k: Int): DataFrame = {
+                       terms: Seq[String], k: Int): DataFrame =
+    bm25SearchPrunedFrom(postings(docs, idCol, textCol), idCol, terms, k)
+
+  /** [[bm25SearchPruned]] over a pre-built postings relation. */
+  def bm25SearchPrunedFrom(posts: DataFrame, idCol: String,
+                           terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty && terms.distinct.size == terms.size)
     import org.apache.spark.sql.expressions.Window
-    val posts = postings(docs, idCol, textCol)
     val dl = posts.groupBy(col(idCol)).agg(sum("tf").as("dl"))
     val stats = dl.agg(sum("dl").as("tot"), count(lit(1)).as("nd"),
                        min("dl").as("min_dl"))
@@ -236,14 +251,20 @@ object InvertedIndex {
     * Both inputs are top-`pool` LIMITed — the fusion join is bounded
     * on both sides at any corpus size. */
   def rrfFusion(docs: DataFrame, idCol: String, textCol: String,
-                terms: Seq[String], pool: Int, k: Int): DataFrame = {
+                terms: Seq[String], pool: Int, k: Int): DataFrame =
+    rrfFusionFrom(postings(docs, idCol, textCol), idCol, terms, pool, k)
+
+  /** [[rrfFusion]] over a pre-built postings relation (both fused runs
+    * share it). */
+  def rrfFusionFrom(posts: DataFrame, idCol: String,
+                    terms: Seq[String], pool: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def ranked(run: DataFrame, tag: String): DataFrame = run
       .withColumn(s"rank_$tag", row_number().over(
         Window.orderBy(col("score_micro").desc, col(idCol))).cast("long"))
       .select(col(idCol), col(s"rank_$tag"))
-    val a = ranked(rankedSearch(docs, idCol, textCol, terms, pool), "a")
-    val b = ranked(bm25Search(docs, idCol, textCol, terms, pool), "b")
+    val a = ranked(rankedSearchFrom(posts, idCol, terms, pool), "a")
+    val b = ranked(bm25SearchFrom(posts, idCol, terms, pool), "b")
     a.join(b, Seq(idCol), "full_outer")
       .select(col(idCol),
         expr("coalesce(1000000 div (60 + rank_a), 0)" +
@@ -262,14 +283,19 @@ object InvertedIndex {
     * join is over the two LIMIT-bounded runs' intersection — ≤ pool²
     * pairs at any corpus size, broadcast both sides. */
   def rankAgreement(docs: DataFrame, idCol: String, textCol: String,
-                    terms: Seq[String], pool: Int): DataFrame = {
+                    terms: Seq[String], pool: Int): DataFrame =
+    rankAgreementFrom(postings(docs, idCol, textCol), idCol, terms, pool)
+
+  /** [[rankAgreement]] over a pre-built postings relation. */
+  def rankAgreementFrom(posts: DataFrame, idCol: String,
+                        terms: Seq[String], pool: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def ranked(run: DataFrame, tag: String): DataFrame = run
       .withColumn(s"r$tag", row_number().over(
         Window.orderBy(col("score_micro").desc, col(idCol))).cast("long"))
       .select(col(idCol), col(s"r$tag"))
-    val common = ranked(rankedSearch(docs, idCol, textCol, terms, pool), "a")
-      .join(ranked(bm25Search(docs, idCol, textCol, terms, pool), "b"),
+    val common = ranked(rankedSearchFrom(posts, idCol, terms, pool), "a")
+      .join(ranked(bm25SearchFrom(posts, idCol, terms, pool), "b"),
         Seq(idCol))
     val pairs = common.select(col(idCol).as("i"),
         col("ra").as("rai"), col("rb").as("rbi"))

@@ -48,31 +48,31 @@ private[graft] object RetrievalQueries {
         Seq("spark", "window"))
         .select(col("doc_id"), col("lang"))),
     "q_ranked_search" -> ((s, dir) =>
-      graft.functions.InvertedIndex.rankedSearch(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
+      graft.functions.InvertedIndex.rankedSearchFrom(
+        postingsFor(s, dir), "doc_id",
         Seq("spark", "window", "stream"), 10)),
     // BM25 (k1=1.2, b=0.75) with the integer-exact saturation/length
     // normalization derivation — see InvertedIndex.bm25Search
     "q_bm25_search" -> ((s, dir) =>
-      graft.functions.InvertedIndex.bm25Search(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
+      graft.functions.InvertedIndex.bm25SearchFrom(
+        postingsFor(s, dir), "doc_id",
         Seq("spark", "window", "stream"), 10)),
     // WAND-style max-score pruned BM25 — the posting-volume scale path;
     // MUST return the identical top-k (the oracle is the same exhaustive
     // scorer, so the cross-engine gate itself proves prune soundness)
     "q_bm25_wand" -> ((s, dir) =>
-      graft.functions.InvertedIndex.bm25SearchPruned(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
+      graft.functions.InvertedIndex.bm25SearchPrunedFrom(
+        postingsFor(s, dir), "doc_id",
         Seq("spark", "window", "stream"), 10)),
     // hybrid-retrieval rank fusion: RRF over the rarity and BM25 runs
     "q_rrf_fusion" -> ((s, dir) =>
-      graft.functions.InvertedIndex.rrfFusion(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
+      graft.functions.InvertedIndex.rrfFusionFrom(
+        postingsFor(s, dir), "doc_id",
         Seq("spark", "window", "stream"), 20, 10)),
     // Kendall tau-a agreement between the two retrieval runs
     "q_rank_tau" -> ((s, dir) =>
-      graft.functions.InvertedIndex.rankAgreement(
-        Tables.load(s, dir, "documents"), "doc_id", "text",
+      graft.functions.InvertedIndex.rankAgreementFrom(
+        postingsFor(s, dir), "doc_id",
         Seq("spark", "window", "stream"), 20)),
 
     // ---- cross-source contamination matrix: NEAR-duplicate pair
