@@ -87,9 +87,17 @@ private[graft] object QueryHelpers {
       s.read.parquet(graft.multimodal.Multimodal.CorpusPath)
         .as[graft.multimodal.MediaRecord]
     } else synchronized {
-      val ds = graft.multimodal.Multimodal.corpusParquet(s, 200)
-      mediaCorpusWritten = true
-      ds
+      // Second check under the lock: without it two concurrent first
+      // callers would both run the parquet overwrite on the same path.
+      if (mediaCorpusWritten) {
+        import s.implicits._
+        s.read.parquet(graft.multimodal.Multimodal.CorpusPath)
+          .as[graft.multimodal.MediaRecord]
+      } else {
+        val ds = graft.multimodal.Multimodal.corpusParquet(s, 200)
+        mediaCorpusWritten = true
+        ds
+      }
     }
 
 

@@ -39,7 +39,13 @@ object SparkEntry {
         all.groupBy(_._1).collect { case (k, v) if v.size > 1 => k }.mkString(", "))
     all
   }
-  private lazy val oracleSeq = registries.flatMap(_._2)
+  private lazy val oracleSeq = {
+    val all = registries.flatMap(_._2)
+    require(all.map(_._1).distinct.size == all.size,
+      "duplicate oracle name across registries: " +
+        all.groupBy(_._1).collect { case (k, v) if v.size > 1 => k }.mkString(", "))
+    all
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = querySeq.toMap
   def oracleSql: Map[String, String] = oracleSeq.toMap

@@ -45,6 +45,11 @@ object Codecs {
 
   // ---- BMP (24-bit uncompressed, BITMAPINFOHEADER) ----
 
+  /** Dimension cap: rejects hostile headers whose w·h would overflow
+    * Int bound arithmetic (a 32k² frame is already 3 GiB of pixels —
+    * far past any sane per-row payload). */
+  val MaxDim: Int = 1 << 15
+
   /** Row stride: each pixel row is padded to a 4-byte boundary. */
   def bmpStride(width: Int): Int = (width * 3 + 3) & ~3
 
@@ -98,11 +103,16 @@ object Codecs {
     val dataOff = u32(b, off + 10).toInt
     val w = i32(b, off + 18)
     val h = i32(b, off + 22)
-    require(w > 0 && h > 0, s"unsupported BMP dims ${w}x$h")
+    // Cap dims so hostile headers can't overflow the bound arithmetic
+    // or allocate absurd pixel buffers before the truncation check.
+    require(w > 0 && h > 0 && w <= MaxDim && h <= MaxDim,
+      s"unsupported BMP dims ${w}x$h")
     require(u16(b, off + 28) == 24, "only 24-bit BMP supported")
     require(u32(b, off + 30) == 0L, "only uncompressed (BI_RGB) supported")
+    require(dataOff >= 54, s"bad BMP pixel data offset $dataOff")
     val stride = bmpStride(w)
-    require(b.length >= off + dataOff + stride * h, "BMP pixel data truncated")
+    require(b.length.toLong >= off.toLong + dataOff + stride.toLong * h,
+      "BMP pixel data truncated")
     val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
@@ -202,6 +212,11 @@ object Codecs {
     while (off + 8 <= b.length && (sampleRate < 0 || samples == null)) {
       val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = u32(b, off + 4).toInt
+      // Fail loud on hostile chunk sizes: a u32 that wraps negative via
+      // .toInt (e.g. 0xFFFFFFF8) would make the offset step non-advancing
+      // and hang the executor task instead of throwing.
+      require(size >= 0 && off.toLong + 8 + size <= b.length,
+        s"WAV chunk '$id' at $off declares bad size $size")
       id match {
         case "fmt " =>
           require(u16(b, off + 8) == 1, "only PCM supported")

@@ -235,7 +235,14 @@ object Multimodal {
                    everyNth: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      val frameSize = Codecs.bmpSize(r.width, r.height)
+      // Frame size comes from the PARSED first-frame header, not the
+      // claimed width/height metadata columns — drifted metadata would
+      // otherwise slice misaligned byte ranges and surface far from the
+      // cause as a bad-magic error downstream.
+      val (_, frameSize) = Codecs.decodeBmp24At(r.bytes, 0)
+      require(frameSize > 0 && r.bytes.length % frameSize == 0,
+        s"media ${r.media_id}: payload ${r.bytes.length} not a whole " +
+          s"number of $frameSize-byte frames")
       val nFrames = r.bytes.length / frameSize
       (0 until nFrames by everyNth).map { f =>
         r.copy(kind = "image", format = "bmp",

@@ -55,6 +55,39 @@ class MultimodalSpec extends SparkSpec {
       Codecs.decodeWavPcm16(wav.take(20)) }
   }
 
+  test("hostile payloads throw instead of hanging or AIOOBE") {
+    // WAV chunk whose declared u32 size wraps negative via .toInt
+    // (0xFFFFFFF8): the chunk walker must throw, not loop forever on a
+    // non-advancing offset.
+    val wav = Codecs.encodeWavPcm16(
+      Codecs.Audio(8000, Array.fill[Short](64)(5)))
+    val evil = wav.clone()
+    evil(40) = 0xf8.toByte; evil(41) = 0xff.toByte
+    evil(42) = 0xff.toByte; evil(43) = 0xff.toByte
+    intercept[IllegalArgumentException] { Codecs.decodeWavPcm16(evil) }
+
+    // BMP header claiming huge dims: stride*h overflows Int, which
+    // without Long bound arithmetic would pass the truncation require
+    // and die later as ArrayIndexOutOfBoundsException.
+    val img = Codecs.encodeBmp24(Codecs.Image(4, 4, new Array[Int](16)))
+    val big = img.clone()
+    big(18) = 0; big(19) = 0; big(20) = 2; big(21) = 0 // w = 0x20000
+    big(22) = 0; big(23) = 0; big(24) = 2; big(25) = 0 // h = 0x20000
+    intercept[IllegalArgumentException] { Codecs.decodeBmp24(big) }
+
+    // Video metadata drift: claimed dims disagree with the parsed
+    // frame header — sampleFrames must slice by the PARSED frame size.
+    val frame = Codecs.encodeBmp24(
+      Codecs.Image(9, 7, Array.tabulate(63)(_ * 17)))
+    val drifted = graft.multimodal.MediaRecord(99L, "video", frame ++ frame, "bmps",
+      width = 5, height = 5, duration_ms = 2000L)
+    import spark.implicits._
+    val out = Multimodal.sampleFrames(
+      Seq(drifted).toDS(), everyNth = 1).collect()
+    assert(out.length == 2)
+    out.foreach(r => assert(Codecs.decodeBmp24(r.bytes).width == 9))
+  }
+
   test("frame stack seek: decodeBmpStack recovers every frame exactly") {
     val frames = (0 until 4).map { f =>
       Codecs.Image(9, 7, Array.tabulate(63)(p => (p * 31 + f * 1000) % 0x1000000))
