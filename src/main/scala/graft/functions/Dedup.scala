@@ -346,6 +346,91 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** One row per document with its `bands` band signatures as an
+    * array (index = band) — the storable form of the LSH bucketing
+    * state: k longs folded to `bands` strings, keyed by doc, exactly
+    * what a persisted signature store holds between deliveries. */
+  def docBandSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    minhashSignature(docs, idCol, textCol, n, k)
+      .select(col("doc_id"), array((0 until bands).map { i =>
+        concat_ws(",", (i * r until (i + 1) * r)
+          .map(j => col(s"mh$j").cast("string")): _*)
+      }: _*).as("sigs"))
+  }
+
+  private def explodeBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
+
+  /** Batch CROSS-RUN incremental near-dedup — the nightly-delivery
+    * shape: dedup today's delivery against every previous delivery
+    * WITHOUT rescanning old text. The persisted state is the per-doc
+    * band-signature table ([[docBandSignatures]]) kept in a
+    * [[graft.sources.KeyedUpsert]] store; each call
+    *
+    *   1. signs the delta (one pass over delta text only),
+    *   2. bucket-joins delta signatures against store+delta signatures
+    *      (equi-join on (band, sig) — never all-pairs, and the store
+    *      side is signatures, not documents: bytes ∝ corpus doc count,
+    *      not corpus text),
+    *   3. EAGERLY materializes the new candidate pairs, then
+    *   4. upserts the delta signatures into the store (re-delivered
+    *      doc_ids replace their signatures — upsert semantics, so a
+    *      corrected document is re-bucketed under its new text).
+    *
+    * Pair emission is exactly-once across deliveries of distinct
+    * doc_ids: a pair appears in the delivery where its LATER member
+    * arrives (a RE-delivered doc re-emits its pairs under its new
+    * signatures — deliberate: its candidate set may have changed);
+    * (both-new pairs
+    * normalize via least/greatest + distinct), so the union of emitted
+    * pairs over all deliveries equals [[lshCandidatePairs]] over the
+    * full corpus — the delta-vs-union equivalence the oracle query and
+    * [[IncrementalDedupSpec]] pin.
+    *
+    * Materialize-then-upsert ordering makes a failed run harmless: if
+    * the pair job dies, the store is untouched and the delivery just
+    * re-runs; KeyedUpsert's manifest protocol covers crashes inside
+    * the store write itself.
+    *
+    * Scale shape: delta-proportional work end-to-end — the only
+    * full-store touch is the bucket equi-join, which shuffles
+    * signature rows (bands × |corpus| small strings), and
+    * KeyedUpsert rewrites only the hash buckets containing delta keys.
+    */
+  def incrementalNearDup(spark: org.apache.spark.sql.SparkSession,
+                         storePath: String, delta: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val deltaSigs = graft.operators.LoopCheckpoint(
+      docBandSignatures(delta, idCol, textCol, n, k, bands))
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store =
+      if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+        graft.sources.KeyedUpsert.read(spark, storePath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        deltaSigs.schema)
+    // store ∪ delta with delta winning on re-delivered keys (the same
+    // whole-row-replace semantics the upsert below persists)
+    val all = store
+      .join(deltaSigs.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(deltaSigs)
+    val deltaB = explodeBands(deltaSigs)
+    val allB = explodeBands(all)
+    val pairs = deltaB.as("a").join(allB.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val out = graft.operators.LoopCheckpoint(pairs)
+    graft.sources.KeyedUpsert.upsert(spark, storePath, deltaSigs, "doc_id")
+    out
+  }
+
   /** One-call near-duplicate removal: MinHash-LSH candidates →
     * connected components → keep each component's min-id row. The
     * composition a corpus-cleaning pass actually wants when it doesn't

@@ -52,6 +52,25 @@ private[graft] object DedupQueries {
     "q_band_signatures" -> ((s, dir) =>
       graft.functions.Dedup.bandSignatureRows(
         Tables.load(s, dir, "documents"), "doc_id", "text", 3, 16, 4)),
+    // batch CROSS-RUN incremental dedup (the nightly-delivery shape):
+    // three disjoint deliveries through a persisted KeyedUpsert
+    // signature store; the UNION of per-delivery pair emissions must
+    // equal the one-shot batch LSH pairs over the full corpus — the
+    // delta-vs-union equivalence, checked against the same lsh_pairs
+    // oracle as q_dedup_minhash_lsh
+    "q_incremental_neardup" -> ((s, dir) => {
+      val store = "/root/repo/target/graft_fixtures/incr_store_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(store), true)
+      val docs = Tables.load(s, dir, "documents")
+      (0 until 3).map { t =>
+        graft.functions.Dedup.incrementalNearDup(s, store,
+          docs.filter(pmod(col("doc_id"), lit(3)) === t),
+          "doc_id", "text", 3, 16, 4)
+      }.reduce(_ unionByName _).distinct()
+    }),
     "q_dedup_simhash" -> ((s, dir) =>
       graft.functions.Dedup.simhashPairs(
         Tables.load(s, dir, "documents"), "doc_id", "text", 12)),
@@ -216,6 +235,12 @@ private[graft] object DedupQueries {
     "q_band_signatures" -> s"""
       WITH $minhashLshCtes
       SELECT doc_id, band, sig FROM band
+    """,
+    // incremental emission unions back to the one-shot batch pair set
+    // (delta-vs-union equivalence) — same oracle as the batch query
+    "q_incremental_neardup" -> s"""
+      WITH $minhashLshCtes
+      SELECT doc_a, doc_b FROM lsh_pairs
     """,
     "q_dedup_simhash" -> s"""
       WITH toksd AS (SELECT doc_id, $duckToks AS t FROM documents),
