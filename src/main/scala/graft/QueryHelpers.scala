@@ -101,6 +101,21 @@ private[graft] object QueryHelpers {
     }
 
 
+  /** Shared PNG dual-encoding fixture (same once-per-JVM guard shape
+    * as [[mediaCorpus]], second check under the lock). */
+  @volatile private var pngCorpusWritten = false
+  def pngCorpus(s: SparkSession): DataFrame =
+    if (pngCorpusWritten) s.read.parquet(graft.multimodal.Multimodal.PngCorpusPath)
+    else synchronized {
+      if (pngCorpusWritten)
+        s.read.parquet(graft.multimodal.Multimodal.PngCorpusPath)
+      else {
+        val df = graft.multimodal.Multimodal.pngCorpusParquet(s, 60)
+        pngCorpusWritten = true
+        df
+      }
+    }
+
   /** DuckDB-dialect oracles. The retention CTE is split into a
     * source-specific head (anchor/persons/admits) and a shared,
     * parameterized tail — the SQL mirror of the library being generic

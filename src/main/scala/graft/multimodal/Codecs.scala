@@ -168,6 +168,49 @@ object Codecs {
     Image(side, side, out)
   }
 
+  // ---- compressed images via the JDK's ImageIO (zero new deps) ----
+
+  /** Decode a compressed image (PNG, JPEG — whatever the JRE's
+    * ImageIO registry reads) to the same top-down 0xRRGGBB [[Image]]
+    * the BMP path produces. ImageIO returns null (not an exception)
+    * on unrecognized bytes, so the fail-loud contract is enforced
+    * here. PNG is lossless: decode(encodePng(img)) == img exactly,
+    * which is what lets the compressed tier bridge to the
+    * oracle-checked BMP path (decode → re-encode BMP24 must be
+    * byte-identical to the independently encoded BMP). */
+  def decodeCompressed(b: Array[Byte]): Image = {
+    val bi =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"corrupt image payload: $e") }
+    require(bi != null, "unrecognized compressed image payload")
+    val (w, h) = (bi.getWidth, bi.getHeight)
+    require(w > 0 && h > 0 && w <= MaxDim && h <= MaxDim,
+      s"unsupported image dims ${w}x$h")
+    val px = new Array[Int](w * h)
+    bi.getRGB(0, 0, w, h, px, 0, w)
+    var i = 0
+    while (i < px.length) { px(i) &= 0xffffff; i += 1 } // drop alpha
+    Image(w, h, px)
+  }
+
+  /** Encode as PNG (lossless RGB). */
+  def encodePng(img: Image): Array[Byte] = encodeImageIO(img, "png")
+
+  /** Encode as JPEG (lossy — round-trips only approximately; the
+    * decode side is still deterministic for fixed bytes + JRE). */
+  def encodeJpeg(img: Image): Array[Byte] = encodeImageIO(img, "jpg")
+
+  private def encodeImageIO(img: Image, fmt: String): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    bi.setRGB(0, 0, img.width, img.height, img.pixels, 0, img.width)
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(bi, fmt, bos),
+      s"no ImageIO writer for $fmt")
+    bos.toByteArray
+  }
+
   // ---- WAV (16-bit PCM mono, RIFF) ----
 
   final case class Audio(sampleRate: Int, samples: Array[Short])

@@ -128,6 +128,48 @@ object Multimodal {
     spark.read.parquet(path).as[MediaRecord]
   }
 
+  // ---- compressed tier (PNG via the JDK's ImageIO) ----
+
+  /** Where the PNG fixture lands (same scratch-space contract as
+    * [[CorpusPath]]). */
+  val PngCorpusPath =
+    "/root/repo/target/graft_fixtures/png_corpus.parquet"
+
+  /** Deterministic dual-encoding fixture: the SAME pixels as both a
+    * real PNG (lossless, via ImageIO) and a 24-bit BMP (our codec).
+    * DuckDB cannot inflate PNG, so the cross-engine check goes through
+    * the BMP bridge: Spark decodes the PNG and re-encodes BMP24; the
+    * oracle reads the independently-encoded BMP column. Byte equality
+    * proves the PNG decode exact. */
+  def pngCorpusParquet(spark: SparkSession, n: Int,
+                       path: String = PngCorpusPath): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val w = 8 + (i * 7 % 13).toInt
+      val h = 8 + (i * 5 % 11).toInt
+      val img = Codecs.Image(w, h, imagePixels(i * 7919 + 3, w, h, 0))
+      (i, Codecs.encodePng(img), Codecs.encodeBmp24(img), w, h)
+    }.toDF("media_id", "png_bytes", "bmp_bytes", "width", "height")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** The compressed-decode stage under cross-engine test: inflate the
+    * PNG payload, re-encode as BMP24, emit the hex of the result —
+    * compared byte-for-byte against the fixture's independent BMP
+    * encoding by the DuckDB oracle. Map-side only, like every decode
+    * stage. */
+  def pngToBmpHex(pngs: DataFrame): DataFrame = {
+    import pngs.sparkSession.implicits._
+    pngs.select(col("media_id"), col("png_bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, png) =>
+          (id, Codecs.encodeBmp24(Codecs.decodeCompressed(png)))
+        }
+      }.toDF("media_id", "bmp")
+      .select(col("media_id"), hex(col("bmp")).as("bmp_hex"))
+  }
+
   // ---- decode stages (map-side, per-partition batches) ----
 
   /** Parse every payload's container header and cross-check the

@@ -45,6 +45,12 @@ private[graft] object MediaQueries {
       graft.multimodal.Multimodal.imageStats(
         graft.multimodal.Multimodal.resizeImages(mediaCorpus(s), 8))
         .toDF().select("media_id", "sum_r", "sum_g", "sum_b")),
+    // compressed tier: inflate REAL PNGs (JDK ImageIO) and re-encode
+    // BMP24; the oracle reads the fixture's INDEPENDENT BMP encoding of
+    // the same pixels — hex equality proves the PNG decode byte-exact
+    // (DuckDB can't inflate PNG, so the BMP re-encode is the bridge)
+    "q_media_png_decode" -> ((s, dir) =>
+      graft.multimodal.Multimodal.pngToBmpHex(pngCorpus(s))),
   )
 
   val oracleSql: Seq[(String, String)] = Seq(
@@ -256,6 +262,10 @@ private[graft] object MediaQueries {
       SELECT media_id, sum(r_)::BIGINT AS sum_r,
              sum(g_)::BIGINT AS sum_g, sum(b_)::BIGINT AS sum_b
       FROM px GROUP BY media_id
+    """,
+    "q_media_png_decode" -> s"""
+      SELECT media_id, hex(bmp_bytes) AS bmp_hex
+      FROM read_parquet('${graft.multimodal.Multimodal.PngCorpusPath}/*.parquet')
     """,
   )
 }

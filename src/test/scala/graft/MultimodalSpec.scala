@@ -88,6 +88,55 @@ class MultimodalSpec extends SparkSpec {
     out.foreach(r => assert(Codecs.decodeBmp24(r.bytes).width == 9))
   }
 
+  test("PNG: lossless round-trip, byte-identical re-encode to BMP") {
+    val img = Codecs.Image(13, 9,
+      Array.tabulate(117)(p => (p * 92821 + 17) % 0x1000000))
+    val png = Codecs.encodePng(img)
+    // real PNG magic
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N')
+    val back = Codecs.decodeCompressed(png)
+    assert(back.width == 13 && back.height == 9)
+    assert(back.pixels.sameElements(img.pixels), "PNG must be lossless")
+    // the oracle bridge: decode(png) re-encoded as BMP must equal the
+    // independent BMP encoding of the same pixels, byte for byte
+    assert(Codecs.encodeBmp24(back).sameElements(Codecs.encodeBmp24(img)))
+    // garbage payload fails loudly (ImageIO returns null, we throw)
+    intercept[IllegalArgumentException] {
+      Codecs.decodeCompressed(Array.fill[Byte](64)(7)) }
+  }
+
+  test("JPEG: decodes deterministically, close to source (lossy)") {
+    // smooth gradient — JPEG's friendly case; bound the channel error
+    val img = Codecs.Image(16, 16, Array.tabulate(256) { p =>
+      val x = p % 16; val y = p / 16
+      ((x * 12) << 16) | ((y * 12) << 8) | ((x + y) * 6)
+    })
+    val jpg = Codecs.encodeJpeg(img)
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8) // SOI
+    val a = Codecs.decodeCompressed(jpg)
+    val b = Codecs.decodeCompressed(jpg)
+    assert(a.pixels.sameElements(b.pixels), "decode must be deterministic")
+    assert(a.width == 16 && a.height == 16)
+    val meanErr = img.pixels.zip(a.pixels).map { case (x, y) =>
+      math.abs((x >> 16 & 0xff) - (y >> 16 & 0xff)) +
+        math.abs((x >> 8 & 0xff) - (y >> 8 & 0xff)) +
+        math.abs((x & 0xff) - (y & 0xff))
+    }.sum / (3.0 * img.pixels.length)
+    assert(meanErr < 8.0, s"mean channel error $meanErr too high")
+  }
+
+  test("PNG fixture: Spark decode stage matches independent BMP bytes") {
+    val fx = Multimodal.pngCorpusParquet(spark, 12,
+      java.nio.file.Files.createTempDirectory("graft-png").toString + "/px")
+    val got = Multimodal.pngToBmpHex(fx).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = fx.select("media_id", "bmp_bytes").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[Array[Byte]](1).map("%02X".format(_)).mkString).toMap
+    assert(got == want)
+    assert(got.size == 12)
+  }
+
   test("frame stack seek: decodeBmpStack recovers every frame exactly") {
     val frames = (0 until 4).map { f =>
       Codecs.Image(9, 7, Array.tabulate(63)(p => (p * 31 + f * 1000) % 0x1000000))
