@@ -229,6 +229,39 @@ private[graft] object QueryHelpers {
   """
 
 
+  /** DuckDB mirror of [[graft.functions.Bpe.train]]: the fixed round
+    * count unrolls into CTE stages (pair count p_r → argmax b_r →
+    * doubled-space replace merge w_{r+1}); `replace` is left-to-right
+    * non-overlapping in both engines, so every stage matches exactly. */
+  def bpeCtes(rounds: Int): String = {
+    val head = s"""
+      WITH w0 AS (
+        SELECT array_to_string(string_split(w, ''), ' ') AS s,
+               count(*)::BIGINT AS freq
+        FROM (SELECT unnest($duckToks) AS w FROM documents)
+        WHERE w <> '' GROUP BY 1
+      )"""
+    val stages = (0 until rounds).map { r => s""",
+      p$r AS (
+        SELECT pair, sum(freq)::BIGINT AS n FROM (
+          SELECT freq, unnest(list_transform(range(1, len(l)),
+            i -> l[i] || ' ' || l[i + 1])) AS pair
+          FROM (SELECT string_split(s, ' ') AS l, freq FROM w$r))
+        GROUP BY 1
+      ),
+      b$r AS (SELECT $r::INT AS round, pair, n FROM p$r
+              ORDER BY n DESC, pair LIMIT 1),
+      w${r + 1} AS (
+        SELECT trim(replace(replace(' ' || replace(s, ' ', '  ') || ' ',
+                 ' ' || replace(b.pair, ' ', '  ') || ' ',
+                 ' ' || replace(b.pair, ' ', '') || ' '), '  ', ' ')) AS s,
+               freq
+        FROM w$r CROSS JOIN b$r b
+      )"""
+    }.mkString
+    head + stages
+  }
+
   /** DuckDB mirror of [[graft.operators.PageRank.integerPageRank]] on
     * the bipartite customer↔supplier graph: integer micro-unit
     * contributions make every round exact, so the fixed iterations

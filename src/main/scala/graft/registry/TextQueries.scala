@@ -98,6 +98,18 @@ private[graft] object TextQueries {
         .select(col("pair"), col("n"))
     }),
 
+    // ---- FULL BPE trainer: 6 unrolled merge rounds over the word-
+    //      frequency table (pair recount → global argmax → greedy
+    //      left-to-right merge, all vocabulary-proportional after one
+    //      corpus scan); the merge table is the trained artifact ----
+    "q_bpe_train" -> ((s, dir) =>
+      graft.functions.Bpe.train(
+        Tables.load(s, dir, "documents"), "text", 6)),
+    // the other trained artifact: the surviving subword vocabulary
+    "q_bpe_vocab" -> ((s, dir) =>
+      graft.functions.Bpe.vocab(
+        Tables.load(s, dir, "documents"), "text", 6)),
+
     // ---- bigram language-model counts over normalized tokens:
     //      next-token conditional frequencies, the n-gram LM training
     //      table; unigram heads derived from the bigram relation
@@ -386,6 +398,19 @@ private[graft] object TextQueries {
       tot AS (SELECT count(*) AS total FROM p)
       SELECT pair, count(*) AS n FROM p, tot
       GROUP BY pair, total HAVING count(*) * 1000 >= total
+    """,
+
+    "q_bpe_train" -> s"""
+      ${bpeCtes(6)}
+      SELECT round, pair, n FROM (
+        ${(0 until 6).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")})
+    """,
+
+    "q_bpe_vocab" -> s"""
+      ${bpeCtes(6)}
+      SELECT symbol, sum(freq)::BIGINT AS n FROM (
+        SELECT freq, unnest(string_split(s, ' ')) AS symbol FROM w6)
+      GROUP BY 1
     """,
 
     "q_token_bigrams" -> s"""
