@@ -143,11 +143,25 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
+  /** Physical plan with the AQE wrapper peeled off: under adaptive
+    * execution `executedPlan` is a single AdaptiveSparkPlanExec node
+    * and `.collect` never descends into it — a traversal over the
+    * wrapper silently inspects NOTHING (which made the double-exchange
+    * check below vacuous until this helper). `inputPlan` is the full
+    * pre-adaptive physical plan, the one default planning produced. */
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+
   test("no back-to-back shuffle on identical partitioning (double exchange)") {
     withDefaultPlanner {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.executedPlan
+      val plan = physicalPlan(fn(spark, dir))
       val doubled = plan.collect {
         case e: ShuffleExchangeExec =>
           // an Exchange whose subtree re-shuffles the same keys right
@@ -163,6 +177,79 @@ class PlanLintSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"double shuffle on the same partitioning in: " +
         s"${offenders.mkString(", ")}")
+    }
+  }
+
+  // Shuffled joins with a bounded-looking side, each verified by
+  // inspection (bounded marker present but broadcasting would be wrong
+  // or the planner's call is already right):
+  private val inspectedShuffledBounded: Set[String] = Set()
+
+  /** "This side's OUTPUT is provably bounded": the bound must hold at
+    * the join input, so only walk through cardinality-non-increasing
+    * unary nodes (project/filter/sort/exchange/window); Generate and
+    * Expand multiply rows, joins can too — a bounded relation buried
+    * below either proves nothing about the side. */
+  private def boundedSide(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      a.groupingExpressions.isEmpty || boundedSide(a.child)
+    case _: org.apache.spark.sql.execution.GenerateExec => false
+    case _: org.apache.spark.sql.execution.ExpandExec => false
+    case u if u.children.size == 1 => boundedSide(u.children.head)
+    case _ => false
+  }
+
+  private def shuffledBoundedJoins(
+      plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    plan.collect {
+      case j: SortMergeJoinExec
+        if boundedSide(j.left) || boundedSide(j.right) => ()
+      case j: ShuffledHashJoinExec
+        if boundedSide(j.left) || boundedSide(j.right) => ()
+    }.nonEmpty
+  }
+
+  test("broadcast lint positive control: a LIMIT-side shuffled join IS caught") {
+    // guards against the vacuous-traversal failure mode the AQE wrapper
+    // caused for the double-exchange check: force a shuffled join with
+    // a provably bounded side and assert the detector fires on it
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      import org.apache.spark.sql.functions.col
+      val big = spark.range(10000).toDF("k")
+      val small = spark.range(10000).toDF("k").limit(5)
+      assert(shuffledBoundedJoins(physicalPlan(big.join(small, "k"))),
+        "detector missed a shuffled join with a LIMIT side")
+      assert(!shuffledBoundedJoins(physicalPlan(
+        big.join(big.filter(col("k") > 5000).toDF("k2"),
+          col("k") === col("k2")))),
+        "detector false-positived on two unbounded sides")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("no shuffled join whose one side is provably bounded (broadcast it)") {
+    withDefaultPlanner {
+    // The third scale-killer class: a SortMergeJoin/ShuffledHashJoin
+    // shuffles BOTH sides — paying a full shuffle of the big side to
+    // join against a relation the plan itself proves tiny (a LIMIT, a
+    // literal relation, a no-grouping-key aggregate). That side should
+    // ride a broadcast instead. The planner usually gets this right
+    // from stats; this lint catches the cases where lineage (e.g. a
+    // checkpoint barrier) or a stray shuffle hint hides the bound.
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      if (shuffledBoundedJoins(physicalPlan(fn(spark, dir))) &&
+          !inspectedShuffledBounded(name)) Some(name) else None
+    }.distinct
+    assert(offenders.isEmpty,
+      s"shuffled join with a provably-bounded side in: " +
+        s"${offenders.mkString(", ")} — broadcast() the bounded side" +
+        " or add an inspected entry with its justification")
     }
   }
 }
