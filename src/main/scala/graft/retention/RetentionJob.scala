@@ -59,9 +59,11 @@ object RetentionJob {
   def main(args: Array[String]): Unit = {
     val job = configFrom(args)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // Under spark-submit, spark.master arrives as a system property and
+    // the submit invocation owns master + parallelism (builder.master
+    // here would silently override --master — wrong on a cluster).
+    // Standalone `runMain` keeps the local defaults.
+    val base = SparkSession.builder()
       .config("spark.sql.session.timeZone", "UTC")
       // reference session conf parity (:118-119) — matters only on the
       // rare RDD edges (localCheckpoint payloads); DataFrame data rides
@@ -69,6 +71,9 @@ object RetentionJob {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
+    val spark = (if (sys.props.contains("spark.master")) base
+                 else base.master(s"local[$cpus]")
+                   .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     try run(spark, job) finally spark.stop()
   }
