@@ -55,5 +55,16 @@ object GraftSql {
       .createOrReplaceTempView("dedup_pairs")
     Dedup.dropNearDuplicates(docs, "doc_id", "text", 3, 16, 4)
       .createOrReplaceTempView("documents_deduped")
+
+    // ---- multimodal family: container-header QA + decoded pixel/PCM
+    //      features over the shared media fixture — the decode tier
+    //      reachable from plain SQL (docs/SQL.md §7) ----
+    val media = QueryHelpers.mediaCorpus(spark)
+    graft.multimodal.Multimodal.decodeHeaders(media).toDF()
+      .createOrReplaceTempView("media_features")
+    graft.multimodal.Multimodal.imageStats(media).toDF()
+      .createOrReplaceTempView("media_image_stats")
+    graft.multimodal.Multimodal.audioStats(media).toDF()
+      .createOrReplaceTempView("media_audio_stats")
   }
 }

@@ -200,4 +200,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       viaScala.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
+
+  test("docs/SQL.md recipes run verbatim: multimodal views match the " +
+       "Scala decode tier") {
+    import spark.implicits._
+    val qa = run("media_shard_qa")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val scalaQa = graft.multimodal.Multimodal
+      .decodeHeaders(QueryHelpers.mediaCorpus(spark)).collect()
+      .groupBy(_.kind).map { case (k, rs) =>
+        k -> (rs.length.toLong, rs.count(_.meta_ok == 0L).toLong,
+              rs.map(_.n_bytes).sum) }
+    assert(qa == scalaQa && qa.keySet == Set("image", "audio", "video"))
+    assert(qa.values.forall(_._2 == 0L), "fixture must not drift")
+    val bright = run("media_brightest_images")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(bright.length == 5)
+    val lumas = bright.map(_._4)
+    assert(lumas.sameElements(lumas.sorted.reverse), "luma DESC order")
+    val loud = run("media_loud_audio").as[(Long, Long, Long, Long)].collect()
+    val scalaLoud = graft.multimodal.Multimodal
+      .audioStats(QueryHelpers.mediaCorpus(spark)).collect()
+      .filter(_.peak_abs > 8000)
+      .map(a => (a.media_id, a.n_samples, a.peak_abs,
+                 a.energy / a.n_samples)).toSet
+    assert(loud.toSet == scalaLoud && loud.nonEmpty)
+  }
 }
