@@ -402,7 +402,8 @@ object Dedup {
   def incrementalNearDup(spark: org.apache.spark.sql.SparkSession,
                          storePath: String, delta: DataFrame,
                          idCol: String, textCol: String,
-                         n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+                         n: Int = 3, k: Int = 16, bands: Int = 4,
+                         numBuckets: Int = 64): DataFrame = {
     val deltaSigs = graft.operators.LoopCheckpoint(
       docBandSignatures(delta, idCol, textCol, n, k, bands))
     val fs = new org.apache.hadoop.fs.Path(storePath)
@@ -427,7 +428,8 @@ object Dedup {
               greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
     val out = graft.operators.LoopCheckpoint(pairs)
-    graft.sources.KeyedUpsert.upsert(spark, storePath, deltaSigs, "doc_id")
+    graft.sources.KeyedUpsert.upsert(spark, storePath, deltaSigs, "doc_id",
+      numBuckets)
     out
   }
 

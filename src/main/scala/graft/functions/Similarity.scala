@@ -119,46 +119,119 @@ object Similarity {
     cosineTopK(quantizedEmbeddings(queries), quantizedEmbeddings(corpus), k)
 
   /** Exact k-NN self-join: the k nearest neighbors (cosine) of EVERY
-    * corpus vector. The all-pairs baseline the blocked variants
-    * ([[annIvf]], [[labelBlockedNearDup]]) are judged against — N²
-    * scoring with the corpus broadcast once, so the only shuffle is
-    * the final per-vector top-k window. At 100 TB you do NOT run this
-    * shape on the full corpus; you run it per IVF cell (swap the
-    * broadcast side for the cell's partition) — the per-cell plan is
-    * exactly this one. */
-  def knnJoin(corpus: DataFrame, k: Int): DataFrame = {
-    registerExpressions(corpus.sparkSession)
-    // precompute each vector's norm ONCE (N sqrt's), then score pairs
-    // with the dot-only fused expression — 1 multiply-add per element
-    // per pair instead of the fused cosine's 3 (it would recompute
-    // both norms for every pair). dot/(na*nb) is the same IEEE
-    // expression order as the oracle's precomputed-norm form, so the
-    // score is bit-identical to cosineFused before the shared round.
-    val n = corpus.select(col("vec_id"), col("embedding"),
-        sqrt(dotFused(col("embedding"), col("embedding"))).as("nrm"))
-    // cosine is symmetric and IEEE multiply commutes, so score each
-    // unordered pair ONCE (vec_id < neighbor_id — half the N² work)
-    // and mirror the materialized halves; localCheckpoint because the
-    // two union branches would otherwise re-run the pair join
-    val half = n
-      .join(broadcast(n.select(col("vec_id").as("neighbor_id"),
-                               col("embedding").as("ne"),
-                               col("nrm").as("nnrm"))),
-            col("vec_id") < col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"),
-              round(dotFused(col("embedding"), col("ne")) /
-                    nullif(col("nrm") * col("nnrm"), lit(0.0)), 6).as("cos"))
-      .localCheckpoint()
-    val scored = half.unionByName(half.select(
-      col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id"),
-      col("cos")))
-    // per-vector top-k via the bounded-heap aggregate, NOT a
-    // row_number window: the window sorts all N·(N−1) score rows per
-    // partition and shuffles every one of them; the heap keeps k pairs
-    // per partial and ships only those (same tie contract: score DESC,
-    // neighbor ASC — bit-equal output, measured 4.1 → 3.3 s at sf0.1;
-    // the remaining cost is the N² scoring itself)
-    scored.groupBy("vec_id")
+    * corpus vector — block-TILED. The corpus is hashed into `blocks`
+    * buckets of packed primitive vectors; every (block × block) tile
+    * is scored inside one task by a tight primitive-array kernel
+    * (float→double widen, left-to-right fold — the same IEEE order as
+    * [[expressions.DotProduct]], so scores are bit-identical), and
+    * each tile emits only its per-vector top-k. The mergeable
+    * [[Sketches.topKPairs]] heap then folds the B tile-candidates per
+    * vector into the global top-k (each neighbor lives in exactly one
+    * tile per vector, and the per-tile rule is the heap's own
+    * (score DESC, id ASC), so merge-of-tile-topks ≡ global topk).
+    *
+    * Why tiles instead of the previous row-level broadcast join: the
+    * N² pair stream through BroadcastNestedLoopJoin materializes every
+    * candidate pair as a row (the sf1 sweep measured 343 s for 20k² —
+    * 130× the sf0.1 cost, all row machinery); the tile kernel does the
+    * same 400M fused multiply-adds in primitive arrays and shuffles
+    * B·k candidates per vector instead of N. Everything stays
+    * distributed — no driver collect; tile parallelism is blocks², and
+    * at 100 TB this exact shape runs per IVF cell with cells as the
+    * partition key ([[annIvf]] is the corpus-scale path). */
+  def knnJoin(corpus: DataFrame, k: Int, blocks: Int = 32): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val packed: org.apache.spark.sql.Dataset[(Int, Array[(Long, Array[Double])])] =
+      corpus.select(col("vec_id").cast("long"),
+                    col("embedding").cast("array<double>"))
+        .as[(Long, Array[Double])]
+        .groupByKey(r => math.floorMod(r._1, blocks.toLong).toInt)
+        .mapGroups((b, it) => (b, it.toArray))
+    val tiles = packed.joinWith(broadcast(packed), lit(true), "cross")
+    val candidates = tiles.flatMap { case ((_, xs), (_, ys)) =>
+      val m = ys.length
+      val yn = new Array[Double](m) // norms once per tile side
+      var t = 0
+      while (t < m) {
+        val v = ys(t)._2; var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * v(i); i += 1 }
+        yn(t) = math.sqrt(d); t += 1
+      }
+      val raws = new Array[Double](m) // per-x raw scores, buffer reused
+      // Spark's round(x, 6) is BigDecimal HALF_UP — too slow for 400M
+      // calls, so selection runs on RAW scores (rounding is monotone)
+      // and only candidates within a guard band of the k-th raw score
+      // are rounded: |round(x) − x| ≤ 5e-7 + ulp, so nothing below
+      // kthRaw − 1.1e-6 can round into (or tie) the rounded top-k.
+      xs.iterator.flatMap { case (xid, xv) =>
+        var xd = 0.0; var i = 0
+        while (i < xv.length) { xd += xv(i) * xv(i); i += 1 }
+        val xn = math.sqrt(xd)
+        // pass 1: raw scores + k-th-largest raw threshold
+        val kr = new Array[Double](k)
+        var n = 0
+        var j = 0
+        while (j < m) {
+          raws(j) = java.lang.Double.NaN
+          val den = xn * yn(j)
+          if (ys(j)._1 != xid && den != 0.0) {
+            val yv = ys(j)._2
+            var dot = 0.0; var e = 0
+            while (e < xv.length) { dot += xv(e) * yv(e); e += 1 }
+            val raw = dot / den
+            raws(j) = raw
+            if (!java.lang.Double.isNaN(raw)) {
+              var p = n
+              while (p > 0 && raw > kr(p - 1)) p -= 1
+              if (p < k) {
+                var q = math.min(n, k - 1)
+                while (q > p) { kr(q) = kr(q - 1); q -= 1 }
+                kr(p) = raw
+                if (n < k) n += 1
+              }
+            }
+          }
+          j += 1
+        }
+        if (n == 0) Iterator.empty
+        else {
+          val floor = kr(n - 1) - 1.1e-6
+          // pass 2: round the guard-band survivors, select exactly by
+          // the heap's contract (rounded DESC, id ASC)
+          val ks = new Array[Double](k); val ki = new Array[Long](k)
+          var nn = 0
+          j = 0
+          while (j < m) {
+            val raw = raws(j)
+            if (!java.lang.Double.isNaN(raw) && raw >= floor) {
+              val cos =
+                if (java.lang.Double.isInfinite(raw)) raw
+                else BigDecimal.decimal(raw)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              val yid = ys(j)._1
+              var p = nn
+              while (p > 0 && (cos > ks(p - 1) ||
+                     (cos == ks(p - 1) && yid < ki(p - 1)))) p -= 1
+              if (p < k) {
+                var q = math.min(nn, k - 1)
+                while (q > p) { ks(q) = ks(q - 1); ki(q) = ki(q - 1); q -= 1 }
+                ks(p) = cos; ki(p) = yid
+                if (nn < k) nn += 1
+              }
+            }
+            j += 1
+          }
+          val out = new Array[(Long, Long, Double)](nn)
+          var p = 0
+          while (p < nn) { out(p) = (xid, ki(p), ks(p)); p += 1 }
+          out.iterator
+        }
+      }
+    }.toDF("vec_id", "neighbor_id", "cos")
+    // global merge via the bounded-heap aggregate (same tie contract),
+    // then rank — identical final stage to the pre-tile formulation
+    candidates.groupBy("vec_id")
       .agg(Sketches.topKPairs(col("cos"), col("neighbor_id"), k).as("tk"))
       .select(col("vec_id"), posexplode(col("tk")))
       .select(col("vec_id"), col("col.id").as("neighbor_id"),

@@ -65,10 +65,14 @@ private[graft] object DedupQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(store), true)
       val docs = Tables.load(s, dir, "documents")
+      // 8 store buckets: the fixture corpus is small, and each delivery
+      // rewrites touched buckets — 64 would be 192 tiny-file commits of
+      // pure overhead here (bucket count is a table-layout knob sized
+      // to 0.5-2 GB per bucket in production, docs/DEPLOY.md)
       (0 until 3).map { t =>
         graft.functions.Dedup.incrementalNearDup(s, store,
           docs.filter(pmod(col("doc_id"), lit(3)) === t),
-          "doc_id", "text", 3, 16, 4)
+          "doc_id", "text", 3, 16, 4, numBuckets = 8)
       }.reduce(_ unionByName _).distinct()
     }),
     "q_dedup_simhash" -> ((s, dir) =>
