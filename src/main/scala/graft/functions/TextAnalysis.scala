@@ -226,7 +226,14 @@ object TextAnalysis {
     val docBigrams = toks.select(col("doc_id"), explode(expr(
       "filter(zip_with(t, slice(t, 2, size(t) - 1), " +
       "(a, b) -> concat(a, ' ', b)), x -> x is not null)")).as("bigram"))
-    val lm = docBigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
+    // materialize per-doc bigram COUNTS once: the raw occurrence
+    // explode is the biggest relation here and fed three consumers
+    // (LM build, unigram heads, final scoring join) — each re-ran the
+    // corpus tokenize+explode (measured 15.8 s at sf1; the count table
+    // is smaller than the occurrence stream and derives everything)
+    val db = graft.operators.LoopCheckpoint(
+      docBigrams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c")))
+    val lm = db.groupBy("bigram").agg(sum("c").as("n"))
     val uni = lm
       .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
       .agg(sum("n").as("n_w1"))
@@ -234,10 +241,10 @@ object TextAnalysis {
       .join(uni, substring_index(col("bigram"), " ", 1) === uni("w1"))
       .select(col("bigram"),
         expr("cast(n as decimal(38,0)) * 1000000 div n_w1").as("cond_ppm"))
-    docBigrams.join(scored, "bigram")
+    db.join(scored, "bigram")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-           sum("cond_ppm").as("sum_ppm"))
+      .agg(sum("c").as("n_bigrams"),
+           sum(expr("c * cond_ppm")).as("sum_ppm"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("cast(cast(sum_ppm as decimal(38,0)) div n_bigrams as bigint)")
           .as("lm_score_ppm"))
