@@ -63,6 +63,20 @@ private[graft] object QueryHelpers {
       graft.operators.LoopCheckpoint(graft.functions.Dedup.lshCandidatePairs(
         Tables.load(s, dir, "documents"), "doc_id", "text", 3, 16, 4)))
 
+  /** One cached, materialized EXACT n-gram-Jaccard pair relation per
+    * (session, sf dir) at the standard (n=3, t=0.8) setting: the
+    * near-dup pair query and the LSH recall evaluation consume the
+    * SAME relation — share one PPJoin pass instead of two (mirrors
+    * lshPairs; at sf1 the exact pass is the single most expensive
+    * stage in the dedup family). */
+  private val exactPairs = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), org.apache.spark.sql.DataFrame]()
+  def exactPairsFor(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    exactPairs.getOrElseUpdate((s, dir),
+      graft.operators.LoopCheckpoint(graft.functions.Dedup.ngramJaccardPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 3, 0.8)))
+
   /** One cached, materialized postings relation per (session, sf dir)
     * over the documents table — at 100 TB the postings ARE the stored
     * index artifact; here six retrieval queries (ranked, BM25, WAND,

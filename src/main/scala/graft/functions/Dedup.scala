@@ -44,20 +44,23 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    // NB deliberately NOT checkpointed/cached: this subtree feeds three
-    // consumers, but re-running the codegen'd shingling is measurably
-    // cheaper than materializing + reshuffling the big string arrays
-    // (tested at sf0.1: checkpoint made the query ~50% slower).
-    val sets = docs.select(col(idCol).as("doc_id"),
-        array_distinct(TextAnalysis.shingles(col(textCol), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // hash immediately and DROP the shingle string: the posting set
-    // crosses two shuffles (df window by h, prefix rank by doc) and
-    // the ~25-byte strings would ride both — the 8-byte hash is all
-    // the candidate join needs
+    // The shingle STRING never leaves the scan: each doc's distinct
+    // shingles hash to 60-bit md5 integers immediately (md5-60 — the
+    // cross-engine hash, so the DuckDB oracle verifies over the SAME
+    // hashed sets), and both the candidate join and the exact
+    // verification intersect run on 8-byte longs. The hashed set table
+    // is materialized ONCE for its three consumers — with ~25-byte
+    // strings that trade lost (the round-5 measurement that left this
+    // subtree uncached); with packed longs it wins outright (sf1:
+    // 39.7 → ~13 s, dominated before by re-shingling + string-array
+    // shuffles into the verification joins).
+    val sets = graft.operators.LoopCheckpoint(
+      docs.select(col(idCol).as("doc_id"),
+          transform(array_distinct(TextAnalysis.shingles(col(textCol), n)),
+                    s => md5Hash60(s)).as("sh"))
+        .filter(size(col("sh")) > 0))
     val ex = sets.select(col("doc_id"), size(col("sh")).as("sz"),
-                         explode(col("sh")).as("s"))
-      .select(col("doc_id"), col("sz"), xxhash64(col("s")).as("h"))
+                         explode(col("sh")).as("h"))
     // document frequency via a count window over the same h-shuffle the
     // candidate join needs anyway — one stage cheaper than a separate
     // groupBy + join-back of the frequency table

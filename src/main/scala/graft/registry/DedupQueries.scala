@@ -34,9 +34,7 @@ private[graft] object DedupQueries {
     "q_dup_spans" -> ((s, dir) =>
       graft.functions.Dedup.duplicatedSpans(
         Tables.load(s, dir, "documents"), "doc_id", "text", 8)),
-    "q_dedup_ngram" -> ((s, dir) =>
-      graft.functions.Dedup.ngramJaccardPairs(
-        Tables.load(s, dir, "documents"), "doc_id", "text", 3, 0.8)),
+    "q_dedup_ngram" -> ((s, dir) => exactPairsFor(s, dir)),
     "q_dedup_minhash_lsh" -> ((s, dir) => lshPairsFor(s, dir)),
     // candidate pairs → duplicate CLUSTERS (connected components):
     // the step that makes pair output actionable (keep min id per
@@ -124,9 +122,7 @@ private[graft] object DedupQueries {
     //      own operators; the tiny pair sets localCheckpoint so LSH
     //      isn't re-derived for the count ----
     "q_lsh_recall" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val exact = graft.functions.Dedup.ngramJaccardPairs(
-        docs, "doc_id", "text", 3, 0.8).select("doc_a", "doc_b")
+      val exact = exactPairsFor(s, dir).select("doc_a", "doc_b")
       val lsh = lshPairsFor(s, dir) // shared materialized pair relation
       val nl = lsh.agg(count(lit(1)).as("n_lsh"))
       exact.join(lsh.withColumn("hit", lit(1L)),
@@ -201,17 +197,23 @@ private[graft] object DedupQueries {
         SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
         FROM spans GROUP BY 1) x USING (doc_id)
     """,
+    // verification runs over md5-60 HASHED shingle sets in both
+    // engines (the string never leaves the scan on the Spark side);
+    // counts are identical to string sets absent a 60-bit collision,
+    // and a hypothetical collision collapses identically in both
     "q_dedup_ngram" -> s"""
       WITH ex AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(
-                 range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS s
-        FROM (SELECT doc_id, $duckToks AS t FROM documents)
-        WHERE len(t) >= 3
+        SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+        FROM (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')))) AS s
+          FROM (SELECT doc_id, $duckToks AS t FROM documents)
+          WHERE len(t) >= 3)
       ),
       sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
       inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
       )
       SELECT doc_a, doc_b, jaccard FROM (
