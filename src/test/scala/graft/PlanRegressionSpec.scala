@@ -131,17 +131,19 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("partial"), "no map-side combine:\n" + p)
   }
 
-  test("knn join: mirrored halves read materialized pairs; top-k bounded") {
-    // the half-pair scoring (BroadcastNestedLoopJoin under vec_id <
-    // neighbor_id) runs once into a localCheckpoint; the final plan
-    // must read the materialized rows twice (union of mirror
-    // projections) — not re-run the join — and bound the ranking
+  test("knn join: block-tiled kernel — packed-tile pairing, heap top-k") {
+    // the N² scoring must NOT stream per-pair rows: the only join is
+    // the B×B pairing of PACKED block rows (a broadcast nested loop
+    // over B-row sides), the dots run inside a MapPartitions kernel,
+    // and per-vector top-k goes through the bounded-heap aggregate —
+    // never a row_number window sort over the pair stream
     val p = plan("q_knn_join")
-    assert(!p.contains("Join"), "pair join must be materialized:\n" + p)
-    assert(!p.contains("FileScan") && !p.contains("BatchScan"), p)
-    assert(count(p, "Exchange hashpartitioning") <= 1, p)
-    // top-k now runs through the bounded-heap TopKPairsAgg (O(k) state,
-    // map-side partials) instead of a row_number window sort
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "tile pairing must broadcast the packed blocks:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("MapPartitions"), "kernel must run map-side:\n" + p)
+    // exchanges: block grouping (once per tile side) + the final top-k
+    assert(count(p, "Exchange hashpartitioning") <= 3, p)
     assert(!p.contains("Window"), "top-k must not sort via a window:\n" + p)
     assert(p.contains("ObjectHashAggregate"), "heap agg expected:\n" + p)
   }
