@@ -114,11 +114,18 @@ object ScaleFixture {
   * flagged again (q_spearman). Each query is planned and counted;
   * failures are reported per query and the exit code is nonzero.
   *
-  *   SPARK_GRAFT_ONLY=q_a,q_b runMain graft.ScaleSweep /tmp/graft_sf1
+  * A second argument writes a per-query timing artifact (one JSON
+  * object: total, per-query seconds sorted descending, loadavg, row
+  * counts) — the data-proportional perf gate at sf1, where the
+  * sf0.1 bench's fixed job latency no longer dominates the
+  * 2-3× scaling cohort (dedup/graph/retrieval).
+  *
+  *   SPARK_GRAFT_ONLY=q_a,q_b runMain graft.ScaleSweep /tmp/graft_sf1 [out.json]
   */
 object ScaleSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/tmp/graft_sf1"
+    val outJson = args.drop(1).headOption
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
@@ -133,11 +140,16 @@ object ScaleSweep {
     val suite = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.filter(kv => ks(kv._1)))
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val t00 = System.nanoTime()
     suite.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         val n = fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9
+        times(name) = math.rint(sec * 1000) / 1000
+        rows(name) = n
         println(f"[sweep] OK   $name%-28s rows=$n%-10d ${sec}%.1fs")
       } catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
@@ -145,8 +157,27 @@ object ScaleSweep {
         println(s"[sweep] FAIL $name $msg")
       }
     }
+    val total = math.rint((System.nanoTime() - t00) / 1e6) / 1000
     println(s"[sweep] ${suite.size - failures.size}/${suite.size} clean" +
       (if (failures.isEmpty) "" else s"; failures: ${failures.keys.mkString(", ")}"))
+    outJson.foreach { p =>
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      val qjson = times.toSeq.sortBy(-_._2)
+        .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val rjson = rows.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val fjson = failures.toSeq
+        .map { case (k, v) => s""""$k":"${v.replace("\"", "'")}"""" }
+        .mkString(",")
+      val js = s"""{"metric":"sweep_total","value":$total,"unit":"sec",""" +
+        s""""sf":"$sfDir","ansi":true,"n_queries":${suite.size},""" +
+        s""""n_clean":${suite.size - failures.size},"loadavg":$load,""" +
+        s""""queries":{$qjson},"rows":{$rjson},"failures":{$fjson}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        js.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[sweep] wrote $p")
+    }
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }
