@@ -250,10 +250,10 @@ private[graft] object QueryHelpers {
   def bpeCtes(rounds: Int): String = {
     val head = s"""
       WITH w0 AS (
-        SELECT array_to_string(string_split(w, ''), ' ') AS s,
+        SELECT w, array_to_string(string_split(w, ''), ' ') AS s,
                count(*)::BIGINT AS freq
         FROM (SELECT unnest($duckToks) AS w FROM documents)
-        WHERE w <> '' GROUP BY 1
+        WHERE w <> '' GROUP BY 1, 2
       )"""
     val stages = (0 until rounds).map { r => s""",
       p$r AS (
@@ -266,7 +266,7 @@ private[graft] object QueryHelpers {
       b$r AS (SELECT $r::INT AS round, pair, n FROM p$r
               ORDER BY n DESC, pair LIMIT 1),
       w${r + 1} AS (
-        SELECT trim(replace(replace(' ' || replace(s, ' ', '  ') || ' ',
+        SELECT w, trim(replace(replace(' ' || replace(s, ' ', '  ') || ' ',
                  ' ' || replace(b.pair, ' ', '  ') || ' ',
                  ' ' || replace(b.pair, ' ', '') || ' '), '  ', ' ')) AS s,
                freq

@@ -35,13 +35,16 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Distinct-word frequency table as (s = space-joined chars, freq). */
+  /** Distinct-word frequency table as (w, s = space-joined chars,
+    * freq). Distinct words have distinct char sequences, so w ↔ s is
+    * a bijection — carrying w costs nothing and lets [[encode]] map
+    * corpus words to their merged symbol strings. */
   def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(filter(
         split(TextAnalysis.normalized(col(textCol)), " "),
         t => t =!= "")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(concat_ws(" ",
+      .select(col("w"), concat_ws(" ",
         expr("slice(split(w, ''), 1, length(w))")).as("s"), col("freq"))
 
   private def pairCounts(words: DataFrame): DataFrame =
@@ -71,9 +74,45 @@ object Bpe {
       merges += best
       words = graft.operators.LoopCheckpoint(
         words.crossJoin(broadcast(best.select(col("pair").as("_bp"))))
-          .select(expr(mergeExpr).as("s"), col("freq")))
+          .select(col("w"), expr(mergeExpr).as("s"), col("freq")))
     }
     merges.result().reduce(_ unionByName _)
+  }
+
+  /** The word→symbols mapping after `rounds` merges — the trained
+    * tokenizer's application table. */
+  def mergedWordTable(docs: DataFrame, textCol: String,
+                      rounds: Int): DataFrame = {
+    var words = graft.operators.LoopCheckpoint(wordTable(docs, textCol))
+    for (_ <- 0 until rounds) {
+      val best = graft.operators.LoopCheckpoint(
+        pairCounts(words).orderBy(col("n").desc, col("pair").asc).limit(1)
+          .select(col("pair")))
+      words = graft.operators.LoopCheckpoint(
+        words.crossJoin(broadcast(best.select(col("pair").as("_bp"))))
+          .select(col("w"), expr(mergeExpr).as("s"), col("freq")))
+    }
+    words
+  }
+
+  /** ENCODE the corpus with the trained tokenizer: every document's
+    * words map through [[mergedWordTable]] to their merged symbol
+    * strings, yielding per-doc word and subword counts — the
+    * tokenized-length surface a packing/budgeting stage consumes.
+    * One equi-join on the word key (vocabulary-sized right side; at
+    * web scale this is the classic token-count join, broadcastable
+    * when the vocab fits). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             rounds: Int): DataFrame = {
+    val wt = mergedWordTable(docs, textCol, rounds)
+      .select(col("w"), size(split(col("s"), " ")).as("n_sub"))
+    docs.select(col(idCol).as("doc_id"), explode(filter(
+        split(TextAnalysis.normalized(col(textCol)), " "),
+        t => t =!= "")).as("w"))
+      .join(wt, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           sum(col("n_sub").cast("long")).as("n_subwords"))
   }
 
   /** Final subword vocabulary after `rounds` merges: every surviving

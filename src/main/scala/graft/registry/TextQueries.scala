@@ -109,6 +109,11 @@ private[graft] object TextQueries {
     "q_bpe_vocab" -> ((s, dir) =>
       graft.functions.Bpe.vocab(
         Tables.load(s, dir, "documents"), "text", 6)),
+    // ENCODE with the trained tokenizer: per-doc word/subword counts
+    // via one equi-join on the merged word table
+    "q_bpe_encode" -> ((s, dir) =>
+      graft.functions.Bpe.encode(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 6)),
 
     // ---- bigram language-model counts over normalized tokens:
     //      next-token conditional frequencies, the n-gram LM training
@@ -411,6 +416,15 @@ private[graft] object TextQueries {
       SELECT symbol, sum(freq)::BIGINT AS n FROM (
         SELECT freq, unnest(string_split(s, ' ')) AS symbol FROM w6)
       GROUP BY 1
+    """,
+
+    "q_bpe_encode" -> s"""
+      ${bpeCtes(6)},
+      docw AS (SELECT doc_id, unnest($duckToks) AS w FROM documents)
+      SELECT doc_id, count(*)::BIGINT AS n_words,
+             sum(len(string_split(s, ' ')))::BIGINT AS n_subwords
+      FROM docw JOIN w6 USING (w)
+      WHERE w <> '' GROUP BY doc_id
     """,
 
     "q_token_bigrams" -> s"""

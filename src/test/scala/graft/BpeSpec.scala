@@ -33,6 +33,20 @@ class BpeSpec extends SparkSpec {
     assert(m == Seq((0, "a a", 3L), (1, "aa aa", 1L)))
   }
 
+  test("encode applies the trained merges per word") {
+    val docs = (Seq.fill(2)("aaa") ++ Seq.fill(3)("ab")).toDF("text")
+      .withColumn("doc_id",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+    // after 1 round (merge "a a"): aaa -> [aa, a], ab -> [a, b]
+    val enc1 = Bpe.encode(docs, "doc_id", "text", 1)
+      .select("n_words", "n_subwords").as[(Long, Long)].collect().toSeq
+    assert(enc1.forall(_ == ((1L, 2L))))
+    // after 3 rounds both words are single symbols
+    val enc3 = Bpe.encode(docs, "doc_id", "text", 3)
+      .select("n_words", "n_subwords").as[(Long, Long)].collect().toSeq
+    assert(enc3.forall(_ == ((1L, 1L))))
+  }
+
   test("tie-break is lexicographic on the pair") {
     val docs = Seq("xy", "ab").toDF("text") // both pairs count 1
     val m = Bpe.train(docs, "text", 1).as[(Int, String, Long)].collect()
