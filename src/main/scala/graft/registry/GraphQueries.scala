@@ -59,16 +59,14 @@ private[graft] object GraphQueries {
     //      correctness graph near-complete while the bench graph
     //      stays wedge-bounded), degree-ordered wedge join ----
     "q_triangles" -> ((s, dir) => {
-      val edges = graft.operators.CoOccurrence.edges(
-        Tables.load(s, dir, "lineitem"), "l_orderkey", "l_suppkey", 5L)
+      val edges = coEdgesFor(s, dir).select("u", "v")
       graft.operators.Triangles.count(edges)
     }),
 
     // ---- per-node local clustering coefficient over the supplier
     //      co-occurrence graph (same edge rule as q_triangles) ----
     "q_cluster_coeff" -> ((s, dir) => {
-      val edges = graft.operators.CoOccurrence.edges(
-        Tables.load(s, dir, "lineitem"), "l_orderkey", "l_suppkey", 5L)
+      val edges = coEdgesFor(s, dir).select("u", "v")
       graft.operators.Triangles.clusteringCoefficient(edges)
     }),
 
@@ -80,8 +78,8 @@ private[graft] object GraphQueries {
     //      small scale; scoring both classes keeps the oracle
     //      non-vacuous everywhere) ----
     "q_link_predict" -> ((s, dir) => {
-      val canon = graft.operators.CoOccurrence.edges(
-        Tables.load(s, dir, "lineitem"), "l_orderkey", "l_suppkey", 8L)
+      val canon = coEdgesFor(s, dir).filter(col("w") >= 8)
+        .select("u", "v")
       val sym = canon.union(canon.select(col("v").as("u"), col("u").as("v")))
       val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
       val adj = sym.join(deg, "u")
@@ -114,8 +112,7 @@ private[graft] object GraphQueries {
     // ---- bounded-hop multi-source BFS over the thresholded supplier
     //      co-occurrence graph (same edge rule as q_triangles) ----
     "q_shortest_path" -> ((s, dir) => {
-      val edges = graft.operators.CoOccurrence.edges(
-        Tables.load(s, dir, "lineitem"), "l_orderkey", "l_suppkey", 5L)
+      val edges = coEdgesFor(s, dir).select("u", "v")
       val sources = Tables.load(s, dir, "supplier")
         .filter(col("s_suppkey") < 3).select(col("s_suppkey"))
       graft.operators.Bfs.boundedDistances(edges, sources, maxHops = 3)
@@ -134,9 +131,7 @@ private[graft] object GraphQueries {
     //      seed suppliers, edge cost = inverse co-occurrence affinity
     //      (weighted sibling of q_shortest_path) ----
     "q_weighted_path" -> ((s, dir) => {
-      val we = graft.operators.CoOccurrence.weighted(
-          Tables.load(s, dir, "lineitem"), "l_orderkey", "l_suppkey")
-        .filter(col("w") >= 5)
+      val we = coEdgesFor(s, dir)
         .select(col("u"), col("v"), expr("1000000 div w").as("cost"))
       val sources = Tables.load(s, dir, "supplier")
         .filter(col("s_suppkey") < 3).select(col("s_suppkey"))
@@ -148,8 +143,7 @@ private[graft] object GraphQueries {
     //      Edge derivation shares [[CoOccurrence.edges]] (hub-guarded,
     //      map-side pair explosion) with the other graph queries ----
     "q_degree_hist" -> ((s, dir) => {
-      val edges = graft.operators.CoOccurrence.edges(
-        Tables.load(s, dir, "lineitem"), "l_orderkey", "l_suppkey", 5L)
+      val edges = coEdgesFor(s, dir).select("u", "v")
       edges.select(col("u").as("node"))
         .unionByName(edges.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
