@@ -483,7 +483,10 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
               expr("bit_count(a.sim ^ b.sim)").cast("int").as("hamming"))
-      .distinct()
+      // Hamming cut BEFORE the distinct: hamming is a function of the
+      // pair, so the order is semantics-free — but filtering first
+      // keeps over-threshold band collisions out of the dedup shuffle
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
