@@ -139,22 +139,38 @@ object ScaleSweep {
     spark.sparkContext.setLogLevel("WARN")
     val suite = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.filter(kv => ks(kv._1)))
+    // SPARK_GRAFT_SWEEP_PASSES=2 adds a second timed pass and reports
+    // min-of-2 per query (the Bench hygiene): a single cold pass on a
+    // shared box swings individual queries by multiples from GC /
+    // scheduler noise, which buried real deltas between artifacts. The
+    // cold pass-1 map is kept alongside — pass 2 benefits from warmed
+    // page cache and the session-cached shared stages, which is the
+    // steady-state a pipeline actually sees.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SWEEP_PASSES", "1").toInt
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
     val t00 = System.nanoTime()
-    suite.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        val n = fn(spark, sfDir).count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        times(name) = math.rint(sec * 1000) / 1000
-        rows(name) = n
-        println(f"[sweep] OK   $name%-28s rows=$n%-10d ${sec}%.1fs")
-      } catch { case e: Throwable =>
-        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-        failures(name) = msg
-        println(s"[sweep] FAIL $name $msg")
+    for (pass <- 1 to passes) {
+      suite.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        if (!failures.contains(name)) {
+          val t0 = System.nanoTime()
+          try {
+            val n = fn(spark, sfDir).count()
+            val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1000
+            if (pass == 1) cold(name) = sec
+            times(name) = times.get(name).fold(sec)(math.min(_, sec))
+            rows(name) = n
+            if (pass == passes)
+              println(f"[sweep] OK   $name%-28s rows=$n%-10d ${times(name)}%.1fs")
+          } catch { case e: Throwable =>
+            val msg = s"${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(200)
+            failures(name) = msg
+            println(s"[sweep] FAIL $name $msg")
+          }
+        }
       }
     }
     val total = math.rint((System.nanoTime() - t00) / 1e6) / 1000
@@ -170,10 +186,14 @@ object ScaleSweep {
       val fjson = failures.toSeq
         .map { case (k, v) => s""""$k":"${v.replace("\"", "'")}"""" }
         .mkString(",")
+      val cjson = cold.toSeq.sortBy(-_._2)
+        .map { case (k, v) => s""""$k":$v""" }.mkString(",")
       val js = s"""{"metric":"sweep_total","value":$total,"unit":"sec",""" +
         s""""sf":"$sfDir","ansi":true,"n_queries":${suite.size},""" +
-        s""""n_clean":${suite.size - failures.size},"loadavg":$load,""" +
-        s""""queries":{$qjson},"rows":{$rjson},"failures":{$fjson}}"""
+        s""""n_clean":${suite.size - failures.size},"passes":$passes,""" +
+        s""""loadavg":$load,""" +
+        s""""queries":{$qjson},"cold":{$cjson},"rows":{$rjson},""" +
+        s""""failures":{$fjson}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         js.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"[sweep] wrote $p")
