@@ -63,6 +63,19 @@ private[graft] object QueryHelpers {
       graft.operators.LoopCheckpoint(graft.functions.Dedup.lshCandidatePairs(
         Tables.load(s, dir, "documents"), "doc_id", "text", 3, 16, 4)))
 
+  /** One cached BPE model (merge table, merged word table) per
+    * (session, sf dir, rounds): q_bpe_train / q_bpe_vocab /
+    * q_bpe_encode are three views over the SAME training run — share
+    * one merge loop instead of three (mirrors kmeansModels). */
+  private val bpeModels = scala.collection.concurrent.TrieMap[
+    (SparkSession, String, Int),
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+  def bpeModelFor(s: SparkSession, dir: String, rounds: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    bpeModels.getOrElseUpdate((s, dir, rounds),
+      graft.functions.Bpe.model(
+        Tables.load(s, dir, "documents"), "text", rounds))
+
   /** One cached, materialized EXACT n-gram-Jaccard pair relation per
     * (session, sf dir) at the standard (n=3, t=0.8) setting: the
     * near-dup pair query and the LSH recall evaluation consume the
@@ -281,11 +294,14 @@ private[graft] object QueryHelpers {
       b$r AS (SELECT $r::INT AS round, pair, n FROM p$r
               ORDER BY n DESC, pair LIMIT 1),
       w${r + 1} AS (
-        SELECT w, trim(replace(replace(' ' || replace(s, ' ', '  ') || ' ',
-                 ' ' || replace(b.pair, ' ', '  ') || ' ',
-                 ' ' || replace(b.pair, ' ', '') || ' '), '  ', ' ')) AS s,
+        SELECT w,
+               CASE WHEN b.pair IS NULL THEN s ELSE
+                 trim(replace(replace(' ' || replace(s, ' ', '  ') || ' ',
+                   ' ' || replace(b.pair, ' ', '  ') || ' ',
+                   ' ' || replace(b.pair, ' ', '') || ' '), '  ', ' '))
+               END AS s,
                freq
-        FROM w$r CROSS JOIN b$r b
+        FROM w$r LEFT JOIN b$r b ON true
       )"""
     }.mkString
     head + stages

@@ -183,8 +183,21 @@ object ScaleSweep {
         .map { case (k, v) => s""""$k":$v""" }.mkString(",")
       val rjson = rows.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      // full JSON string escaping — exception messages carry newlines
+      // (AnalysisException plan context) and backslashes, and a raw
+      // control char would make the artifact unparseable exactly in
+      // the failing runs where it must be machine-read
+      def jstr(v: String): String = v.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
       val fjson = failures.toSeq
-        .map { case (k, v) => s""""$k":"${v.replace("\"", "'")}"""" }
+        .map { case (k, v) => s""""$k":"${jstr(v)}"""" }
         .mkString(",")
       val cjson = cold.toSeq.sortBy(-_._2)
         .map { case (k, v) => s""""$k":$v""" }.mkString(",")

@@ -61,10 +61,20 @@ object Bpe {
     "concat(' ', replace(_bp, ' ', '  '), ' '), " +
     "concat(' ', replace(_bp, ' ', ''), ' ')), '  ', ' '))"
 
-  /** Train `rounds` BPE merges; returns the merge table
-    * (round, pair, n) — round k's pair is the most frequent adjacent
-    * symbol pair after rounds 0..k−1 were applied. */
-  def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  /** THE merge loop, run once: returns (merge table (round, pair, n),
+    * final word table (w, s, freq)). `train`/`vocab`/`encode` are all
+    * views over this pair — one loop, no drift, and the suite shares
+    * one model per (session, dir) through QueryHelpers.bpeModelFor.
+    *
+    * The merge step is a LEFT join against the (0-or-1-row) argmax: a
+    * vocabulary that fully merges before `rounds` yields an EMPTY
+    * best, which must leave the word table unchanged — the earlier
+    * crossJoin formulation annihilated the whole table (and the
+    * matching oracle CROSS JOIN collapsed identically, so the
+    * cross-engine check could never catch it; BpeSpec now pins the
+    * exhausted case). */
+  def model(docs: DataFrame, textCol: String,
+            rounds: Int): (DataFrame, DataFrame) = {
     var words = graft.operators.LoopCheckpoint(wordTable(docs, textCol))
     val merges = Seq.newBuilder[DataFrame]
     for (r <- 0 until rounds) {
@@ -73,26 +83,50 @@ object Bpe {
           .select(lit(r).as("round"), col("pair"), col("n")))
       merges += best
       words = graft.operators.LoopCheckpoint(
-        words.crossJoin(broadcast(best.select(col("pair").as("_bp"))))
-          .select(col("w"), expr(mergeExpr).as("s"), col("freq")))
+        words.join(broadcast(best.select(col("pair").as("_bp"))),
+                   lit(true), "left")
+          .select(col("w"),
+            when(col("_bp").isNull, col("s"))
+              .otherwise(expr(mergeExpr)).as("s"),
+            col("freq")))
     }
-    merges.result().reduce(_ unionByName _)
+    (merges.result().reduce(_ unionByName _), words)
   }
+
+  /** Train `rounds` BPE merges; returns the merge table
+    * (round, pair, n) — round k's pair is the most frequent adjacent
+    * symbol pair after rounds 0..k−1 were applied. */
+  def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    model(docs, textCol, rounds)._1
 
   /** The word→symbols mapping after `rounds` merges — the trained
     * tokenizer's application table. */
   def mergedWordTable(docs: DataFrame, textCol: String,
-                      rounds: Int): DataFrame = {
-    var words = graft.operators.LoopCheckpoint(wordTable(docs, textCol))
-    for (_ <- 0 until rounds) {
-      val best = graft.operators.LoopCheckpoint(
-        pairCounts(words).orderBy(col("n").desc, col("pair").asc).limit(1)
-          .select(col("pair")))
-      words = graft.operators.LoopCheckpoint(
-        words.crossJoin(broadcast(best.select(col("pair").as("_bp"))))
-          .select(col("w"), expr(mergeExpr).as("s"), col("freq")))
-    }
-    words
+                      rounds: Int): DataFrame =
+    model(docs, textCol, rounds)._2
+
+  /** [[vocab]] over an already-trained word table. */
+  def vocabFrom(words: DataFrame): DataFrame =
+    words.select(col("freq"), explode(split(col("s"), " ")).as("symbol"))
+      .groupBy("symbol").agg(sum("freq").as("n"))
+
+  /** Final subword vocabulary after `rounds` merges: every surviving
+    * symbol with its corpus frequency — what the trained tokenizer
+    * actually loads alongside the merge table. */
+  def vocab(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    vocabFrom(model(docs, textCol, rounds)._2)
+
+  /** [[encode]] over an already-trained word table. */
+  def encodeFrom(docs: DataFrame, idCol: String, textCol: String,
+                 words: DataFrame): DataFrame = {
+    val wt = words.select(col("w"), size(split(col("s"), " ")).as("n_sub"))
+    docs.select(col(idCol).as("doc_id"), explode(filter(
+        split(TextAnalysis.normalized(col(textCol)), " "),
+        t => t =!= "")).as("w"))
+      .join(wt, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           sum(col("n_sub").cast("long")).as("n_subwords"))
   }
 
   /** ENCODE the corpus with the trained tokenizer: every document's
@@ -103,32 +137,6 @@ object Bpe {
     * web scale this is the classic token-count join, broadcastable
     * when the vocab fits). */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-             rounds: Int): DataFrame = {
-    val wt = mergedWordTable(docs, textCol, rounds)
-      .select(col("w"), size(split(col("s"), " ")).as("n_sub"))
-    docs.select(col(idCol).as("doc_id"), explode(filter(
-        split(TextAnalysis.normalized(col(textCol)), " "),
-        t => t =!= "")).as("w"))
-      .join(wt, "w")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"),
-           sum(col("n_sub").cast("long")).as("n_subwords"))
-  }
-
-  /** Final subword vocabulary after `rounds` merges: every surviving
-    * symbol with its corpus frequency — what the trained tokenizer
-    * actually loads alongside the merge table. */
-  def vocab(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    var words = graft.operators.LoopCheckpoint(wordTable(docs, textCol))
-    for (r <- 0 until rounds) {
-      val best = graft.operators.LoopCheckpoint(
-        pairCounts(words).orderBy(col("n").desc, col("pair").asc).limit(1)
-          .select(col("pair")))
-      words = graft.operators.LoopCheckpoint(
-        words.crossJoin(broadcast(best.select(col("pair").as("_bp"))))
-          .select(expr(mergeExpr).as("s"), col("freq")))
-    }
-    words.select(col("freq"), explode(split(col("s"), " ")).as("symbol"))
-      .groupBy("symbol").agg(sum("freq").as("n"))
-  }
+             rounds: Int): DataFrame =
+    encodeFrom(docs, idCol, textCol, model(docs, textCol, rounds)._2)
 }

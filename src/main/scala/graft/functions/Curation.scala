@@ -37,10 +37,9 @@ object Curation {
       .filter(TextAnalysis.langId(col("text")) === lang)
     // 3: exact dedup on the normalized fingerprint (one window pass).
     // Materialized: three consumers follow (LSH pairs, the CC node
-    // set, the final representative join), and unlike the cheap
-    // recompute-don't-cache call in ngramJaccardPairs this subtree
-    // ends in a SHUFFLE (the fingerprint window) that would otherwise
-    // re-run per consumer.
+    // set, the final representative join), and this subtree ends in a
+    // SHUFFLE (the fingerprint window) that would otherwise re-run
+    // per consumer.
     val wFp = Window.partitionBy(TextAnalysis.fingerprint(col("text")))
     val exact = gated
       .withColumn("_keep", min(col("doc_id")).over(wFp))

@@ -407,8 +407,18 @@ object Dedup {
                          idCol: String, textCol: String,
                          n: Int = 3, k: Int = 16, bands: Int = 4,
                          numBuckets: Int = 64): DataFrame = {
+    // every delta doc_id gets a store row, including docs whose text
+    // has NO shingles (empty sigs array): a re-delivered doc whose
+    // corrected text is unsignable must still REPLACE its old
+    // signatures, or the store would keep bucketing it under stale
+    // text — violating the whole-row-replace contract
     val deltaSigs = graft.operators.LoopCheckpoint(
-      docBandSignatures(delta, idCol, textCol, n, k, bands))
+      delta.select(col(idCol).as("doc_id")).distinct()
+        .join(docBandSignatures(delta, idCol, textCol, n, k, bands),
+              Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("sigs"),
+            array().cast("array<string>")).as("sigs")))
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val store =

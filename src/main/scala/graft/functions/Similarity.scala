@@ -148,6 +148,9 @@ object Similarity {
         .as[(Long, Array[Double])]
         .groupByKey(r => math.floorMod(r._1, blocks.toLong).toInt)
         .mapGroups((b, it) => (b, it.toArray))
+        // consumed twice below (streamed side + broadcast side) —
+        // without this the corpus scan + packing shuffle run twice
+        .persist()
     val tiles = packed.joinWith(broadcast(packed), lit(true), "cross")
     val candidates = tiles.flatMap { case ((_, xs), (_, ys)) =>
       val m = ys.length

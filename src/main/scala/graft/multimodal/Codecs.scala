@@ -113,6 +113,11 @@ object Codecs {
     val stride = bmpStride(w)
     require(b.length.toLong >= off.toLong + dataOff + stride.toLong * h,
       "BMP pixel data truncated")
+    // The declared file size is the frame-stack seek key — a drifted
+    // bfSize smaller than the pixel data would make stack consumers
+    // slice misaligned frames far from the cause (fail loud instead)
+    require(fileSize.toLong >= dataOff + stride.toLong * h,
+      s"BMP declared size $fileSize smaller than its own pixel data")
     val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {

@@ -102,18 +102,18 @@ private[graft] object TextQueries {
     //      frequency table (pair recount → global argmax → greedy
     //      left-to-right merge, all vocabulary-proportional after one
     //      corpus scan); the merge table is the trained artifact ----
-    "q_bpe_train" -> ((s, dir) =>
-      graft.functions.Bpe.train(
-        Tables.load(s, dir, "documents"), "text", 6)),
+    // train / vocab / encode are three views over ONE shared training
+    // run (bpeModelFor — the kmeansModels pattern)
+    "q_bpe_train" -> ((s, dir) => bpeModelFor(s, dir, 6)._1),
     // the other trained artifact: the surviving subword vocabulary
     "q_bpe_vocab" -> ((s, dir) =>
-      graft.functions.Bpe.vocab(
-        Tables.load(s, dir, "documents"), "text", 6)),
+      graft.functions.Bpe.vocabFrom(bpeModelFor(s, dir, 6)._2)),
     // ENCODE with the trained tokenizer: per-doc word/subword counts
     // via one equi-join on the merged word table
     "q_bpe_encode" -> ((s, dir) =>
-      graft.functions.Bpe.encode(
-        Tables.load(s, dir, "documents"), "doc_id", "text", 6)),
+      graft.functions.Bpe.encodeFrom(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        bpeModelFor(s, dir, 6)._2)),
 
     // ---- bigram language-model counts over normalized tokens:
     //      next-token conditional frequencies, the n-gram LM training

@@ -52,4 +52,22 @@ class BpeSpec extends SparkSpec {
     val m = Bpe.train(docs, "text", 1).as[(Int, String, Long)].collect()
     assert(m.toSeq == Seq((0, "a b", 1L)))
   }
+
+  test("vocabulary exhausted before `rounds`: later rounds are no-ops") {
+    // 'ab' fully merges in round 0; rounds 1-2 have NO adjacent pairs.
+    // The empty argmax must leave the word table unchanged — the old
+    // crossJoin formulation annihilated it (vocab/encode returned zero
+    // rows, and the oracle's CROSS JOIN collapsed identically, so only
+    // this spec can catch the class)
+    val docs = Seq("ab").toDF("text")
+    val merges = Bpe.train(docs, "text", 3).as[(Int, String, Long)].collect()
+    assert(merges.toSeq == Seq((0, "a b", 1L)), "only one merge possible")
+    val vocab = Bpe.vocab(docs, "text", 3).as[(String, Long)].collect().toMap
+    assert(vocab == Map("ab" -> 1L))
+    val enc = Bpe.encode(
+      docs.withColumn("doc_id", org.apache.spark.sql.functions.lit(0L)),
+      "doc_id", "text", 3)
+      .select("n_words", "n_subwords").as[(Long, Long)].collect().toSeq
+    assert(enc == Seq((1L, 1L)))
+  }
 }

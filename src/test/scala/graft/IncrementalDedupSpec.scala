@@ -89,4 +89,24 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(sigs.count() == 3 &&
       sigs.select("doc_id").distinct().count() == 3)
   }
+
+  test("re-delivery with unsignable text CLEARS the old signatures") {
+    val store = tmpStore()
+    val docs = corpus()
+    Dedup.incrementalNearDup(spark, store,
+      docs.filter(col("doc_id") === 1L), "doc_id", "text", 3, 8, 4)
+    // doc 1 re-delivered with text too short to shingle: its store row
+    // must be REPLACED with an empty signature set, not left stale
+    val redelivered = Seq((1L, "nope")).toDF("doc_id", "text")
+    Dedup.incrementalNearDup(spark, store, redelivered,
+      "doc_id", "text", 3, 8, 4)
+    // its template twin arriving later must find NO partner
+    val d3 = Dedup.incrementalNearDup(spark, store,
+      docs.filter(col("doc_id") === 2L), "doc_id", "text", 3, 8, 4)
+    assert(d3.count() == 0,
+      "twin paired against signatures of text that no longer exists")
+    val sigs = graft.sources.KeyedUpsert.read(spark, store)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sigs(1L).isEmpty && sigs(2L).nonEmpty)
+  }
 }

@@ -198,6 +198,11 @@ class PlanLintSpec extends SparkSpec {
       a.groupingExpressions.isEmpty || boundedSide(a.child)
     case _: org.apache.spark.sql.execution.GenerateExec => false
     case _: org.apache.spark.sql.execution.ExpandExec => false
+    // object nodes can emit ANY number of rows per input (flatMap /
+    // mapPartitions / flatMapGroups) — a bound below them proves
+    // nothing; match by name so the list survives node renames
+    case u if u.nodeName.contains("MapPartitions") ||
+              u.nodeName.contains("FlatMap") => false
     case u if u.children.size == 1 => boundedSide(u.children.head)
     case _ => false
   }
