@@ -117,6 +117,26 @@ private[graft] object QueryHelpers {
       graft.operators.LoopCheckpoint(graft.functions.InvertedIndex.postings(
         Tables.load(s, dir, "documents"), "doc_id", "text")))
 
+  /** One PERSISTED impact index per (session, sf dir) — the
+    * term+doc-bucketed block-max layout ([[graft.sources.ImpactIndex]])
+    * that q_bm25_bucketed searches. Built once into a scratch path
+    * keyed on the sanitized dir + application id (the incremental-
+    * dedup store convention: no cross-session path sharing). At 100 TB
+    * the build is the nightly index job; every search reads only its
+    * query terms' buckets. */
+  private val impactIdx = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), String]()
+  def impactIndexFor(s: SparkSession, dir: String): String =
+    impactIdx.getOrElseUpdate((s, dir), {
+      val path = "/root/repo/target/graft_fixtures/impact_idx_" +
+        dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(60) + "_" +
+        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]+", "_")
+      graft.sources.ImpactIndex.build(
+        Tables.load(s, dir, "documents"), "doc_id", "text", path,
+        termBuckets = 16, docBuckets = 8)
+      path
+    })
+
   /** Shared real-format media fixture for the q_media_* family: written
     * once per JVM (the corpus is seeded-deterministic, so the write is
     * idempotent — the guard just avoids 5 redundant rewrites when the

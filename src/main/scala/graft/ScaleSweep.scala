@@ -168,6 +168,10 @@ object ScaleSweep {
             val msg = s"${e.getClass.getSimpleName}: " +
               String.valueOf(e.getMessage).take(200)
             failures(name) = msg
+            // a query that succeeded in pass 1 but failed here must not
+            // keep its stale pass-1 timings — artifact consumers would
+            // double-count it as both timed-clean and failed
+            times.remove(name); cold.remove(name); rows.remove(name)
             println(s"[sweep] FAIL $name $msg")
           }
         }

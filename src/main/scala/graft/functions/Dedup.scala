@@ -483,11 +483,31 @@ object Dedup {
     * (any pair within distance 3 must agree on ≥1 chunk; wider
     * distances trade recall, the standard Hamming-LSH shape). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int, maxBucket: Int = 100000): DataFrame = {
     val sigs = simhashSignatures(docs, idCol, textCol)
+    // |bucket|² guard: pair generation is quadratic per (band, value)
+    // bucket, and boilerplate-heavy corpora CONCENTRATE — near-identical
+    // headers collapse onto one 15-bit band value, and a hub bucket at
+    // 100 TB explodes quadratically hours into the run. The per-bucket
+    // counter rides the join's own (bnd, bv) hash partitioning (window
+    // over the join key — no extra exchange); `raise_error` evaluates
+    // only on violation. Oversized buckets mean the corpus needs
+    // boilerplate stripping ([[duplicatedSpans]]) or a tighter band
+    // split upstream — a semantic decision this operator must not make
+    // silently (the CoOccurrence guard contract).
     val bands = sigs.select(col("doc_id"), col("sim"),
         explode(sequence(lit(0), lit(3))).as("bnd"))
       .withColumn("bv", expr("shiftright(sim, bnd * 15) & 32767"))
+      .withColumn("n_bkt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bnd", "bv")))
+      .withColumn("bv",
+        when(col("n_bkt") > maxBucket,
+          expr(s"raise_error(concat('simhashPairs: band ', bnd, " +
+               s"' bucket ', bv, ' has ', n_bkt, ' docs (max " +
+               s"$maxBucket); strip boilerplate or sub-split the " +
+               "band before pairing'))"))
+          .otherwise(col("bv")))
+      .drop("n_bkt")
     bands.as("a").join(bands.as("b"),
         col("a.bnd") === col("b.bnd") && col("a.bv") === col("b.bv") &&
         col("a.doc_id") < col("b.doc_id"))

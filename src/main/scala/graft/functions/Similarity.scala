@@ -149,8 +149,13 @@ object Similarity {
         .groupByKey(r => math.floorMod(r._1, blocks.toLong).toInt)
         .mapGroups((b, it) => (b, it.toArray))
         // consumed twice below (streamed side + broadcast side) —
-        // without this the corpus scan + packing shuffle run twice
-        .persist()
+        // without this the corpus scan + packing shuffle run twice.
+        // Eager localCheckpoint, NOT persist(): cached blocks from a
+        // persist with no matching unpersist outlive the query (every
+        // bench pass leaked a copy for the session lifetime); a
+        // checkpoint's blocks are released by the ContextCleaner once
+        // the plan is unreachable.
+        .localCheckpoint(true)
     val tiles = packed.joinWith(broadcast(packed), lit(true), "cross")
     val candidates = tiles.flatMap { case ((_, xs), (_, ys)) =>
       val m = ys.length
@@ -423,10 +428,32 @@ object Similarity {
 
   /** Near-duplicate pairs by cosine ≥ threshold, blocked on a coarse
     * key (here the pre-assigned cluster label) so candidate generation
-    * is an equi-join, not a cross join. */
-  def labelBlockedNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    * is an equi-join, not a cross join.
+    *
+    * |block|² guard: pair generation is quadratic PER LABEL, and one
+    * hub label at 100 TB (a default/null label, a catch-all cluster)
+    * silently explodes into billions of pairs hours into the run —
+    * the same failure mode [[graft.operators.CoOccurrence]] guards.
+    * The per-label count rides the join's own hash partitioning (a
+    * window over the join key — no extra exchange) and `raise_error`
+    * only evaluates on violation, so the happy path pays one counter.
+    * Corpora with genuinely hot labels belong on the bounded paths
+    * that already exist: [[semDedupKmeans]] (cell size bounded by k)
+    * or [[hyperplaneLshBuckets]]. */
+  def labelBlockedNearDup(emb: DataFrame, threshold: Double,
+                          maxBlock: Int = 100000): DataFrame = {
     registerExpressions(emb.sparkSession)
     val e = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("n_blk",
+        count(lit(1)).over(Window.partitionBy("label")))
+      .withColumn("label",
+        when(col("n_blk") > maxBlock,
+          expr(s"raise_error(concat('labelBlockedNearDup: label ', " +
+               s"label, ' has ', n_blk, ' vectors (max $maxBlock); " +
+               "route hot labels through semDedupKmeans or " +
+               "hyperplaneLshBuckets'))"))
+          .otherwise(col("label")))
+      .drop("n_blk")
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -441,8 +468,9 @@ object Similarity {
     * of [[Dedup.dropNearDuplicates]]. Same scale shape: candidates are
     * an equi-join on the blocking key, components iterate only the
     * candidate node set. */
-  def semanticDedup(emb: DataFrame, threshold: Double): DataFrame = {
-    val pairs = labelBlockedNearDup(emb, threshold)
+  def semanticDedup(emb: DataFrame, threshold: Double,
+                    maxBlock: Int = 100000): DataFrame = {
+    val pairs = labelBlockedNearDup(emb, threshold, maxBlock)
     val comps = graft.operators.ConnectedComponents.run(
       emb.select(col("vec_id").as("node")), pairs.select("vec_a", "vec_b"))
     emb.join(comps, emb("vec_id") === comps("node"))

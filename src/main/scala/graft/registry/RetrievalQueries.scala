@@ -64,6 +64,15 @@ private[graft] object RetrievalQueries {
       graft.functions.InvertedIndex.bm25SearchPrunedFrom(
         postingsFor(s, dir), "doc_id",
         Seq("spark", "window", "stream"), 10)),
+    // block-max bucketed index search (ImpactIndex): builds the
+    // persisted (term_bucket, doc_bucket) impact layout once per
+    // session, then answers from query-term buckets only with whole
+    // doc blocks pruned under θ — identical top-k to the exhaustive
+    // oracle; the layout that makes max-score pruning actually win
+    // (zero-scan contract pinned in ImpactIndexSpec)
+    "q_bm25_bucketed" -> ((s, dir) =>
+      graft.sources.ImpactIndex.search(s, impactIndexFor(s, dir),
+        "doc_id", Seq("spark", "window", "stream"), 10)),
     // hybrid-retrieval rank fusion: RRF over the rarity and BM25 runs
     "q_rrf_fusion" -> ((s, dir) =>
       graft.functions.InvertedIndex.rrfFusionFrom(
@@ -189,6 +198,37 @@ private[graft] object RetrievalQueries {
     // identical exhaustive oracle as q_bm25_search: the pruned plan
     // must reproduce the full scorer's top-k bit-for-bit
     "q_bm25_wand" -> s"""
+      WITH p AS (
+        SELECT term, doc_id, count(*)::BIGINT AS tf FROM (
+          SELECT doc_id, unnest($duckToks) AS term FROM documents)
+        WHERE term <> '' GROUP BY 1, 2),
+      len AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM p GROUP BY 1),
+      st AS (SELECT sum(dl)::BIGINT AS tot, count(*)::BIGINT AS nd
+             FROM len),
+      h AS (SELECT p.doc_id, p.tf,
+                   count(*) OVER (PARTITION BY p.term)::BIGINT AS df,
+                   len.dl, st.tot, st.nd
+            FROM p JOIN len USING (doc_id) CROSS JOIN st
+            WHERE p.term IN ('spark', 'window', 'stream')),
+      sc AS (SELECT doc_id, tf, df, dl,
+                    (tot * 1000 // nd)::BIGINT AS s_milli,
+                    dl * 1000 AS d_milli, nd
+             FROM h),
+      ts AS (SELECT doc_id,
+                    ((44 * tf * s_milli * 1000000 //
+                       (20 * tf * s_milli + 6 * s_milli + 18 * d_milli))
+                     * (nd * 1000000 // df) // 1000000)::BIGINT
+                      AS term_score
+             FROM sc)
+      SELECT doc_id, sum(term_score)::BIGINT AS score_micro,
+             count(*) AS n_terms
+      FROM ts GROUP BY 1
+      ORDER BY score_micro DESC, doc_id LIMIT 10
+    """,
+
+    // identical exhaustive oracle again: the bucketed block-max search
+    // must reproduce the full scorer's top-k bit-for-bit
+    "q_bm25_bucketed" -> s"""
       WITH p AS (
         SELECT term, doc_id, count(*)::BIGINT AS tf FROM (
           SELECT doc_id, unnest($duckToks) AS term FROM documents)

@@ -29,8 +29,10 @@ echo "[submit-smoke] jar: $JAR"
   "$JAR" ALL "$DATA_DIR" "$SINK" 10000 2>&1 | tee "$LOG"
 
 # the job prints "PROCESS END: <n> persons"; require n > 0 and a
-# readable sink
-N="$(grep -o 'PROCESS END: [0-9]*' "$LOG" | grep -o '[0-9]*' || true)"
+# readable sink. Take the LAST match only: a retried/duplicated end
+# line would otherwise make N multi-line, the numeric test would
+# error (treated as false), and the gate would silently pass.
+N="$(grep -o 'PROCESS END: [0-9]*' "$LOG" | tail -1 | grep -o '[0-9]*' || true)"
 if [ -z "$N" ] || [ "$N" -le 0 ]; then
   echo "[submit-smoke] FAIL: no persons written (log: $LOG)"; exit 1
 fi
