@@ -215,5 +215,128 @@ class CheckpointRecoverySpec extends SparkSpec {
       assert(streamed == batch)
       a.unpersist(); b.unpersist()
     }
+
+    test(s"[$tag] funnel: restart recovers step prefixes, no " +
+         "re-emission, converges to one-shot run") {
+      val steps = Seq("view", "cart", "buy")
+      // phase A: every user views; even users also cart.
+      // phase B: odd users cart; EVERY user buys — a buy can only
+      // advance if the user's pre-restart prefix was recovered.
+      val phaseA = (1L to 10L).map(u =>
+          (u, "view", 1000L + u)) ++
+        (1L to 10L).filter(_ % 2 == 0).map(u => (u, "cart", 2000L + u))
+      val phaseB = (1L to 10L).filter(_ % 2 == 1).map(u =>
+          (u, "cart", 3000L + u)) ++
+        (1L to 10L).map(u => (u, "buy", 4000L + u))
+      val all = phaseA ++ phaseB
+      val dir = java.nio.file.Files.createTempDirectory(s"ckptfun_$tag")
+      val src = dir.resolve("src"); java.nio.file.Files.createDirectories(src)
+      val schema = phaseA.toDF("user_id", "event_type", "ts_ns").schema
+
+      def runPhase(ckpt: String, srcDir: java.nio.file.Path,
+                   sinkName: String): Unit = withProvider(provider) {
+        val bb = buf(sinkName)
+        val q = StreamingOps.funnelAdvances(
+            spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+              .as[graft.streaming.FunnelEvent], steps)
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.FunnelAdvance], _: Long) =>
+            val rows = df.toDF().collect()
+            bb.synchronized { bb ++= rows }; ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
+
+      stageFile(phaseA.toDF("user_id", "event_type", "ts_ns"), src, "a")
+      runPhase(dir.resolve("ckpt").toString, src, s"fun_a_$tag")
+      val a = buf(s"fun_a_$tag").toArray
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getLong(4)))
+      // phase A: 10 view advances + 5 cart advances
+      assert(a.count(_._2 == 1) == 10 && a.count(_._2 == 2) == 5)
+
+      stageFile(phaseB.toDF("user_id", "event_type", "ts_ns"), src, "b")
+      runPhase(dir.resolve("ckpt").toString, src, s"fun_b_$tag")
+      val b = buf(s"fun_b_$tag").toArray
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getLong(4)))
+
+      // (a) no reprocessing: nothing from phase A re-advances (every
+      // phase-B emission's ts is a phase-B timestamp)
+      assert(b.forall(_._3 >= 3000L), b.toSeq.toString)
+      // (b) state recovered TWO ways: every user completes the buy
+      // step (impossible on a reset prefix — 'buy' is not step 1), and
+      // the duration is measured from the PRE-restart view time
+      val buys = b.filter(_._2 == 3)
+      assert(buys.map(_._1).sorted.toSeq == (1L to 10L),
+        s"buy advances missing — prefix state lost: ${buys.toSeq}")
+      buys.foreach { case (u, _, ts, dur) =>
+        assert(dur == ts - (1000L + u),
+          s"user $u: duration $dur not anchored at the phase-A view") }
+      // (c) convergence: A ∪ B equals a one-shot run over the full log
+      val src2 = dir.resolve("src2"); java.nio.file.Files.createDirectories(src2)
+      stageFile(all.toDF("user_id", "event_type", "ts_ns"), src2, "all")
+      runPhase(dir.resolve("ckpt2").toString, src2, s"fun_f_$tag")
+      val full = buf(s"fun_f_$tag").toArray
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getLong(4)))
+      assert((a ++ b).sorted.toSeq == full.sorted.toSeq)
+    }
+
+    test(s"[$tag] capped balance: restart continues the recurrence, " +
+         "no re-emission, converges to the sequential fold") {
+      // deltas per key: phase A accumulates, phase B drains — the
+      // post-restart balances differ between a recovered and a reset
+      // state on every key (reset would clamp at zero immediately)
+      val phaseA = for (k <- 1L to 5L; s <- 1L to 5L)
+        yield (k, s, if (s == 1) 100L * k else 10L)
+      val phaseB = for (k <- 1L to 5L; s <- 6L to 10L)
+        yield (k, s, -30L)
+      val all = phaseA ++ phaseB
+      val dir = java.nio.file.Files.createTempDirectory(s"ckptbal_$tag")
+      val src = dir.resolve("src"); java.nio.file.Files.createDirectories(src)
+      val ckpt = dir.resolve("ckpt").toString
+      val schema = phaseA.toDF("key", "seq", "delta").schema
+
+      def runPhase(sinkName: String): Unit = withProvider(provider) {
+        val bb = buf(sinkName)
+        val q = StreamingOps.cappedBalanceStream(
+            spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src.toString)
+              .as[graft.streaming.BalanceDelta])
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.BalanceOut], _: Long) =>
+            val rows = df.toDF().collect()
+            bb.synchronized { bb ++= rows }; ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.stop()
+      }
+
+      stageFile(phaseA.toDF("key", "seq", "delta"), src, "a")
+      runPhase(s"bal_a_$tag")
+      val a = buf(s"bal_a_$tag").toArray
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+      stageFile(phaseB.toDF("key", "seq", "delta"), src, "b")
+      runPhase(s"bal_b_$tag")
+      val b = buf(s"bal_b_$tag").toArray
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+      // (a) no reprocessing
+      assert(b.forall(_._2 >= 6L), b.toSeq.toString)
+      // (b)+(c) the sequential floor-at-zero fold over the FULL delta
+      // log — phase-B values only match if phase-A balances survived
+      // the restart (a reset state would clamp k=1 to 0 by seq 8)
+      val expected = all.groupBy(_._1).flatMap { case (k, ds) =>
+        ds.sortBy(_._2).scanLeft((k, 0L, 0L)) { case ((_, _, bal), (_, s, d)) =>
+          (k, s, math.max(0L, bal + d)) }.drop(1)
+      }.toSet
+      assert((a ++ b).toSet == expected)
+      val k1 = b.filter(x => x._1 == 1L).sortBy(_._2).map(_._3).toSeq
+      assert(k1 == Seq(110L, 80L, 50L, 20L, 0L),
+        s"key-1 drain $k1 — recurrence did not continue from phase A")
+    }
   }
 }
