@@ -25,7 +25,7 @@ object SparkEntry {
 
   private val registries: Seq[(Seq[(String, (SparkSession, String) => DataFrame)],
                                Seq[(String, String)])] = Seq(
-    (RetentionQueries.queries, RetentionQueries.oracleSql), (CoreQueries.queries, CoreQueries.oracleSql), (GovernanceQueries.queries, GovernanceQueries.oracleSql), (TemporalAQueries.queries, TemporalAQueries.oracleSql), (TemporalBQueries.queries, TemporalBQueries.oracleSql),
+    (RetentionQueries.queries, RetentionQueries.oracleSql), (CoreQueries.queries, CoreQueries.oracleSql), (GovernanceQueries.queries, GovernanceQueries.oracleSql), (TemporalAQueries.queries, TemporalAQueries.oracleSql), (TemporalBQueries.queries, TemporalBQueries.oracleSql), (TemporalCQueries.queries, TemporalCQueries.oracleSql),
     (DedupQueries.queries, DedupQueries.oracleSql), (SimilarityQueries.queries, SimilarityQueries.oracleSql), (TextQueries.queries, TextQueries.oracleSql), (RetrievalQueries.queries, RetrievalQueries.oracleSql), (CorpusQueries.queries, CorpusQueries.oracleSql),
     (GraphQueries.queries, GraphQueries.oracleSql), (SketchQueries.queries, SketchQueries.oracleSql), (StatsQueries.queries, StatsQueries.oracleSql), (BusinessQueries.queries, BusinessQueries.oracleSql), (MediaQueries.queries, MediaQueries.oracleSql),
   )
