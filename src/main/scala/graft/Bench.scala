@@ -84,14 +84,22 @@ object Bench {
     // separate keys, NOT added to the query total — it measures a
     // different execution model (streaming state maintenance) against
     // the batch recompute it replaces.
-    val incrJson =
-      if (only.isDefined) ""
-      else try "," + incrementalReplay(spark, sfDir)
+    // each replay guarded independently; a local def keeps the try out
+    // of expression position (scalac emits inconsistent stackmap
+    // frames — VerifyError — for concatenated try-expressions here)
+    def replayPart(tag: String)(body: => String): String =
+      try "," + body
       catch { case e: Throwable =>
-        errors.getOrElseUpdate("incremental_replay",
+        errors.getOrElseUpdate(tag,
           s"${e.getClass.getName}: ${e.getMessage}")
         ""
       }
+    val incrJson =
+      if (only.isDefined) ""
+      else replayPart("incremental_replay")(
+        incrementalReplay(spark, sfDir)) +
+        replayPart("incremental_neardup_replay")(
+          incrementalNeardupReplay(spark, sfDir))
     // The harness that invokes this bench keeps only the LAST ~2000
     // chars of stdout, and sbt appends its own ~72-char success line
     // after ours — so the one-line contract JSON must fit in ~1850
@@ -221,5 +229,37 @@ object Bench {
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     s""""incremental":{"batch_sec":${f(batchSec)},"bootstrap_sec":${f(bootstrapSec)},""" +
       s""""trigger_sec":${f(triggerSec)},"floor_sec":${f(floorSec)},"delta_frac":0.01}"""
+  }
+
+  /** Per-delivery timings for the cross-run incremental near-dup store
+    * (the q_incremental_neardup shape: three disjoint thirds of the
+    * corpus through one persisted KeyedUpsert signature store) —
+    * emitted as separate keys so the DELTA-proportionality claim is a
+    * measurement, not a single mixed figure: delivery 1 bootstraps the
+    * store (signature pass + full write), deliveries 2-3 are deltas
+    * (signature pass over the delta + bucket join against the store +
+    * touched-bucket rewrite). Also runs the one-shot batch LSH over
+    * the full corpus as the recompute baseline it replaces. */
+  private[graft] def incrementalNeardupReplay(spark: SparkSession,
+                                              sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val t0 = System.nanoTime()
+    graft.functions.Dedup.lshCandidatePairs(
+      docs, "doc_id", "text", 3, 16, 4).count()
+    val batchSec = (System.nanoTime() - t0) / 1e9
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_incr_nd").toString + "/store"
+    val runs = (0 until 3).map { t =>
+      val d0 = System.nanoTime()
+      val pairs = graft.functions.Dedup.incrementalNearDup(spark, store,
+        docs.filter(pmod(col("doc_id"), lit(3)) === t),
+        "doc_id", "text", 3, 16, 4, numBuckets = 8).count()
+      ((System.nanoTime() - d0) / 1e9, pairs)
+    }
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    s""""incremental_neardup":{"batch_sec":${f(batchSec)},""" +
+      s""""bootstrap_sec":${f(runs(0)._1)},"delta2_sec":${f(runs(1)._1)},""" +
+      s""""delta3_sec":${f(runs(2)._1)},"pairs":[${runs.map(_._2).mkString(",")}]}"""
   }
 }

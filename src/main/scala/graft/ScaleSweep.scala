@@ -59,11 +59,22 @@ object ScaleFixture {
       d.withColumn("p_partkey", col("p_partkey") + lit(i * partS))
     }.write.mode("overwrite").parquet(s"$outDir/part.parquet")
 
+    // hot-household knob (SPARK_GRAFT_HOT_HH_PCT, default off): remap
+    // that percentage of ALL orders onto person 2 (household 1), so one
+    // household owns 5-10% of every encounter in the fixture — the
+    // retention DAG's AQE skew-split story measured on data instead of
+    // argued (docs/DEPLOY.md; SkewRetentionSpec pins the split fires).
+    // Deterministic (xxhash64 of the pre-offset order key) and applied
+    // to the written parquet, so the DuckDB oracle sees the same skew.
+    val hotPct = sys.env.getOrElse("SPARK_GRAFT_HOT_HH_PCT", "0").toInt
     rep(src("orders")) { (d, i) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(i * ordS))
         .withColumn("o_custkey", col("o_custkey") + lit(i * custS))
         .withColumn("o_orderdate", date_add(col("o_orderdate"), i))
-    }.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    }.withColumn("o_custkey",
+        when(pmod(xxhash64(col("o_orderkey")), lit(100L)) < hotPct, lit(2L))
+          .otherwise(col("o_custkey")))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
     rep(src("lineitem")) { (d, i) =>
       d.withColumn("l_orderkey", col("l_orderkey") + lit(i * ordS))
@@ -205,12 +216,21 @@ object ScaleSweep {
         .mkString(",")
       val cjson = cold.toSeq.sortBy(-_._2)
         .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      // per-delivery incremental near-dup timings (skipped under
+      // SPARK_GRAFT_ONLY): the sweep's q_incremental_neardup row mixes
+      // three store deliveries into one figure; these keys split
+      // bootstrap vs delta so delta-proportionality is measured
+      val incrNd =
+        if (only.isDefined) ""
+        else try "," + Bench.incrementalNeardupReplay(spark, sfDir)
+        catch { case e: Throwable =>
+          println(s"[sweep] incremental_neardup replay failed: $e"); "" }
       val js = s"""{"metric":"sweep_total","value":$total,"unit":"sec",""" +
         s""""sf":"$sfDir","ansi":true,"n_queries":${suite.size},""" +
         s""""n_clean":${suite.size - failures.size},"passes":$passes,""" +
         s""""loadavg":$load,""" +
         s""""queries":{$qjson},"cold":{$cjson},"rows":{$rjson},""" +
-        s""""failures":{$fjson}}"""
+        s""""failures":{$fjson}$incrNd}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         js.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"[sweep] wrote $p")

@@ -14,7 +14,11 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     p = f"{sfdir}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isdir(p):
+        # Spark-written table: a directory of part files (the ScaleFixture
+        # layout) rather than the driver's single-file fixtures
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
