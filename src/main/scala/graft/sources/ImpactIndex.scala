@@ -80,19 +80,25 @@ object ImpactIndex {
         pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
       .withColumn("doc_bucket",
         pmod(xxhash64(col(idCol)), lit(docBuckets.toLong)))
-      .select(col("term"), col(idCol), col("tf"), col("score"),
-              col("term_bucket"), col("doc_bucket"))
     // one exchange on the partition tuple so each (tb, db) directory is
     // written by the tasks that own it — without this every task opens
     // a writer per directory (termBuckets × docBuckets small files each)
-    scored.repartition(col("term_bucket"), col("doc_bucket"))
+    scored.select(col("term"), col(idCol), col("tf"), col("score"),
+              col("term_bucket"), col("doc_bucket"))
+      .repartition(col("term_bucket"), col("doc_bucket"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("term_bucket", "doc_bucket")
       .parquet(s"$path/postings")
     scored.groupBy(col("term"), col("term_bucket"), col("doc_bucket"))
-      .agg(max("score").as("max_score"), count(lit(1)).as("n_docs"))
+      .agg(max("score").as("max_score"), count(lit(1)).as("n_docs"),
+           first("df").as("df"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/sidecar")
+    // pinned corpus stats (the scoring EPOCH): every posting's score
+    // was computed against these; delta segments score against the
+    // same epoch until the next rebuild folds them in
+    stats.coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
   }
 
   /** Planner metadata for one search: the query terms' partition set,
@@ -110,9 +116,15 @@ object ImpactIndex {
              terms: Seq[String], k: Int, seedBlocks: Int = 2): DataFrame =
     searchWithStats(spark, path, idCol, terms, k, seedBlocks)._1
 
-  /** [[search]] plus its [[SearchStats]]. */
+  /** [[search]] plus its [[SearchStats]]. `exclude` drops those doc
+    * ids from BOTH the θ seed and the final candidates — required by
+    * [[searchWithDelta]]'s shadowing semantics (θ derived from a doc
+    * the delta shadows would be an unsound prune bound: the shadowed
+    * doc is not in the final candidate set, so fewer than k survivors
+    * might reach its θ). */
   def searchWithStats(spark: SparkSession, path: String, idCol: String,
-                      terms: Seq[String], k: Int, seedBlocks: Int = 2)
+                      terms: Seq[String], k: Int, seedBlocks: Int = 2,
+                      exclude: Option[DataFrame] = None)
       : (DataFrame, SearchStats) = {
     require(terms.nonEmpty && terms.distinct.size == terms.size)
     require(k > 0 && seedBlocks > 0)
@@ -128,12 +140,16 @@ object ImpactIndex {
     val posts = spark.read.parquet(s"$path/postings")
     def inSet(c: String, xs: Seq[Long]) =
       if (xs.isEmpty) lit(false) else col(c).isin(xs: _*)
-    def scoreOf(dbs: Seq[Long]): DataFrame =
-      posts.filter(inSet("term_bucket", tbq) && inSet("doc_bucket", dbs) &&
+    def scoreOf(dbs: Seq[Long]): DataFrame = {
+      val scored = posts
+        .filter(inSet("term_bucket", tbq) && inSet("doc_bucket", dbs) &&
                    col("term").isin(terms: _*))
         .groupBy(col(idCol))
         .agg(sum("score").as("score_micro"),
              count(lit(1)).as("n_terms"))
+      exclude.fold(scored)(e =>
+        scored.join(e.select(col(idCol)), Seq(idCol), "left_anti"))
+    }
 
     // 2. θ seed: exact top-k within the highest-bound doc blocks
     val seed = bounds.toSeq.sortBy { case (b, u) => (-u, b) }
@@ -154,5 +170,62 @@ object ImpactIndex {
       .orderBy(col("score_micro").desc, col(idCol))
       .limit(k)
     (out, SearchStats(tbq, bounds, theta, survivors))
+  }
+
+  /** Top-k BM25 over the main index PLUS an unindexed delta segment —
+    * the nightly-index + intraday-delta production shape (a Lucene-
+    * style segment pair, rebuilt into one index by the next nightly
+    * `build`).
+    *
+    * Scoring epoch is PINNED to the main build: the delta's postings
+    * are scored at query time against the main index's persisted
+    * corpus stats (avgdl, N) and per-term df (sidecar) — the standard
+    * tiered-index semantics, because re-deriving global stats per
+    * delta would silently restate every precomputed main score. A
+    * query term unseen at build time falls back to its delta df (df=0
+    * would divide by zero; the term's rarity is then delta-local until
+    * the rebuild). Delta docs SHADOW main docs with the same id
+    * (newest segment wins — the re-delivery semantics KeyedUpsert
+    * uses).
+    *
+    * Scale shape: the main side is the pruned block scan of
+    * [[searchWithStats]]; the delta side tokenizes only the delta
+    * (intraday-sized) with no index I/O. Exactness contract pinned by
+    * ImpactIndexSpec: equals the full formula evaluated over
+    * (main ∖ shadowed) ∪ delta under the pinned stats. */
+  def searchWithDelta(spark: SparkSession, path: String, idCol: String,
+                      delta: DataFrame, textCol: String,
+                      terms: Seq[String], k: Int,
+                      seedBlocks: Int = 2): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size)
+    val stats = spark.read.parquet(s"$path/stats") // 1 row: tot, nd
+    // pinned per-term df from the sidecar (Σ block counts per term)
+    val mainDf = spark.read.parquet(s"$path/sidecar")
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(sum("n_docs").as("main_df"))
+    val deltaPosts = graft.functions.InvertedIndex
+      .postings(delta, idCol, textCol)
+    val deltaDl = deltaPosts.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+    val deltaDfs = deltaPosts.groupBy(col("term"))
+      .agg(count(lit(1)).as("delta_df"))
+    val deltaScored = deltaPosts.filter(col("term").isin(terms: _*))
+      .join(deltaDl, idCol)
+      .join(deltaDfs, "term")
+      .join(broadcast(mainDf), Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("df", coalesce(col("main_df"), col("delta_df")))
+      .withColumn("s_milli", expr("tot * 1000 div nd"))
+      .withColumn("score", expr(
+        "(44 * tf * s_milli * 1000000 div" +
+        " (20 * tf * s_milli + 6 * s_milli + 18 * dl * 1000))" +
+        " * (nd * 1000000 div df) div 1000000"))
+      .groupBy(col(idCol))
+      .agg(sum("score").as("score_micro"), count(lit(1)).as("n_terms"))
+    val deltaIds = delta.select(col(idCol)).distinct()
+    val (mainTop, _) = searchWithStats(spark, path, idCol, terms,
+      k, seedBlocks, exclude = Some(deltaIds))
+    mainTop.unionByName(deltaScored)
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
   }
 }

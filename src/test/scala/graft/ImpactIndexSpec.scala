@@ -121,6 +121,89 @@ class ImpactIndexSpec extends SparkSpec {
       s"pruning freed no files: scanned=$scanned of $allQueryTb")
   }
 
+  // ---- delta segment (pinned-epoch tiered search) ---------------------
+
+  /** Reference implementation of the pinned-epoch contract, computed
+    * independently: score (main ∖ shadowed) ∪ delta with avgdl/N/df
+    * all taken from the MAIN corpus (delta-df fallback for unseen
+    * terms), exactly what searchWithDelta promises. */
+  private def pinnedExpected(main: org.apache.spark.sql.DataFrame,
+                             delta: org.apache.spark.sql.DataFrame,
+                             terms: Seq[String], k: Int)
+      : Seq[(Long, Long, Long)] = {
+    val pm = InvertedIndex.postings(main, "doc_id", "text")
+    val dlm = pm.groupBy(col("doc_id")).agg(sum("tf").as("dl"))
+    val stats = dlm.agg(sum("dl").as("tot"), count(lit(1)).as("nd"))
+    val dfm = pm.groupBy(col("term")).agg(count(lit(1)).as("main_df"))
+    val pd = InvertedIndex.postings(delta, "doc_id", "text")
+    val dld = pd.groupBy(col("doc_id")).agg(sum("tf").as("dl"))
+    val dfd = pd.groupBy(col("term")).agg(count(lit(1)).as("delta_df"))
+    val deltaIds = delta.select("doc_id").distinct()
+    val mainSide = pm.join(deltaIds, Seq("doc_id"), "left_anti")
+      .join(dlm, "doc_id").join(dfm, "term")
+      .withColumn("df", col("main_df"))
+    val deltaSide = pd.join(dld, "doc_id").join(dfd, "term")
+      .join(dfm, Seq("term"), "left")
+      .withColumn("df", coalesce(col("main_df"), col("delta_df")))
+    val scored = mainSide
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"))
+      .unionByName(deltaSide
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl")))
+      .filter(col("term").isin(terms: _*))
+      .crossJoin(broadcast(stats))
+      .withColumn("s_milli", expr("tot * 1000 div nd"))
+      .withColumn("score", expr(
+        "(44 * tf * s_milli * 1000000 div" +
+        " (20 * tf * s_milli + 6 * s_milli + 18 * dl * 1000))" +
+        " * (nd * 1000000 div df) div 1000000"))
+      .groupBy(col("doc_id"))
+      .agg(sum("score").as("score_micro"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(k)
+    topk(scored)
+  }
+
+  test("delta segment: pinned-epoch scores, shadowing, unseen terms") {
+    val rnd = new Random(23)
+    val vocab = Vector("spark", "window", "stream", "shuffle", "join",
+      "agg", "scan", "sort")
+    def text(): String =
+      Seq.fill(4 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    val main = (0L until 200L).map(i => (i, text())).toDF("doc_id", "text")
+    // delta: 30 new docs, 5 shadowing main ids (0..4) with NEW text,
+    // and a term the main corpus never saw ("quantum")
+    val delta = ((200L until 230L).map(i => (i, text())) ++
+      (0L until 5L).map(i => (i, "spark quantum " + text())))
+      .toDF("doc_id", "text")
+    val path = Files.createTempDirectory("impactd").toString
+    ImpactIndex.build(main, "doc_id", "text", path, 8, 4)
+
+    for (terms <- Seq(Seq("spark", "window"), Seq("spark", "quantum"),
+                      Seq("stream", "join", "agg"))) {
+      val got = topk(ImpactIndex.searchWithDelta(spark, path, "doc_id",
+        delta, "text", terms, 12))
+      assert(got == pinnedExpected(main, delta, terms, 12), s"terms=$terms")
+    }
+    // a shadowed id's score must come from its DELTA text: doc 0's new
+    // text contains quantum, which only delta docs can match
+    val q = topk(ImpactIndex.searchWithDelta(spark, path, "doc_id",
+      delta, "text", Seq("quantum"), 10))
+    assert(q.nonEmpty && q.map(_._1).forall(id => id < 5L))
+  }
+
+  test("empty delta degrades to the plain pruned search") {
+    val docs = (0L until 80L)
+      .map(i => (i, if (i % 3 == 0) "spark stream spark" else "spark window"))
+      .toDF("doc_id", "text")
+    val path = Files.createTempDirectory("impacte").toString
+    ImpactIndex.build(docs, "doc_id", "text", path, 4, 4)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(topk(ImpactIndex.searchWithDelta(spark, path, "doc_id",
+        empty, "text", Seq("spark", "stream"), 7)) ==
+      topk(ImpactIndex.search(spark, path, "doc_id",
+        Seq("spark", "stream"), 7)))
+  }
+
   test("a uniform corpus prunes nothing and still matches (θ-tie safety)") {
     // every doc identical → every block bound == θ; strict-< keeps all
     val docs = (0L until 60L).map(i => (i, "spark window stream"))
