@@ -137,6 +137,36 @@ private[graft] object QueryHelpers {
       path
     })
 
+  /** The delta-segment fixture split over the documents table,
+    * shared between q_bm25_delta's Spark side and its oracle: main =
+    * doc_id % 10 ≠ 0; delta = the % 10 = 0 docs (new ids) plus
+    * re-deliveries of the % 100 = 1 docs with one appended token
+    * (shadowing: same id, changed content). */
+  def deltaDocsFor(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val main = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(100)) === 1)
+        .withColumn("text", concat(col("text"), lit(" deltamarker"))))
+    (main, delta)
+  }
+
+  /** Impact index over the MAIN half of the delta fixture — built once
+    * per (session, sf dir), the nightly-build side of q_bm25_delta. */
+  private val impactMainIdx = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), String]()
+  def impactIndexMainFor(s: SparkSession, dir: String): String =
+    impactMainIdx.getOrElseUpdate((s, dir), {
+      val path = "/root/repo/target/graft_fixtures/impact_main_" +
+        dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(60) + "_" +
+        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]+", "_")
+      graft.sources.ImpactIndex.build(
+        deltaDocsFor(s, dir)._1, "doc_id", "text", path,
+        termBuckets = 16, docBuckets = 8)
+      path
+    })
+
   /** Shared real-format media fixture for the q_media_* family: written
     * once per JVM (the corpus is seeded-deterministic, so the write is
     * idempotent — the guard just avoids 5 redundant rewrites when the

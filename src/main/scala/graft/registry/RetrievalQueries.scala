@@ -73,6 +73,17 @@ private[graft] object RetrievalQueries {
     "q_bm25_bucketed" -> ((s, dir) =>
       graft.sources.ImpactIndex.search(s, impactIndexFor(s, dir),
         "doc_id", Seq("spark", "window", "stream"), 10)),
+    // tiered search: nightly index over the main split + intraday
+    // delta segment scored at query time against the PINNED build
+    // epoch (avgdl/N/df of the main corpus; delta docs shadow same-id
+    // main docs) — the Lucene-segment shape; oracle re-derives the
+    // same pinned-epoch scores over (main ∖ shadowed) ∪ delta
+    "q_bm25_delta" -> ((s, dir) => {
+      val (_, delta) = deltaDocsFor(s, dir)
+      graft.sources.ImpactIndex.searchWithDelta(s,
+        impactIndexMainFor(s, dir), "doc_id", delta, "text",
+        Seq("spark", "window", "stream"), 10)
+    }),
     // hybrid-retrieval rank fusion: RRF over the rarity and BM25 runs
     "q_rrf_fusion" -> ((s, dir) =>
       graft.functions.InvertedIndex.rrfFusionFrom(
@@ -242,6 +253,56 @@ private[graft] object RetrievalQueries {
             FROM p JOIN len USING (doc_id) CROSS JOIN st
             WHERE p.term IN ('spark', 'window', 'stream')),
       sc AS (SELECT doc_id, tf, df, dl,
+                    (tot * 1000 // nd)::BIGINT AS s_milli,
+                    dl * 1000 AS d_milli, nd
+             FROM h),
+      ts AS (SELECT doc_id,
+                    ((44 * tf * s_milli * 1000000 //
+                       (20 * tf * s_milli + 6 * s_milli + 18 * d_milli))
+                     * (nd * 1000000 // df) // 1000000)::BIGINT
+                      AS term_score
+             FROM sc)
+      SELECT doc_id, sum(term_score)::BIGINT AS score_micro,
+             count(*) AS n_terms
+      FROM ts GROUP BY 1
+      ORDER BY score_micro DESC, doc_id LIMIT 10
+    """,
+
+    // pinned-epoch tiered oracle: stats (avgdl, N) and df come from the
+    // MAIN split only; delta docs shadow same-id main docs; terms the
+    // main build never saw fall back to delta-local df
+    "q_bm25_delta" -> s"""
+      WITH main AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id % 10 <> 0),
+      delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id, text || ' deltamarker' FROM documents
+                WHERE doc_id % 100 = 1),
+      pm AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM (
+               SELECT doc_id, unnest($duckToks) AS term FROM main)
+             WHERE term <> '' GROUP BY 1, 2),
+      dlm AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM pm GROUP BY 1),
+      st AS (SELECT sum(dl)::BIGINT AS tot, count(*)::BIGINT AS nd
+             FROM dlm),
+      dfm AS (SELECT term, count(*)::BIGINT AS main_df FROM pm GROUP BY 1),
+      pd AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM (
+               SELECT doc_id, unnest($duckToks) AS term FROM delta)
+             WHERE term <> '' GROUP BY 1, 2),
+      dld AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM pd GROUP BY 1),
+      dfd AS (SELECT term, count(*)::BIGINT AS delta_df FROM pd GROUP BY 1),
+      mains AS (SELECT pm.doc_id, pm.term, pm.tf, dfm.main_df AS df,
+                       dlm.dl
+                FROM pm JOIN dlm USING (doc_id) JOIN dfm USING (term)
+                WHERE pm.doc_id NOT IN (SELECT doc_id FROM delta)),
+      deltas AS (SELECT pd.doc_id, pd.term, pd.tf,
+                        coalesce(dfm.main_df, dfd.delta_df) AS df, dld.dl
+                 FROM pd JOIN dld USING (doc_id) JOIN dfd USING (term)
+                 LEFT JOIN dfm USING (term)),
+      u AS (SELECT * FROM mains UNION ALL SELECT * FROM deltas),
+      h AS (SELECT u.doc_id, u.tf, u.df, u.dl, st.tot, st.nd
+            FROM u CROSS JOIN st
+            WHERE u.term IN ('spark', 'window', 'stream')),
+      sc AS (SELECT doc_id, tf, df,
                     (tot * 1000 // nd)::BIGINT AS s_milli,
                     dl * 1000 AS d_milli, nd
              FROM h),
