@@ -124,13 +124,22 @@ private[graft] object QueryHelpers {
     * dedup store convention: no cross-session path sharing). At 100 TB
     * the build is the nightly index job; every search reads only its
     * query terms' buckets. */
+  /** Scratch path for per-(session, sf dir) mutable fixtures (stores,
+    * indexes): keyed on the SANITIZED dir string (hashCode alone is
+    * 32-bit and collision-prone) plus the application id, so two
+    * concurrent sessions over the same sf dir never share a path —
+    * single-writer contracts (KeyedUpsert) depend on it. The one
+    * definition of the rule; the store/index builders all route here. */
+  def scratchPathFor(s: SparkSession, dir: String, prefix: String): String =
+    "/root/repo/target/graft_fixtures/" + prefix + "_" +
+      dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(60) + "_" +
+      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]+", "_")
+
   private val impactIdx = scala.collection.concurrent.TrieMap[
     (SparkSession, String), String]()
   def impactIndexFor(s: SparkSession, dir: String): String =
     impactIdx.getOrElseUpdate((s, dir), {
-      val path = "/root/repo/target/graft_fixtures/impact_idx_" +
-        dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(60) + "_" +
-        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]+", "_")
+      val path = scratchPathFor(s, dir, "impact_idx")
       graft.sources.ImpactIndex.build(
         Tables.load(s, dir, "documents"), "doc_id", "text", path,
         termBuckets = 16, docBuckets = 8)
@@ -158,9 +167,7 @@ private[graft] object QueryHelpers {
     (SparkSession, String), String]()
   def impactIndexMainFor(s: SparkSession, dir: String): String =
     impactMainIdx.getOrElseUpdate((s, dir), {
-      val path = "/root/repo/target/graft_fixtures/impact_main_" +
-        dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(60) + "_" +
-        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]+", "_")
+      val path = scratchPathFor(s, dir, "impact_main")
       graft.sources.ImpactIndex.build(
         deltaDocsFor(s, dir)._1, "doc_id", "text", path,
         termBuckets = 16, docBuckets = 8)

@@ -64,7 +64,8 @@ object ScaleFixture {
     // household owns 5-10% of every encounter in the fixture — the
     // retention DAG's AQE skew-split story measured on data instead of
     // argued (docs/DEPLOY.md; SkewRetentionSpec pins the split fires).
-    // Deterministic (xxhash64 of the pre-offset order key) and applied
+    // Deterministic (xxhash64 of the POST-offset order key — each
+    // replica contributes its own independent ~pct% subset) and applied
     // to the written parquet, so the DuckDB oracle sees the same skew.
     val hotPct = sys.env.getOrElse("SPARK_GRAFT_HOT_HH_PCT", "0").toInt
     rep(src("orders")) { (d, i) =>

@@ -57,13 +57,7 @@ private[graft] object DedupQueries {
     // delta-vs-union equivalence, checked against the same lsh_pairs
     // oracle as q_dedup_minhash_lsh
     "q_incremental_neardup" -> ((s, dir) => {
-      // path keyed on the SANITIZED dir string (hashCode alone is
-      // 32-bit and collision-prone) plus the Spark application id, so
-      // two concurrent sessions over the same sf dir never share a
-      // store — KeyedUpsert's contract is single-writer per path
-      val store = "/root/repo/target/graft_fixtures/incr_store_" +
-        dir.replaceAll("[^A-Za-z0-9]+", "_").takeRight(60) + "_" +
-        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]+", "_")
+      val store = scratchPathFor(s, dir, "incr_store")
       val fs = new org.apache.hadoop.fs.Path(store)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(store), true)

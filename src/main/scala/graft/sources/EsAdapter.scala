@@ -137,8 +137,14 @@ object EsDsl {
     * Spark-side evaluation (the standard pushdown contract — never
     * drop an untranslatable predicate). */
   def fromFilter(f: Filter): Option[J] = f match {
-    case EqualTo(a, v) => Some(term(a, String.valueOf(v)))
-    case In(a, vs) => Some(terms(a, vs.toSeq.map(String.valueOf)))
+    case EqualTo(a, v) if v != null => Some(term(a, String.valueOf(v)))
+    case In(a, vs) =>
+      // SQL IN never matches a null element (unknown → filtered), so
+      // nulls simply drop from the terms list; all-null degenerates to
+      // match-nothing rather than an (invalid) empty terms array
+      val nn = vs.toSeq.filter(_ != null).map(String.valueOf)
+      Some(if (nn.isEmpty) bool(mustNot = Seq(JObj("match_all" -> JObj())))
+           else terms(a, nn))
     case GreaterThanOrEqual(a, v) =>
       Some(range(a, Some(String.valueOf(v)), None))
     case GreaterThan(a, v) =>
@@ -155,7 +161,12 @@ object EsDsl {
       yield bool(must = Seq(lj, rj))
     case Or(l, r) => for (lj <- fromFilter(l); rj <- fromFilter(r))
       yield bool(should = Seq(lj, rj))
-    case Not(c) => fromFilter(c).map(cj => bool(mustNot = Seq(cj)))
+    // General Not does NOT translate: ES must_not(term(x,1)) matches
+    // documents MISSING x, but SQL NOT(x=1) is unknown→filtered on
+    // null x — pushing it would return extra rows with no residual
+    // re-check. Only the null-test negations are 3VL-safe.
+    case Not(IsNull(a)) => Some(exists(a))
+    case Not(IsNotNull(a)) => Some(bool(mustNot = Seq(exists(a))))
     case _ => None
   }
 
@@ -163,11 +174,12 @@ object EsDsl {
     * constant-score DSL body, plus the residual filters Spark must
     * still evaluate. */
   def fromFilters(fs: Seq[Filter]): (String, Seq[Filter]) = {
-    val (pushed, residual) = fs.partition(fromFilter(_).isDefined)
-    val q = pushed.flatMap(fromFilter) match {
+    val translated = fs.map(f => f -> fromFilter(f))
+    val residual = translated.collect { case (f, None) => f }
+    val q = translated.flatMap(_._2) match {
       case Seq() => JObj("match_all" -> JObj())
       case Seq(one) => one
-      case many => bool(must = many)
+      case many => bool(must = many.toSeq)
     }
     (searchBody(constantScore(q)), residual)
   }

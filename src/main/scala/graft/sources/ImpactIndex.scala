@@ -89,15 +89,29 @@ object ImpactIndex {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("term_bucket", "doc_bucket")
       .parquet(s"$path/postings")
-    scored.groupBy(col("term"), col("term_bucket"), col("doc_bucket"))
-      .agg(max("score").as("max_score"), count(lit(1)).as("n_docs"),
-           first("df").as("df"))
+    // sidecar + stats derive from the postings AS WRITTEN, not from the
+    // `scored` plan: re-evaluating the plan would re-run tokenization +
+    // the dl/df joins per write (double the nightly build cost), and —
+    // worse — a nondeterministic `docs` input could produce sidecar
+    // ceilings from a DIFFERENT evaluation than the persisted postings,
+    // silently breaking the block-bound invariant the prune relies on.
+    // Reading back the written files makes the metadata consistent with
+    // the data by construction.
+    val written = docs.sparkSession.read.parquet(s"$path/postings")
+    // partition columns come back as INT from directory-value
+    // inference; the sidecar contract (and its readers) is LONG
+    written.groupBy(col("term"),
+        col("term_bucket").cast("long").as("term_bucket"),
+        col("doc_bucket").cast("long").as("doc_bucket"))
+      .agg(max("score").as("max_score"), count(lit(1)).as("n_docs"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/sidecar")
     // pinned corpus stats (the scoring EPOCH): every posting's score
     // was computed against these; delta segments score against the
     // same epoch until the next rebuild folds them in
-    stats.coalesce(1)
+    written.agg(sum("tf").as("tot"),
+                countDistinct(col(idCol)).as("nd"))
+      .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
   }
 

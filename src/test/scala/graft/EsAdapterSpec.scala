@@ -97,8 +97,27 @@ class EsAdapterSpec extends SparkSpec {
         {"range": {"admit_date": {"lte": "2024-01-01"}}}]}}""")
     assertJson(EsDsl.fromFilter(In("seg", Array("A", "B"))).get.render,
       """{"terms": {"seg": ["A", "B"]}}""")
-    assertJson(EsDsl.fromFilter(Not(EqualTo("x", "1"))).get.render,
-      """{"bool": {"must_not": [{"term": {"x": "1"}}]}}""")
+  }
+
+  test("three-valued-logic hazards stay residual or null-safe") {
+    // general NOT must NOT push: ES must_not(term) matches docs MISSING
+    // the field, but SQL NOT(x=1) filters null-x rows — pushing it
+    // would return extra rows with no residual re-check
+    assert(EsDsl.fromFilter(Not(EqualTo("x", "1"))).isEmpty)
+    assert(EsDsl.fromFilter(Not(GreaterThan("x", "1"))).isEmpty)
+    // the null-test negations ARE safe, and translate exactly
+    assertJson(EsDsl.fromFilter(Not(IsNull("x"))).get.render,
+      """{"exists": {"field": "x"}}""")
+    assertJson(EsDsl.fromFilter(Not(IsNotNull("x"))).get.render,
+      """{"bool": {"must_not": [{"exists": {"field": "x"}}]}}""")
+    // IN drops null elements (SQL IN never matches null); all-null
+    // degenerates to match-nothing, not an invalid empty terms array
+    assertJson(EsDsl.fromFilter(In("seg", Array("A", null))).get.render,
+      """{"terms": {"seg": ["A"]}}""")
+    assertJson(EsDsl.fromFilter(In("seg", Array[Any](null))).get.render,
+      """{"bool": {"must_not": [{"match_all": {}}]}}""")
+    // null-valued equality is never true — residual, not a term query
+    assert(EsDsl.fromFilter(EqualTo("x", null)).isEmpty)
   }
 
   test("untranslatable filters stay residual; the rest still push") {
