@@ -488,18 +488,21 @@ object Dedup {
     // |bucket|² guard: pair generation is quadratic per (band, value)
     // bucket, and boilerplate-heavy corpora CONCENTRATE — near-identical
     // headers collapse onto one 15-bit band value, and a hub bucket at
-    // 100 TB explodes quadratically hours into the run. The per-bucket
-    // counter rides the join's own (bnd, bv) hash partitioning (window
-    // over the join key — no extra exchange); `raise_error` evaluates
-    // only on violation. Oversized buckets mean the corpus needs
-    // boilerplate stripping ([[duplicatedSpans]]) or a tighter band
-    // split upstream — a semantic decision this operator must not make
-    // silently (the CoOccurrence guard contract).
-    val bands = sigs.select(col("doc_id"), col("sim"),
+    // 100 TB explodes quadratically hours into the run. Bucket sizes
+    // come from a small separate aggregate BROADCAST back onto the
+    // rows (≤ 4·2¹⁵ groups; `raise_error` evaluates only on
+    // violation) — not a window over the join key, which would add a
+    // sort to both self-join sides for nothing. Oversized buckets mean
+    // the corpus needs boilerplate stripping ([[duplicatedSpans]]) or
+    // a tighter band split upstream — a semantic decision this
+    // operator must not make silently (the CoOccurrence guard
+    // contract).
+    val rawBands = sigs.select(col("doc_id"), col("sim"),
         explode(sequence(lit(0), lit(3))).as("bnd"))
       .withColumn("bv", expr("shiftright(sim, bnd * 15) & 32767"))
-      .withColumn("n_bkt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("bnd", "bv")))
+    val sizes = rawBands.groupBy(col("bnd"), col("bv"))
+      .agg(count(lit(1)).as("n_bkt"))
+    val bands = rawBands.join(broadcast(sizes), Seq("bnd", "bv"))
       .withColumn("bv",
         when(col("n_bkt") > maxBucket,
           expr(s"raise_error(concat('simhashPairs: band ', bnd, " +

@@ -434,18 +434,22 @@ object Similarity {
     * hub label at 100 TB (a default/null label, a catch-all cluster)
     * silently explodes into billions of pairs hours into the run —
     * the same failure mode [[graft.operators.CoOccurrence]] guards.
-    * The per-label count rides the join's own hash partitioning (a
-    * window over the join key — no extra exchange) and `raise_error`
-    * only evaluates on violation, so the happy path pays one counter.
-    * Corpora with genuinely hot labels belong on the bounded paths
-    * that already exist: [[semDedupKmeans]] (cell size bounded by k)
-    * or [[hyperplaneLshBuckets]]. */
+    * Block sizes come from a tiny separate aggregate BROADCAST back
+    * onto the rows (map-side; `raise_error` evaluates only on
+    * violation) — deliberately NOT a window over the label: that
+    * would pre-partition both self-join sides by label, and with few
+    * distinct labels the pair generation collapses onto |labels|
+    * tasks (measured 2.2× on the sf1 sweep). Corpora with genuinely
+    * hot labels belong on the bounded paths that already exist:
+    * [[semDedupKmeans]] (cell size bounded by k) or
+    * [[hyperplaneLshBuckets]]. */
   def labelBlockedNearDup(emb: DataFrame, threshold: Double,
                           maxBlock: Int = 100000): DataFrame = {
     registerExpressions(emb.sparkSession)
-    val e = emb.select(col("vec_id"), col("label"), col("embedding"))
-      .withColumn("n_blk",
-        count(lit(1)).over(Window.partitionBy("label")))
+    val raw = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val sizes = raw.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_blk"))
+    val e = raw.join(broadcast(sizes), "label")
       .withColumn("label",
         when(col("n_blk") > maxBlock,
           expr(s"raise_error(concat('labelBlockedNearDup: label ', " +
