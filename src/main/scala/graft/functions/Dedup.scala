@@ -484,42 +484,78 @@ object Dedup {
     * distances trade recall, the standard Hamming-LSH shape). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int, maxBucket: Int = 100000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sigs = simhashSignatures(docs, idCol, textCol)
-    // |bucket|² guard: pair generation is quadratic per (band, value)
-    // bucket, and boilerplate-heavy corpora CONCENTRATE — near-identical
-    // headers collapse onto one 15-bit band value, and a hub bucket at
-    // 100 TB explodes quadratically hours into the run. Bucket sizes
-    // come from a small separate aggregate BROADCAST back onto the
-    // rows (≤ 4·2¹⁵ groups; `raise_error` evaluates only on
-    // violation) — not a window over the join key, which would add a
-    // sort to both self-join sides for nothing. Oversized buckets mean
-    // the corpus needs boilerplate stripping ([[duplicatedSpans]]) or
-    // a tighter band split upstream — a semantic decision this
-    // operator must not make silently (the CoOccurrence guard
-    // contract).
-    val rawBands = sigs.select(col("doc_id"), col("sim"),
+    // Pair generation runs INSIDE the (band, value) bucket's own task:
+    // one groupByKey on the band key (the same shuffle the previous
+    // self-join formulation paid), then a tight primitive kernel emits
+    // only pairs already under the Hamming cut. The join version
+    // materialized every bucket collision as an UnsafeRow pair before
+    // filtering — 14.9M pairs at sf1 for a fraction of survivors; the
+    // kernel does the same xor+popcount work in a local array and the
+    // over-threshold collisions never become rows. Parallelism is
+    // unchanged (≤ 4·2¹⁵ buckets, each bucket was already generated by
+    // exactly one join task).
+    //
+    // |bucket|² guard: quadratic per bucket, and boilerplate-heavy
+    // corpora CONCENTRATE — near-identical headers collapse onto one
+    // 15-bit band value, and a hub bucket at 100 TB explodes
+    // quadratically hours into the run. The kernel sees the whole
+    // bucket, so the guard is a direct size check — loud failure, the
+    // CoOccurrence contract. Oversized buckets mean the corpus needs
+    // boilerplate stripping ([[duplicatedSpans]]) or a tighter band
+    // split upstream — a semantic decision this operator must not
+    // make silently.
+    sigs.select(col("doc_id").cast("long").as("doc_id"),
+        col("sim").cast("long").as("sim"),
         explode(sequence(lit(0), lit(3))).as("bnd"))
       .withColumn("bv", expr("shiftright(sim, bnd * 15) & 32767"))
-    val sizes = rawBands.groupBy(col("bnd"), col("bv"))
-      .agg(count(lit(1)).as("n_bkt"))
-    val bands = rawBands.join(broadcast(sizes), Seq("bnd", "bv"))
-      .withColumn("bv",
-        when(col("n_bkt") > maxBucket,
-          expr(s"raise_error(concat('simhashPairs: band ', bnd, " +
-               s"' bucket ', bv, ' has ', n_bkt, ' docs (max " +
-               s"$maxBucket); strip boilerplate or sub-split the " +
-               "band before pairing'))"))
-          .otherwise(col("bv")))
-      .drop("n_bkt")
-    bands.as("a").join(bands.as("b"),
-        col("a.bnd") === col("b.bnd") && col("a.bv") === col("b.bv") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              expr("bit_count(a.sim ^ b.sim)").cast("int").as("hamming"))
-      // Hamming cut BEFORE the distinct: hamming is a function of the
-      // pair, so the order is semantics-free — but filtering first
-      // keeps over-threshold band collisions out of the dedup shuffle
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+      .select(col("bnd").cast("int").as("bnd"),
+              col("bv").cast("long").as("bv"),
+              col("doc_id"), col("sim"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
+        val (bnd, bv) = key
+        val a = it.map(r => (r._3, r._4)).toArray
+        if (a.length > maxBucket)
+          throw new IllegalStateException(
+            s"simhashPairs: band $bnd bucket $bv has ${a.length} docs " +
+            s"(max $maxBucket); strip boilerplate or sub-split the " +
+            "band before pairing")
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        var i = 0
+        while (i < a.length) {
+          val (idI, simI) = a(i)
+          var j = i + 1
+          while (j < a.length) {
+            val simJ = a(j)._2
+            val h = java.lang.Long.bitCount(simI ^ simJ)
+            if (h <= maxHamming) {
+              // A near-dup pair can collide in several bands; emit it
+              // ONLY from the first band the signatures share, so the
+              // global pair set is exact-distinct BY CONSTRUCTION —
+              // no multi-band duplicate generation (up to 4× the
+              // output volume) and no distinct() shuffle over the
+              // 14.9M sf1 survivors afterwards.
+              var first = 0
+              while (((simI >> (first * 15)) & 32767L) !=
+                     ((simJ >> (first * 15)) & 32767L)) first += 1
+              if (first == bnd) {
+                val idJ = a(j)._1
+                if (idI < idJ) out += ((idI, idJ, h))
+                else if (idJ < idI) out += ((idJ, idI, h))
+                // equal ids (duplicate input keys) never paired — the
+                // strict a.doc_id < b.doc_id contract
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("doc_a", "doc_b", "hamming")
   }
 }

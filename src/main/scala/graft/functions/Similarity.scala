@@ -428,28 +428,42 @@ object Similarity {
 
   /** Near-duplicate pairs by cosine ≥ threshold, blocked on a coarse
     * key (here the pre-assigned cluster label) so candidate generation
-    * is an equi-join, not a cross join.
+    * is an equi-join, not a cross join — and TILED like [[knnJoin]]:
+    * each label's vectors are hashed into `tiles` packed
+    * primitive-array groups, every within-label (tile × tile) pair is
+    * scored inside one task by the same tight kernel (float→double
+    * widen, ascending-index fold — the IEEE order of
+    * [[expressions.CosineSimilarity]], so scores are bit-identical to
+    * the row-level formulation and the DuckDB oracle), and only pairs
+    * at or above the threshold ever become rows. The previous
+    * row-level self-join materialized every candidate pair through
+    * join machinery — ~20M UnsafeRow pairs at sf1 for ~0.4M survivors;
+    * the kernel does the same multiply-adds in primitive arrays and
+    * emits survivors only. Parallelism is |labels|·tiles², not
+    * |labels|, so few-distinct-label corpora don't collapse onto a
+    * handful of tasks.
     *
     * |block|² guard: pair generation is quadratic PER LABEL, and one
     * hub label at 100 TB (a default/null label, a catch-all cluster)
-    * silently explodes into billions of pairs hours into the run —
-    * the same failure mode [[graft.operators.CoOccurrence]] guards.
-    * Block sizes come from a tiny separate aggregate BROADCAST back
-    * onto the rows (map-side; `raise_error` evaluates only on
-    * violation) — deliberately NOT a window over the label: that
-    * would pre-partition both self-join sides by label, and with few
-    * distinct labels the pair generation collapses onto |labels|
-    * tasks (measured 2.2× on the sf1 sweep). Corpora with genuinely
-    * hot labels belong on the bounded paths that already exist:
+    * silently explodes into billions of pair evaluations hours into a
+    * run — the same failure mode [[graft.operators.CoOccurrence]]
+    * guards. Block sizes come from a tiny separate aggregate BROADCAST
+    * back onto the rows before packing (map-side; `raise_error`
+    * evaluates only on violation). Corpora with genuinely hot labels
+    * belong on the bounded paths that already exist:
     * [[semDedupKmeans]] (cell size bounded by k) or
     * [[hyperplaneLshBuckets]]. */
   def labelBlockedNearDup(emb: DataFrame, threshold: Double,
-                          maxBlock: Int = 100000): DataFrame = {
-    registerExpressions(emb.sparkSession)
-    val raw = emb.select(col("vec_id"), col("label"), col("embedding"))
+                          maxBlock: Int = 100000,
+                          tiles: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val raw = emb.select(col("vec_id").cast("long").as("vec_id"),
+                         col("label").cast("string").as("label"),
+                         col("embedding").cast("array<double>").as("embedding"))
     val sizes = raw.groupBy(col("label"))
       .agg(count(lit(1)).as("n_blk"))
-    val e = raw.join(broadcast(sizes), "label")
+    val guarded = raw.join(broadcast(sizes), "label")
       .withColumn("label",
         when(col("n_blk") > maxBlock,
           expr(s"raise_error(concat('labelBlockedNearDup: label ', " +
@@ -457,13 +471,69 @@ object Similarity {
                "route hot labels through semDedupKmeans or " +
                "hyperplaneLshBuckets'))"))
           .otherwise(col("label")))
-      .drop("n_blk")
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-              round(cosineFused(col("a.embedding"), col("b.embedding")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, String, Array[Double])]
+    // Pack per (label, tile). Consumed twice (both self-join sides);
+    // eager localCheckpoint, not persist — see knnJoin.
+    val packed = guarded
+      .groupByKey(r => (r._2, math.floorMod(r._1, tiles.toLong).toInt))
+      .mapGroups((key, it) => (key._1, key._2, it.map(r => (r._1, r._3)).toArray))
+      .localCheckpoint(true)
+    // Unordered tile pairs within a label: (ta, tb) with ta ≤ tb — each
+    // unordered VECTOR pair lands in exactly one tile-pair task.
+    val tilePairs = packed.as("x").joinWith(packed.as("y"),
+      $"x._1" === $"y._1" && $"x._2" <= $"y._2")
+    tilePairs.flatMap { case ((_, ta, xs), (_, tb, ys)) =>
+      val same = ta == tb
+      val m = ys.length
+      val yn = new Array[Double](m) // ||y||² once per tile side
+      var t = 0
+      while (t < m) {
+        val v = ys(t)._2; var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i) * v(i); i += 1 }
+        yn(t) = d; t += 1
+      }
+      // Threshold on the ROUNDED score (round(x,6) HALF_UP, the shared
+      // oracle surface) — but BigDecimal rounding is too slow for the
+      // full pair volume, so candidates are screened on RAW scores
+      // with the same guard band as knnJoin: |round(x) − x| ≤ 5e-7 +
+      // ulp, so raw < threshold − 1.1e-6 can never round up to the
+      // threshold; only band survivors pay the rounding.
+      val floor = threshold - 1.1e-6
+      xs.iterator.flatMap { case (xid, xv) =>
+        var xd = 0.0; var i = 0
+        while (i < xv.length) { xd += xv(i) * xv(i); i += 1 }
+        if (xd == 0.0) Iterator.empty
+        else {
+          val xn = math.sqrt(xd)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var j = 0
+          while (j < m) {
+            val yid = ys(j)._1
+            // same tile: strict id order avoids self + mirror pairs;
+            // distinct tiles: every cross pair, emitted (min, max)
+            if ((if (same) xid < yid else true) && yn(j) != 0.0) {
+              val yv = ys(j)._2
+              if (xv.length == yv.length) { // length mismatch → NULL upstream
+                var dot = 0.0; var e = 0
+                while (e < xv.length) { dot += xv(e) * yv(e); e += 1 }
+                val rawCos = dot / (xn * math.sqrt(yn(j)))
+                if (rawCos >= floor) {
+                  val cos = BigDecimal.decimal(rawCos)
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  if (cos >= threshold) {
+                    if (xid < yid) out += ((xid, yid, cos))
+                    else out += ((yid, xid, cos))
+                  }
+                }
+              }
+            }
+            j += 1
+          }
+          out.iterator
+        }
+      }
+    }.toDF("vec_a", "vec_b", "cos")
   }
 
   /** One-call semantic dedup over an embedding corpus: cosine near-dup

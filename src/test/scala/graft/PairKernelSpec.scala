@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dedup, Similarity}
+
+/** Differential contracts for the tiled pair kernels: the
+  * mapPartitions-style candidate generators must emit EXACTLY the pair
+  * set (and scores) of the declarative row-level formulation they
+  * replaced — same blocking semantics, same IEEE fold order, same
+  * HALF_UP rounding surface, exact-distinct output. Randomized inputs
+  * so tile boundaries, band collisions, and rounding guard bands all
+  * get exercised. */
+class PairKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  test("labelBlockedNearDup matches the row-level self-join on random data") {
+    val r = rng(42)
+    val emb = (0L until 300L).map { i =>
+      (i, s"lbl${r.nextInt(4)}",
+       Array.fill(16)((r.nextInt(2001) - 1000) / 1000.0f))
+    }.toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelBlockedNearDup(emb, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    // reference: declarative within-label self-join through the same
+    // fused cosine + round(…, 6) surface
+    Similarity.registerExpressions(spark)
+    val e = emb.select(col("vec_id"), col("label"),
+                       col("embedding").cast("array<double>").as("embedding"))
+    val want = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        round(expr("cosine_sim(a.embedding, b.embedding)"), 6).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty, "fixture must produce pairs")
+    assert(got == want)
+  }
+
+  test("labelBlockedNearDup pairs split across tiles exactly once") {
+    // 40 identical vectors on one label: C(40,2) pairs, cos 1.0 — every
+    // (tile, tile) combination contributes, nothing duplicated/dropped
+    val emb = (0L until 40L).map(i => (i, "x", Array.fill(8)(0.25f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelBlockedNearDup(emb, 0.5, tiles = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 40 * 39 / 2)
+    assert(got.forall { case (a, b, c) => a < b && c == 1.0 })
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length)
+  }
+
+  test("labelBlockedNearDup skips zero-norm and length-mismatched vectors") {
+    val emb = Seq(
+      (0L, "x", Array.fill(8)(0.5f)),
+      (1L, "x", Array.fill(8)(0.5f)),
+      (2L, "x", Array.fill(8)(0.0f)),   // zero norm → NULL cosine upstream
+      (3L, "x", Array.fill(4)(0.5f))    // length mismatch → NULL upstream
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelBlockedNearDup(emb, 0.0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((0L, 1L, 1.0)))
+  }
+
+  test("simhashPairs matches the banded self-join + distinct on random docs") {
+    val r = rng(7)
+    val vocab = Vector("spark", "shuffle", "window", "stream", "join",
+                       "partition", "codegen", "catalyst")
+    val docs = (0L until 200L).map { i =>
+      (i, Seq.fill(12)(vocab(r.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", 20)
+      .as[(Long, Long, Int)].collect().toSet
+    // reference: explicit band join, hamming cut, distinct
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+    val bands = sigs.select(col("doc_id"), col("sim"),
+        explode(sequence(lit(0), lit(3))).as("bnd"))
+      .withColumn("bv", expr("shiftright(sim, bnd * 15) & 32767"))
+    val want = bands.as("a").join(bands.as("b"),
+        col("a.bnd") === col("b.bnd") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              expr("bit_count(a.sim ^ b.sim)").cast("int").as("hamming"))
+      .filter(col("hamming") <= 20).distinct()
+      .as[(Long, Long, Int)].collect().toSet
+    assert(want.nonEmpty, "fixture must produce pairs")
+    assert(got == want)
+  }
+
+  test("simhashPairs emits a multi-band collision exactly once") {
+    // identical docs share ALL four bands — the first-shared-band rule
+    // must still yield exactly one row per pair
+    val docs = (0L until 5L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", 0)
+      .as[(Long, Long, Int)].collect()
+    assert(got.length == 10) // C(5,2)
+    assert(got.map(p => (p._1, p._2)).distinct.length == 10)
+    assert(got.forall(_._3 == 0))
+  }
+}
