@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Focused A/B for [[graft.operators.GlobalOrder]]: the
+  * single-partition global window vs the distributed numbering, on the
+  * same total order (`o_totalprice` cents, `o_orderkey` tiebreak) at a
+  * chosen row scale — the crossover measurement behind replacing every
+  * raw-volume `Window.orderBy(...)` in the registries.
+  *
+  * The honest trade: at dimension scale the one-task sort wins on job
+  * latency (it is ONE exchange + one in-core sort); the distributed
+  * form pays a checkpoint plus two exchanges. The point of this main
+  * is to measure where that flips — and that only the distributed
+  * form keeps functioning as rows grow (the one-task sort is O(n log
+  * n) wall-clock on a single core regardless of cluster size, and its
+  * single task must also hold the whole relation).
+  *
+  *   SPARK_GRAFT_CPUS=16 runMain graft.GlobalOrderAb <sfDir> <copies> [out.json]
+  *
+  * `copies` unions key-shifted replicas of `orders` (the ScaleFixture
+  * stride trick) so both forms number an identical `copies`×-scaled
+  * relation. Each variant runs twice; min is reported. The two
+  * numberings are cross-checked (sum of rn·centsBucket must match)
+  * before any timing is trusted.
+  */
+object GlobalOrderAb {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val outJson = args.drop(2).headOption
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = spark.read.parquet(s"$srcDir/orders.parquet")
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val stride = base.agg(max("o_orderkey")).head().getLong(0) + 1L
+    val o = (0 until copies).map(i =>
+        base.select((col("o_orderkey") + lit(i * stride)).as("o_orderkey"),
+          col("cents")))
+      .reduce(_ unionByName _)
+      .localCheckpoint(true) // pin the input OUT of both timings
+    val n = o.count()
+
+    // checksum surface: sum over rn * (cents bucket) is order-sensitive
+    // — identical numberings agree, any mis-offset diverges
+    def checksum(numbered: DataFrame): Long =
+      numbered.agg(sum(expr("rn * (cents % 97)"))).head().getLong(0)
+
+    def windowForm(): DataFrame =
+      o.withColumn("rn", row_number().over(
+        Window.orderBy(col("cents"), col("o_orderkey"))).cast("long"))
+    def distributedForm(): DataFrame =
+      graft.operators.GlobalOrder.withRowNumber(
+        o, Seq(col("cents"), col("o_orderkey")), "rn")
+
+    def time(mk: () => DataFrame): (Double, Long) = {
+      var best = Double.MaxValue; var cs = 0L
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        cs = checksum(mk())
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, cs)
+    }
+
+    val (tw, cw) = time(windowForm)
+    val (td, cd) = time(distributedForm)
+    require(cw == cd, s"numbering mismatch: window=$cw distributed=$cd")
+
+    val line =
+      f"""{"metric":"global_order_ab","rows":$n,"copies":$copies,""" +
+      f""""window_sec":$tw%.3f,"distributed_sec":$td%.3f,""" +
+      f""""checksum":$cw,"sf":"$srcDir"}"""
+    println(line)
+    outJson.foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    spark.stop()
+  }
+}

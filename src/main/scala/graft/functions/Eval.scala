@@ -50,21 +50,22 @@ object Eval {
     * well-calibrated score has pos_rate_ppm monotone in bucket.
     *
     * Scale shape: rows aggregate to DISTINCT score values FIRST (one
-    * hash shuffle), so the only global-sort window walks the distinct
-    * values, not the rows — rank(s) with min-ties is 1 + Σ counts of
+    * hash shuffle) — rank(s) with min-ties is 1 + Σ counts of
     * strictly-smaller values, identical to a per-row rank() but
-    * bounded by score cardinality (the q_mad/q_winsorize pattern). */
+    * bounded by score cardinality — and the prefix sum over the
+    * values runs distributed ([[graft.operators.GlobalOrder]]), so
+    * even an all-distinct score column never single-partitions. */
   def calibration(df: DataFrame, score: Column, label: Column,
                   buckets: Int): DataFrame = {
     val byValue = df.select(score.cast("long").as("s"),
         label.cast("boolean").cast("long").as("y"))
       .groupBy("s")
       .agg(count(lit(1)).as("n_s"), sum("y").as("pos_s"))
-    val below = Window.orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    byValue
-      .withColumn("rk", coalesce(sum(col("n_s")).over(below), lit(0L)) + 1L)
-      .withColumn("n", sum(col("n_s")).over(Window.partitionBy()))
+    val total = byValue.agg(sum("n_s").as("n"))
+    graft.operators.GlobalOrder.withRunningSum(
+        byValue, Seq(col("s")), col("n_s"), "__cum")
+      .withColumn("rk", col("__cum") - col("n_s") + 1L)
+      .crossJoin(broadcast(total))
       .withColumn("bucket", expr(s"(rk - 1) * $buckets div n"))
       .groupBy("bucket")
       .agg(sum("n_s").as("n_rows"), sum("pos_s").as("n_pos"),

@@ -455,7 +455,17 @@ object Similarity {
     * [[hyperplaneLshBuckets]]. */
   def labelBlockedNearDup(emb: DataFrame, threshold: Double,
                           maxBlock: Int = 100000,
-                          tiles: Int = 8): DataFrame = {
+                          tiles: Int = 8): DataFrame =
+    labelBlockedNearDupL(emb, threshold, maxBlock, tiles)
+      .select("vec_a", "vec_b", "cos")
+
+  /** [[labelBlockedNearDup]] keeping the blocking label on each pair —
+    * the input [[semanticDedup]]'s blocked component clustering needs
+    * (every pair lies inside one label by construction, so components
+    * never span labels). */
+  private[graft] def labelBlockedNearDupL(
+      emb: DataFrame, threshold: Double,
+      maxBlock: Int = 100000, tiles: Int = 8): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val raw = emb.select(col("vec_id").cast("long").as("vec_id"),
@@ -483,7 +493,7 @@ object Similarity {
     // unordered VECTOR pair lands in exactly one tile-pair task.
     val tilePairs = packed.as("x").joinWith(packed.as("y"),
       $"x._1" === $"y._1" && $"x._2" <= $"y._2")
-    tilePairs.flatMap { case ((_, ta, xs), (_, tb, ys)) =>
+    tilePairs.flatMap { case ((lbl, ta, xs), (_, tb, ys)) =>
       val same = ta == tb
       val m = ys.length
       val yn = new Array[Double](m) // ||y||² once per tile side
@@ -506,7 +516,7 @@ object Similarity {
         if (xd == 0.0) Iterator.empty
         else {
           val xn = math.sqrt(xd)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
           var j = 0
           while (j < m) {
             val yid = ys(j)._1
@@ -522,8 +532,8 @@ object Similarity {
                   val cos = BigDecimal.decimal(rawCos)
                     .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
                   if (cos >= threshold) {
-                    if (xid < yid) out += ((xid, yid, cos))
-                    else out += ((yid, xid, cos))
+                    if (xid < yid) out += ((lbl, xid, yid, cos))
+                    else out += ((lbl, yid, xid, cos))
                   }
                 }
               }
@@ -533,22 +543,27 @@ object Similarity {
           out.iterator
         }
       }
-    }.toDF("vec_a", "vec_b", "cos")
+    }.toDF("label", "vec_a", "vec_b", "cos")
   }
 
   /** One-call semantic dedup over an embedding corpus: cosine near-dup
     * pairs (label-blocked candidate generation) → connected components
     * → keep each component's min-id vector — the embedding-space dual
-    * of [[Dedup.dropNearDuplicates]]. Same scale shape: candidates are
-    * an equi-join on the blocking key, components iterate only the
-    * candidate node set. */
+    * of [[Dedup.dropNearDuplicates]]. Scale shape: candidates are an
+    * equi-join on the blocking key, and because every candidate edge
+    * lies INSIDE one label block (bounded by the hub guard), the
+    * clustering is [[graft.operators.ConnectedComponents.runBlocked]]
+    * — one shuffle of the pair set, in-task union-find per label —
+    * instead of the O(log n)-round global propagation loop the
+    * unblocked pair graphs need. Vectors in no pair keep themselves
+    * (singleton components) via the left anti side of one join. */
   def semanticDedup(emb: DataFrame, threshold: Double,
                     maxBlock: Int = 100000): DataFrame = {
-    val pairs = labelBlockedNearDup(emb, threshold, maxBlock)
-    val comps = graft.operators.ConnectedComponents.run(
-      emb.select(col("vec_id").as("node")), pairs.select("vec_a", "vec_b"))
-    emb.join(comps, emb("vec_id") === comps("node"))
-      .filter(col("component") === col("vec_id"))
+    val pairs = labelBlockedNearDupL(emb, threshold, maxBlock)
+    val comps = graft.operators.ConnectedComponents.runBlocked(
+      pairs, "label", "vec_a", "vec_b", maxNodes = maxBlock)
+    emb.join(comps, emb("vec_id") === comps("node"), "left")
+      .filter(col("component").isNull || col("component") === col("vec_id"))
       .select(col("vec_id"), col("label"))
   }
 

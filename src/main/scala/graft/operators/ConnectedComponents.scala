@@ -119,4 +119,62 @@ object ConnectedComponents {
     (labels.select(col("node"), col("label").as("component"))
       .unionByName(singletons), iter)
   }
+
+  /** Components of a BLOCKED pair graph: every edge lies inside one
+    * block (a dedup label, an LSH bucket, a tenant) — the caller's
+    * contract, typically enforced upstream by a hub guard. Then no
+    * component spans blocks, so the global O(log n)-round propagation
+    * loop collapses to ONE shuffle: group the edges by block key and
+    * run union-find inside the block's own task. Returns
+    * (node, component) for edge-incident nodes only (like the loop,
+    * singletons are the caller's anti-join — [[run]] unions them in).
+    *
+    * The in-task state is O(block nodes), which is exactly what the
+    * upstream guard bounds; `maxNodes` re-asserts it loudly here so a
+    * mis-use without a guard fails instead of OOMing an executor. */
+  def runBlocked(edges: DataFrame, keyCol: String, uCol: String,
+                 vCol: String, maxNodes: Int = 200000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col(keyCol).cast("string").as("k"),
+                 col(uCol).cast("long"), col(vCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        // union-find with path compression + union by size; component
+        // label = min node id, matching the propagation loop exactly
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        val size = scala.collection.mutable.LongMap.empty[Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent(x) != x) {
+            parent(x) = parent(parent(x)); x = parent(x)
+          }
+          x
+        }
+        def add(x: Long): Unit =
+          if (!parent.contains(x)) {
+            parent(x) = x; size(x) = 1L
+            if (parent.size > maxNodes) throw new IllegalStateException(
+              s"runBlocked: block '$key' exceeds $maxNodes nodes — " +
+              "bound the block upstream (hub guard) before clustering")
+          }
+        it.foreach { case (_, u, v) =>
+          add(u); add(v)
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) {
+            val (big, small) =
+              if (size(ru) >= size(rv)) (ru, rv) else (rv, ru)
+            parent(small) = big; size(big) += size(small)
+          }
+        }
+        val minOf = scala.collection.mutable.LongMap.empty[Long]
+        parent.keysIterator.foreach { n =>
+          val r = find(n)
+          minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), n)
+        }
+        parent.keysIterator.map(n => (n, minOf(find(n)))).toArray.iterator
+      }
+      .toDF("node", "component")
+  }
 }

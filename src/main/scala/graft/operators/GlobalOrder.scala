@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ordering: `row_number` / `rank` / `ntile` /
+  * running sums over a TOTAL order without the single-partition
+  * WindowExec.
+  *
+  * `Window.orderBy(...)` with no partition spec requires
+  * `SinglePartition` — Spark moves the ENTIRE input through one
+  * exchange into one task and sorts it on one core. Invisible at
+  * sf0.01; at 100 TB it is the first thing that stops finishing. This
+  * operator computes the identical numbering the way a distributed
+  * engine must:
+  *
+  *   1. `repartitionByRange(P, sortCols)` — Spark's own range
+  *      partitioner (sampled split points) puts partition i's keys
+  *      entirely before partition i+1's, equal keys co-located;
+  *   2. the window runs per range-partition (`partitionBy` the
+  *      materialized `spark_partition_id`), P-way parallel;
+  *   3. a P-row offset table (rows/rank-base/value-sum per partition,
+  *      prefix-summed — P rows, the one place a tiny unpartitioned
+  *      window is the RIGHT tool) is broadcast back and added.
+  *
+  * No driver action: the offset table stays a (bounded) plan node.
+  * The range-partitioned frame is pinned with an eager
+  * `localCheckpoint` — it feeds both the offset aggregate and the
+  * final join, and re-evaluating `repartitionByRange` would re-sample
+  * split points (nondeterministic pid assignment between the two
+  * consumers corrupts the offsets).
+  *
+  * Semantics notes:
+  *   - ties: equal sort keys land in one range partition, so `rank`
+  *     (and `row_number` under a total tiebreak — what every call
+  *     site uses) matches the global-window value exactly;
+  *   - sort direction / null ordering ride on the `Column`s
+  *     themselves (`col.desc` etc.) and are interpreted identically
+  *     by the range partitioner and the per-partition window;
+  *   - `ntile(n)` is derived from the global row number with SQL
+  *     NTILE's exact uneven-bucket rule (first `total mod n` buckets
+  *     one row larger), so it is bit-compatible with both engines'
+  *     NTILE at any total. */
+object GlobalOrder {
+
+  private val PID = "__go_pid"
+
+  /** Range-partition on the sort order and pin partition ids. */
+  private def ranged(df: DataFrame, sortCols: Seq[Column], parts: Int): DataFrame = {
+    val p =
+      if (parts > 0) parts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    LoopCheckpoint(
+      df.repartitionByRange(p, sortCols: _*)
+        .withColumn(PID, spark_partition_id()))
+  }
+
+  /** Exclusive prefix of `agg` per pid: P rows, broadcast back. */
+  private def offsets(s: DataFrame, aggCol: Column): DataFrame = {
+    s.groupBy(col(PID)).agg(aggCol.as("__go_n"))
+      .withColumn("__go_off",
+        coalesce(sum("__go_n").over(
+          Window.orderBy(PID)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(PID), col("__go_off"))
+  }
+
+  /** Global `row_number()` over `sortCols` as LongType column `out`.
+    * Deterministic iff the sort is a total order (tiebreak to a key) —
+    * the same contract as the window it replaces. */
+  def withRowNumber(df: DataFrame, sortCols: Seq[Column], out: String,
+                    parts: Int = 0): DataFrame = {
+    val s = ranged(df, sortCols, parts)
+    val w = Window.partitionBy(PID).orderBy(sortCols: _*)
+    s.withColumn("__go_rn", row_number().over(w).cast("long"))
+      .join(broadcast(offsets(s, count(lit(1)))), PID)
+      .withColumn(out, col("__go_off") + col("__go_rn"))
+      .drop(PID, "__go_rn", "__go_off")
+  }
+
+  /** Global `rank()` (gap semantics) over `sortCols`. Equal keys are
+    * co-located by the range partitioner, so per-partition rank plus
+    * the prior-partition row count is the global rank. */
+  def withRank(df: DataFrame, sortCols: Seq[Column], out: String,
+               parts: Int = 0): DataFrame = {
+    val s = ranged(df, sortCols, parts)
+    val w = Window.partitionBy(PID).orderBy(sortCols: _*)
+    s.withColumn("__go_rk", rank().over(w).cast("long"))
+      .join(broadcast(offsets(s, count(lit(1)))), PID)
+      .withColumn(out, col("__go_off") + col("__go_rk"))
+      .drop(PID, "__go_rk", "__go_off")
+  }
+
+  /** Global `ntile(n)` over `sortCols`: SQL NTILE's exact rule from
+    * the global row number — base bucket size `total div n`, first
+    * `total mod n` buckets get one extra row. */
+  def withNtile(df: DataFrame, n: Int, sortCols: Seq[Column], out: String,
+                parts: Int = 0): DataFrame = {
+    require(n > 0, s"ntile bucket count must be positive, got $n")
+    val numbered = withRowNumber(df, sortCols, "__go_grn", parts)
+    // total row count re-aggregates the INPUT (scan + count, no sort)
+    // rather than re-evaluating the numbered plan a second time
+    val total = df.agg(count(lit(1)).as("__go_total"))
+    numbered.crossJoin(broadcast(total))
+      .withColumn(out, expr(
+        s"""CASE
+           |  WHEN __go_total < $n THEN __go_grn
+           |  WHEN __go_grn <= (__go_total div $n + 1) * (__go_total % $n)
+           |    THEN (__go_grn - 1) div (__go_total div $n + 1) + 1
+           |  ELSE __go_total % $n
+           |    + (__go_grn - 1 - (__go_total div $n + 1) * (__go_total % $n))
+           |      div (__go_total div $n) + 1
+           |END""".stripMargin))
+      .drop("__go_grn", "__go_total")
+  }
+
+  /** Global running sum of `valueCol` over `sortCols`
+    * (`rowsBetween(unboundedPreceding, currentRow)`): per-partition
+    * running sum plus the prior partitions' value total. The window's
+    * LongType overflow semantics are preserved (offsets sum in
+    * BIGINT); widen `valueCol` upstream if the total needs it. */
+  def withRunningSum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+                     out: String, parts: Int = 0): DataFrame = {
+    val s = ranged(df.withColumn("__go_v", valueCol), sortCols, parts)
+    val w = Window.partitionBy(PID).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.withColumn("__go_ps", sum("__go_v").over(w))
+      .join(broadcast(offsets(s, sum(col("__go_v")))), PID)
+      .withColumn(out, col("__go_off") + col("__go_ps"))
+      .drop(PID, "__go_v", "__go_ps", "__go_off")
+  }
+}

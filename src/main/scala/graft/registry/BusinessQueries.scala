@@ -103,19 +103,19 @@ private[graft] object BusinessQueries {
              count(lit(1)).as("freq"),
              sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
                .as("monetary"))
-      // three global ranks over the customer DIMENSION (bounded
-      // relation — the fact table was already aggregated away);
-      // quartile code = (rank−1)·4 div n, ties broken by custkey so
-      // higher code = better on every axis
+      // three global ranks over the customer dimension — distributed
+      // numbering (the dimension is fact-table-independent but still
+      // grows with the business; three single-partition sorts was the
+      // WindowExec scale trap); quartile code = (rank−1)·4 div n,
+      // ties broken by custkey so higher code = better on every axis
       def code(c: String) =
         expr(s"(cast(rk_$c as bigint) - 1) * 4 div n_cust")
-      per
-        .withColumn("rk_last_day", row_number().over(
-          Window.orderBy(col("last_day"), col("o_custkey"))))
-        .withColumn("rk_freq", row_number().over(
-          Window.orderBy(col("freq"), col("o_custkey"))))
-        .withColumn("rk_monetary", row_number().over(
-          Window.orderBy(col("monetary"), col("o_custkey"))))
+      graft.operators.GlobalOrder.withRowNumber(
+          graft.operators.GlobalOrder.withRowNumber(
+            graft.operators.GlobalOrder.withRowNumber(
+              per, Seq(col("last_day"), col("o_custkey")), "rk_last_day"),
+            Seq(col("freq"), col("o_custkey")), "rk_freq"),
+          Seq(col("monetary"), col("o_custkey")), "rk_monetary")
         .crossJoin(broadcast(per.agg(count(lit(1)).as("n_cust"))))
         .select(col("o_custkey"),
           code("last_day").as("r_code"),

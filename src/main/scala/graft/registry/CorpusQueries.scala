@@ -174,10 +174,8 @@ private[graft] object CorpusQueries {
         .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
           .as("rev"))
       val tot = per.agg(sum("rev").as("total_rev"))
-      val cumW = Window.orderBy("o_custkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      per
-        .withColumn("cum", sum("rev").over(cumW))
+      graft.operators.GlobalOrder.withRunningSum(
+          per, Seq(col("o_custkey")), col("rev"), "cum")
         .crossJoin(broadcast(tot))
         .withColumn("stride", expr("total_rev div 500"))
         .filter(col("stride") > 0)
@@ -199,9 +197,10 @@ private[graft] object CorpusQueries {
     //      marks negatives too easy to train on ----
     "q_neg_sample" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val idx = docs.select(col("doc_id"), col("source"))
-        .withColumn("i",
-          row_number().over(Window.orderBy("doc_id")) - lit(1L))
+      val idx = graft.operators.GlobalOrder.withRowNumber(
+          docs.select(col("doc_id"), col("source")),
+          Seq(col("doc_id")), "__rn")
+        .withColumn("i", col("__rn") - lit(1L)).drop("__rn")
       val n = idx.agg(count(lit(1)).as("n_docs"))
       val q = idx.filter(col("i") < 20)
         .select(col("doc_id").as("q_id"), col("i").as("qi"),

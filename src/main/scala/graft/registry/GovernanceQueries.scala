@@ -427,8 +427,11 @@ private[graft] object GovernanceQueries {
       val bounds = o.agg(min("o_custkey").as("mn"), max("o_custkey").as("mx"))
         .select(expr("mn + (mx - mn) * 4 div 10").as("lo"),
           expr("mn + (mx - mn) * 5 div 10").as("hi"))
-      def layout(name: String, fileOf: org.apache.spark.sql.Column) =
-        o.withColumn("file_id", fileOf)
+      // file assignment = global NTILE(64) over each layout's order —
+      // distributed numbering (q_scan_pruning sorted the whole fact
+      // table through one task TWICE with the window form)
+      def layout(name: String, sortCols: Seq[org.apache.spark.sql.Column]) =
+        graft.operators.GlobalOrder.withNtile(o, 64, sortCols, "file_id")
           .groupBy("file_id")
           .agg(min("o_custkey").as("mn_ck"), max("o_custkey").as("mx_ck"))
           .crossJoin(broadcast(bounds))
@@ -436,12 +439,8 @@ private[graft] object GovernanceQueries {
             sum(when(col("mx_ck") < col("lo") || col("mn_ck") > col("hi"),
               1L).otherwise(0L)).as("n_pruned"))
           .select(lit(name).as("layout"), col("n_files"), col("n_pruned"))
-      val ckFile = ntile(64).over(Window.orderBy(col("o_custkey"),
-        col("o_orderkey"))).cast("long")
-      val dateFile = ntile(64).over(Window.orderBy(col("day"),
-        col("o_orderkey"))).cast("long")
-      layout("clustered_by_custkey", ckFile)
-        .unionByName(layout("appended_by_date", dateFile))
+      layout("clustered_by_custkey", Seq(col("o_custkey"), col("o_orderkey")))
+        .unionByName(layout("appended_by_date", Seq(col("day"), col("o_orderkey"))))
     }),
 
     // ---- dictionary-encodability audit: distinct-value density per

@@ -193,8 +193,10 @@ private[graft] object StatsQueries {
         .groupBy(col("o_custkey"))
         .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
           .as("rev"))
-      val ranked = per.withColumn("rk", row_number().over(
-        Window.orderBy(col("rev").desc, col("o_custkey"))))
+      // global rank over the 1-row-per-customer relation WITHOUT the
+      // single-partition window (unbounded at 100 TB customer counts)
+      val ranked = graft.operators.GlobalOrder.withRowNumber(
+        per, Seq(col("rev").desc, col("o_custkey")), "rk")
       val tot = per.agg(sum("rev").as("total_rev"),
                         count(lit(1)).as("n_cust"))
       ranked.crossJoin(broadcast(tot))
@@ -215,9 +217,8 @@ private[graft] object StatsQueries {
           .as("rev"))
       val tot = per.agg(count(lit(1)).as("n_cust"),
                         sum("rev").as("total_rev"))
-      per
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("rev"), col("o_custkey"))).cast("long"))
+      graft.operators.GlobalOrder.withRowNumber(
+          per, Seq(col("rev"), col("o_custkey")), "rk")
         .crossJoin(broadcast(tot))
         .withColumn("decile", expr("(rk - 1) * 10 div n_cust"))
         .groupBy("decile", "total_rev")
@@ -303,10 +304,8 @@ private[graft] object StatsQueries {
         .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
           .as("rev"))
       val tot = per.agg(sum("rev").as("total_rev"))
-      val cumW = Window.orderBy(col("rev").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      per
-        .withColumn("cum", sum("rev").over(cumW))
+      graft.operators.GlobalOrder.withRunningSum(per,
+          Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum")
         .crossJoin(broadcast(tot))
         // cum·10⁶ tops BIGINT at ~sf1 total revenue (DuckDB's sum is
         // already HUGEINT, so a Spark wrap would diverge silently) —
@@ -360,10 +359,13 @@ private[graft] object StatsQueries {
           when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("is_f"))
       val byV = o.groupBy("cents")
         .agg(sum("is_f").as("cf"), sum(expr("1 - is_f")).as("co"))
-      val w = Window.orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = byV.select(
-        sum("cf").over(w).as("cum_f"), sum("co").over(w).as("cum_o"))
+      // distinct cents are corpus-proportional — distributed prefix
+      // sums, not the single-partition window
+      val cum = graft.operators.GlobalOrder.withRunningSum(
+          graft.operators.GlobalOrder.withRunningSum(
+            byV, Seq(col("cents")), col("cf"), "cum_f"),
+          Seq(col("cents")), col("co"), "cum_o")
+        .select("cum_f", "cum_o")
       val tot = o.agg(sum("is_f").as("n_f"), sum(expr("1 - is_f")).as("n_o"))
       cum.crossJoin(broadcast(tot))
         .groupBy("n_f", "n_o")
@@ -383,10 +385,9 @@ private[graft] object StatsQueries {
           when(col("event_type") === "click", 1L).otherwise(0L).as("is_a"))
       val byV = e.groupBy("v")
         .agg(sum("is_a").as("ca"), count(lit(1)).as("ct"))
-      val w = Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = byV.withColumn("before",
-        coalesce(sum("ct").over(w), lit(0L)))
+      val ranked = graft.operators.GlobalOrder.withRunningSum(
+          byV, Seq(col("v")), col("ct"), "cum_ct")
+        .withColumn("before", col("cum_ct") - col("ct"))
       val tot = e.agg(sum("is_a").as("n_a"),
         sum(expr("1 - is_a")).as("n_b"))
       ranked.crossJoin(broadcast(tot))
@@ -471,10 +472,13 @@ private[graft] object StatsQueries {
         .select(col("o_orderkey"),
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
           col("o_orderdate"))
-      o.withColumn("rx", row_number().over(
-          Window.orderBy(col("cents"), col("o_orderkey"))).cast("long"))
-        .withColumn("ry", row_number().over(
-          Window.orderBy(col("o_orderdate"), col("o_orderkey"))).cast("long"))
+      // two TOTAL orders over the raw fact table — the distributed
+      // numbering, chained (each is its own range shuffle; the
+      // single-partition alternative sorts 15M rows on one core TWICE)
+      graft.operators.GlobalOrder.withRowNumber(
+          graft.operators.GlobalOrder.withRowNumber(
+            o, Seq(col("cents"), col("o_orderkey")), "rx"),
+          Seq(col("o_orderdate"), col("o_orderkey")), "ry")
         .agg(count(lit(1)).as("n"),
           sum(expr("cast((rx - ry) * (rx - ry) as decimal(38,0))"))
             .as("sum_d2_w"))

@@ -61,4 +61,36 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert((200L until 250L).forall(i => m(i) == i), "singletons self-label")
     assert(rounds <= 11, s"$rounds rounds for 100-node paths")
   }
+
+  test("runBlocked matches the propagation loop on random blocked graphs") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    // 6 blocks, random chains/cliques inside each — edges NEVER cross
+    // blocks (the caller contract runBlocked exploits)
+    val edges = (0 until 6).flatMap { b =>
+      val ids = (0 until 60).map(i => b * 1000L + i)
+      (1 to 120).map { _ =>
+        (s"blk$b", ids(r.nextInt(ids.length)), ids(r.nextInt(ids.length)))
+      }
+    }.toDF("k", "u", "v").filter(col("u") =!= col("v")).repartition(9)
+    val got = ConnectedComponents.runBlocked(edges, "k", "u", "v")
+      .as[(Long, Long)].collect().toMap
+    val nodes = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct()
+    val want = ConnectedComponents.run(nodes, edges.select("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(got.nonEmpty && got.values.toSet.size > 1)
+  }
+
+  test("runBlocked raises loudly above the node bound") {
+    import spark.implicits._
+    val edges = (0L until 50L).map(i => ("hot", i, i + 1)).toDF("k", "u", "v")
+    val e = intercept[org.apache.spark.SparkException] {
+      ConnectedComponents.runBlocked(edges, "k", "u", "v", maxNodes = 10)
+        .count()
+    }
+    assert(e.getMessage.contains("exceeds") ||
+      Option(e.getCause).exists(_.getMessage.contains("exceeds")))
+  }
 }
