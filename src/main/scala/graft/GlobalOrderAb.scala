@@ -43,12 +43,12 @@ object GlobalOrderAb {
     import spark.implicits._
 
     val base = spark.read.parquet(s"$srcDir/orders.parquet")
-      .select(col("o_orderkey"),
+      .select(col("o_orderkey"), col("o_orderpriority"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
     val stride = base.agg(max("o_orderkey")).head().getLong(0) + 1L
     val o = (0 until copies).map(i =>
         base.select((col("o_orderkey") + lit(i * stride)).as("o_orderkey"),
-          col("cents")))
+          col("o_orderpriority"), col("cents")))
       .reduce(_ unionByName _)
       .localCheckpoint(true) // pin the input OUT of both timings
     val n = o.count()
@@ -79,10 +79,28 @@ object GlobalOrderAb {
     val (td, cd) = time(distributedForm)
     require(cw == cd, s"numbering mismatch: window=$cw distributed=$cd")
 
+    // GROUPED forms: the 5-value o_orderpriority partition — the
+    // low-cardinality window funnel (whole relation into 5 tasks) vs
+    // GlobalOrder's grouped rank. Same checksum discipline.
+    def groupedWindowForm(): DataFrame =
+      o.withColumn("rn", rank().over(
+        Window.partitionBy("o_orderpriority")
+          .orderBy(col("cents"), col("o_orderkey"))).cast("long"))
+    def groupedDistributedForm(): DataFrame =
+      graft.operators.GlobalOrder.withGroupedRank(
+        o, Seq("o_orderpriority"), Seq(col("cents"), col("o_orderkey")), "rn")
+
+    val (tgw, cgw) = time(groupedWindowForm)
+    val (tgd, cgd) = time(groupedDistributedForm)
+    require(cgw == cgd,
+      s"grouped numbering mismatch: window=$cgw distributed=$cgd")
+
     val line =
       f"""{"metric":"global_order_ab","rows":$n,"copies":$copies,""" +
       f""""window_sec":$tw%.3f,"distributed_sec":$td%.3f,""" +
-      f""""checksum":$cw,"sf":"$srcDir"}"""
+      f""""grouped_window_sec":$tgw%.3f,""" +
+      f""""grouped_distributed_sec":$tgd%.3f,""" +
+      f""""checksum":$cw,"grouped_checksum":$cgw,"sf":"$srcDir"}"""
     println(line)
     outJson.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),

@@ -63,6 +63,23 @@ private[graft] object QueryHelpers {
       graft.operators.LoopCheckpoint(graft.functions.Dedup.lshCandidatePairs(
         Tables.load(s, dir, "documents"), "doc_id", "text", 3, 16, 4)))
 
+  /** One cached, materialized near-dup COMPONENT labeling per
+    * (session, sf dir): connected components over the full document
+    * node set with [[lshPairsFor]]'s candidate pairs as edges. The
+    * cluster query, survivorship election, and the leak-free split
+    * are three consumers of the SAME labeling — share one CC run
+    * instead of three. At 100 TB the component label is a stored
+    * column the dedup pass writes once; everything downstream joins
+    * it rather than re-clustering the corpus. */
+  private val dedupComponents = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), org.apache.spark.sql.DataFrame]()
+  def dedupComponentsFor(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    dedupComponents.getOrElseUpdate((s, dir),
+      graft.operators.LoopCheckpoint(graft.operators.ConnectedComponents.run(
+        Tables.load(s, dir, "documents").select(col("doc_id").as("node")),
+        lshPairsFor(s, dir).select(col("doc_a"), col("doc_b")))))
+
   /** One cached BPE model (merge table, merged word table) per
     * (session, sf dir, rounds): q_bpe_train / q_bpe_vocab /
     * q_bpe_encode are three views over the SAME training run — share

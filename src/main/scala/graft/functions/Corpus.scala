@@ -32,11 +32,21 @@ object Corpus {
     * join needs.
     */
   def leakFreeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
-                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+                    trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    leakFreeSplitFromComponents(docs, idCol,
+      graft.operators.ConnectedComponents.run(
+        docs.select(col(idCol).as("node")), pairs),
+      trainPct, valPct)
+
+  /** [[leakFreeSplit]] from an ALREADY-LABELED component relation
+    * (`node`, `component`) — the stored-artifact form: at scale the
+    * dedup pass writes the labeling once and every split/election/
+    * cluster consumer joins it instead of re-running clustering. */
+  def leakFreeSplitFromComponents(docs: DataFrame, idCol: String,
+                                  comps: DataFrame, trainPct: Int = 80,
+                                  valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"bad split percentages: train=$trainPct val=$valPct")
-    val comps = graft.operators.ConnectedComponents.run(
-      docs.select(col(idCol).as("node")), pairs)
     val slot = pmod(col("component"), lit(100))
     docs.join(comps, docs(idCol) === comps("node"))
       .drop("node")

@@ -24,9 +24,19 @@ import graft.operators.ConnectedComponents
   */
 object Curation {
 
-  /** Returns surviving (doc_id, n_tokens) after all four gates. */
+  /** Returns surviving (doc_id, n_tokens) after all four gates.
+    *
+    * `candidatePairs` optionally supplies a PRECOMPUTED full-corpus
+    * LSH candidate-pair relation (doc_a, doc_b) at the standard
+    * (n=3, k=16, bands=4) setting. MinHash signatures and band
+    * buckets are per-document, so the candidate pairs of any SUBSET
+    * are exactly the full-corpus pairs with both endpoints in the
+    * subset — restriction by two semi-joins, no re-hashing. At 100 TB
+    * the pair relation is the dedup pass's stored artifact; curation
+    * restricts it to its survivors instead of re-signing the corpus. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-             lang: String, minTokens: Int): DataFrame = {
+             lang: String, minTokens: Int,
+             candidatePairs: Option[DataFrame] = None): DataFrame = {
     val text = col(textCol)
     // 1+2: quality + language gates (pure map-side)
     val gated = docs.select(col(idCol).as("doc_id"), text.as("text"))
@@ -47,8 +57,15 @@ object Curation {
       .select("doc_id", "text", "n_tokens")
       .localCheckpoint()
     // 4: near-dup clustering over LSH candidates; keep each
-    // component's min id
-    val pairs = Dedup.lshCandidatePairs(exact, "doc_id", "text", 3, 16, 4)
+    // component's min id. Shared pairs restrict to the survivors
+    // (per-doc signatures make the restriction exact — see scaladoc).
+    val survivors = exact.select(col("doc_id"))
+    val pairs = candidatePairs.fold(
+      Dedup.lshCandidatePairs(exact, "doc_id", "text", 3, 16, 4))(p =>
+      p.join(survivors.withColumnRenamed("doc_id", "doc_a"),
+          Seq("doc_a"), "left_semi")
+        .join(survivors.withColumnRenamed("doc_id", "doc_b"),
+          Seq("doc_b"), "left_semi"))
     val comps = ConnectedComponents.run(
       exact.select(col("doc_id").as("node")),
       pairs.select("doc_a", "doc_b"))

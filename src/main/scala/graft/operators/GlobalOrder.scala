@@ -130,4 +130,83 @@ object GlobalOrder {
       .withColumn(out, col("__go_off") + col("__go_ps"))
       .drop(PID, "__go_v", "__go_ps", "__go_off")
   }
+
+  // ------------------------------------------------------------------
+  // Grouped variants — the LOW-CARDINALITY-partition window fix.
+  //
+  // `Window.partitionBy(g).orderBy(k)` parallelizes by GROUP: with 3
+  // return flags or 5 order priorities over a fact table, the whole
+  // relation moves into 3-5 tasks, each holding and sorting its
+  // group single-threaded — the same non-finishing shape at 100 TB
+  // as the unpartitioned window, one level down. These compute the
+  // identical grouped numbering by range-partitioning on
+  // (group ++ sort) — P-way parallel regardless of group count —
+  // with per-(group, range-partition) prefix offsets broadcast back.
+  // The offset table is ≤ G·P rows: intended for low-cardinality
+  // groups (at high G the plain grouped window is already parallel
+  // and is the right tool).
+  // ------------------------------------------------------------------
+
+  /** Exclusive per-group prefix of `agg` ordered by pid: ≤ G·P rows. */
+  private def groupedOffsets(s: DataFrame, groupCols: Seq[String],
+                             aggCol: Column): DataFrame = {
+    s.groupBy(col(PID) +: groupCols.map(col): _*).agg(aggCol.as("__go_n"))
+      .withColumn("__go_off",
+        coalesce(sum("__go_n").over(
+          Window.partitionBy(groupCols.map(col): _*).orderBy(PID)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(PID) +: groupCols.map(col) :+ col("__go_off"): _*)
+  }
+
+  /** `rank().over(Window.partitionBy(groupCols).orderBy(sortCols))`
+    * without the per-group task collapse. Equal (group, key) rows are
+    * co-located by the range partitioner, so per-partition rank plus
+    * the group's prior-partition row count is the global grouped rank
+    * (gap semantics preserved). */
+  def withGroupedRank(df: DataFrame, groupCols: Seq[String],
+                      sortCols: Seq[Column], out: String,
+                      parts: Int = 0): DataFrame = {
+    val s = ranged(df, groupCols.map(col) ++ sortCols, parts)
+    val w = Window.partitionBy(col(PID) +: groupCols.map(col): _*)
+      .orderBy(sortCols: _*)
+    s.withColumn("__go_rk", rank().over(w).cast("long"))
+      .join(broadcast(groupedOffsets(s, groupCols, count(lit(1)))),
+        PID +: groupCols)
+      .withColumn(out, col("__go_off") + col("__go_rk"))
+      .drop(PID, "__go_rk", "__go_off")
+  }
+
+  /** `row_number()` per group over `sortCols`, distributed as
+    * [[withGroupedRank]] (deterministic iff the sort totally orders
+    * each group — the grouped window's own contract). */
+  def withGroupedRowNumber(df: DataFrame, groupCols: Seq[String],
+                           sortCols: Seq[Column], out: String,
+                           parts: Int = 0): DataFrame = {
+    val s = ranged(df, groupCols.map(col) ++ sortCols, parts)
+    val w = Window.partitionBy(col(PID) +: groupCols.map(col): _*)
+      .orderBy(sortCols: _*)
+    s.withColumn("__go_rn", row_number().over(w).cast("long"))
+      .join(broadcast(groupedOffsets(s, groupCols, count(lit(1)))),
+        PID +: groupCols)
+      .withColumn(out, col("__go_off") + col("__go_rn"))
+      .drop(PID, "__go_rn", "__go_off")
+  }
+
+  /** Per-group running sum of `valueCol` over `sortCols`
+    * (`rowsBetween(unboundedPreceding, currentRow)` within the
+    * group), distributed as [[withGroupedRank]]. */
+  def withGroupedRunningSum(df: DataFrame, groupCols: Seq[String],
+                            sortCols: Seq[Column], valueCol: Column,
+                            out: String, parts: Int = 0): DataFrame = {
+    val s = ranged(df.withColumn("__go_v", valueCol),
+      groupCols.map(col) ++ sortCols, parts)
+    val w = Window.partitionBy(col(PID) +: groupCols.map(col): _*)
+      .orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.withColumn("__go_ps", sum("__go_v").over(w))
+      .join(broadcast(groupedOffsets(s, groupCols, sum(col("__go_v")))),
+        PID +: groupCols)
+      .withColumn(out, col("__go_off") + col("__go_ps"))
+      .drop(PID, "__go_v", "__go_ps", "__go_off")
+  }
 }

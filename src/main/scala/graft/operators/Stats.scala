@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Integer-exact grouped statistics beyond plain aggregates. First
@@ -81,13 +80,17 @@ object Stats {
     val d = df.select(groupCols.map(col) :+ valueCol.cast("long").as("v"): _*)
 
     // weighted crossing over (value, weight) rows — both passes run on
-    // pre-aggregated per-value counts, never on raw rows
+    // pre-aggregated per-value counts, never on raw rows. The
+    // cumulative walk uses GlobalOrder's GROUPED running sum: with a
+    // handful of groups a partitionBy window funnels the whole
+    // distinct-value relation into that many tasks; the grouped form
+    // stays P-way parallel. Totals are a G-row broadcast aggregate.
     def crossing(t: DataFrame, vc: String, out: String): DataFrame = {
-      val wc = Window.partitionBy(groupCols.map(col): _*).orderBy(col(vc))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wt = Window.partitionBy(groupCols.map(col): _*)
-      t.withColumn("cum", sum("w").over(wc))
-        .withColumn("total", sum("w").over(wt))
+      val totals = t.groupBy(groupCols.map(col): _*)
+        .agg(sum("w").as("total"))
+      GlobalOrder.withGroupedRunningSum(
+          t, groupCols, Seq(col(vc)), col("w"), "cum")
+        .join(broadcast(totals), groupCols)
         .filter(col("cum") * 2 >= col("total"))
         .groupBy(groupCols.map(col): _*)
         .agg(min(vc).as(out))

@@ -228,11 +228,9 @@ private[graft] object BusinessQueries {
     //      and how many it displaces ----
     "q_survivorship" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val pairs = graft.functions.Dedup.lshCandidatePairs(
-        docs, "doc_id", "text", 3, 16, 4)
-      val comp = graft.operators.ConnectedComponents.run(
-        docs.select(col("doc_id").as("node")),
-        pairs.select(col("doc_a"), col("doc_b")))
+      // shared component labeling (one CC run serves clusters /
+      // survivorship / leak-free split — see dedupComponentsFor)
+      val comp = dedupComponentsFor(s, dir)
       val labeled = comp.join(docs.select(col("doc_id").as("node"),
         col("n_chars")), "node")
       val w = Window.partitionBy("component")

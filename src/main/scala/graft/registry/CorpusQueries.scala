@@ -23,11 +23,11 @@ private[graft] object CorpusQueries {
     // sit in train (the leakage the naive per-doc split causes)
     "q_split_leakfree" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val pairs = graft.functions.Dedup.lshCandidatePairs(
-        docs, "doc_id", "text", 3, 16, 4)
-      graft.functions.Corpus.leakFreeSplit(
+      // shared component labeling (see dedupComponentsFor) — the
+      // split is a function of the stored dedup component
+      graft.functions.Corpus.leakFreeSplitFromComponents(
         docs.select("doc_id", "lang"), "doc_id",
-        pairs.select(col("doc_a"), col("doc_b")))
+        dedupComponentsFor(s, dir))
     }),
     // domain-mixture sampling: deterministic per-language keep rates
     "q_stratified_sample" -> ((s, dir) =>
@@ -70,21 +70,24 @@ private[graft] object CorpusQueries {
     //      near-dup components), one composed query ----
     "q_curation" -> ((s, dir) =>
       graft.functions.Curation.curate(
-        Tables.load(s, dir, "documents"), "doc_id", "text", "en", 5)),
+        Tables.load(s, dir, "documents"), "doc_id", "text", "en", 5,
+        candidatePairs = Some(lshPairsFor(s, dir)))),
 
     // ---- weight-proportional systematic sampling per stratum: take
     //      the doc that crosses each 500-token stride of the per-lang
     //      cumulative token count — deterministic, one window pass ----
-    "q_systematic_sample" -> ((s, dir) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          graft.functions.TextAnalysis.tokenCount(col("text")).cast("long")
-            .as("wt"))
-        .withColumn("cum", sum("wt").over(w))
-        .filter(expr("cum div 500") > expr("(cum - wt) div 500"))
-    }),
+    //      Distributed grouped running sum: a handful of languages
+    //      over the corpus would funnel everything into as many
+    //      window tasks — GlobalOrder's grouped form keeps the
+    //      cumulative walk P-way parallel ----
+    "q_systematic_sample" -> ((s, dir) =>
+      graft.operators.GlobalOrder.withGroupedRunningSum(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              graft.functions.TextAnalysis.tokenCount(col("text"))
+                .cast("long").as("wt")),
+          Seq("lang"), Seq(col("doc_id")), col("wt"), "cum")
+        .filter(expr("cum div 500") > expr("(cum - wt) div 500"))),
 
     // ---- training-mix construction end-to-end: apportion a 200-doc
     //      budget across sources by char mass, then keep each source's
@@ -95,10 +98,11 @@ private[graft] object CorpusQueries {
         docs.select(col("source"), col("n_chars")),
         "source", "n_chars", budget = 200L)
         .select(col("k").as("source"), col("quota"))
-      val w = Window.partitionBy("source")
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      docs.join(broadcast(quotas), "source")
-        .withColumn("rn", row_number().over(w))
+      // grouped distributed numbering: per-source ranking over the
+      // corpus must not funnel into |sources| window tasks
+      graft.operators.GlobalOrder.withGroupedRowNumber(
+          docs.join(broadcast(quotas), "source"), Seq("source"),
+          Seq(col("n_chars").desc, col("doc_id")), "rn")
         .filter(col("rn") <= col("quota"))
         .select(col("doc_id"), col("source"))
     }),
@@ -111,10 +115,11 @@ private[graft] object CorpusQueries {
       val srcIdx = docs.select("source").distinct()
         .withColumn("src_idx",
           row_number().over(Window.orderBy("source")).cast("long"))
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      docs.join(broadcast(srcIdx), "source")
-        .select(col("doc_id"), col("source"),
-          row_number().over(w).cast("long").as("round"), col("src_idx"))
+      // grouped distributed numbering (see q_budget_select)
+      graft.operators.GlobalOrder.withGroupedRowNumber(
+          docs.join(broadcast(srcIdx), "source"), Seq("source"),
+          Seq(col("doc_id")), "round")
+        .select(col("doc_id"), col("source"), col("round"), col("src_idx"))
     }),
 
     // ---- greedy max-coverage subset selection (diverse
@@ -149,13 +154,17 @@ private[graft] object CorpusQueries {
     //      the row's own value excluded ((Σ − x) div (n−1) in milli
     //      units) — the leakage-safe categorical encoder ----
     "q_target_encode" -> ((s, dir) => {
-      val wg = Window.partitionBy("o_orderpriority")
-      Tables.load(s, dir, "orders")
+      // unordered per-group totals as a groupBy + broadcast join, NOT
+      // a partitionBy window: 5 priority values over the fact table
+      // would funnel the whole relation into 5 window tasks, while
+      // the aggregate map-side-combines and the join stays map-side
+      val base = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"),
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-        .withColumn("sum_c", sum("cents").over(wg))
-        .withColumn("n", count(lit(1)).over(wg))
+      val totals = base.groupBy("o_orderpriority")
+        .agg(sum("cents").as("sum_c"), count(lit(1)).as("n"))
         .filter(col("n") > 1)
+      base.join(broadcast(totals), "o_orderpriority")
         .select(col("o_orderkey"), col("o_orderpriority"),
           expr("(sum_c - cents) * 1000 div (n - 1)").as("loo_milli"))
     }),

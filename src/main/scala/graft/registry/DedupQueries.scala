@@ -38,13 +38,9 @@ private[graft] object DedupQueries {
     "q_dedup_minhash_lsh" -> ((s, dir) => lshPairsFor(s, dir)),
     // candidate pairs → duplicate CLUSTERS (connected components):
     // the step that makes pair output actionable (keep min id per
-    // component, drop the rest)
-    "q_dedup_clusters" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      graft.operators.ConnectedComponents.run(
-        docs.select(col("doc_id").as("node")),
-        lshPairsFor(s, dir).select(col("doc_a"), col("doc_b")))
-    }),
+    // component, drop the rest). Shared labeling — survivorship and
+    // the leak-free split read the same relation.
+    "q_dedup_clusters" -> ((s, dir) => dedupComponentsFor(s, dir)),
     // per-row (aggregation-free) LSH band signatures — the streaming-
     // safe bucketing stage, pinned batch-equal to the wide-agg path
     "q_band_signatures" -> ((s, dir) =>
@@ -143,8 +139,7 @@ private[graft] object DedupQueries {
       val docs = Tables.load(s, dir, "documents")
       val bounds = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
         .select(expr("mn + (mx - mn) * 9 div 10").as("thr"))
-      graft.functions.Dedup.lshCandidatePairs(
-          docs, "doc_id", "text", 3, 16, 4)
+      lshPairsFor(s, dir) // shared materialized pair relation
         .crossJoin(broadcast(bounds))
         .filter(col("doc_b") > col("thr") && col("doc_a") <= col("thr"))
         .groupBy(col("doc_b").as("new_doc"))

@@ -138,11 +138,11 @@ private[graft] object SimilarityQueries {
     //      is the old 100 exactly. Cosine² stays integral: cos²·1e6 =
     //      dot²·1e6 div (‖a‖²·‖b‖²), threshold 0.25 = cos ≥ 0.5 ----
     "q_sparse_cosine_pairs" -> ((s, dir) => {
-      val tf = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), explode(expr("filter(" +
-          "split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '), " +
-          "x -> x != '')")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      // the TF vectors ARE the shared postings relation (identical
+      // normalize+split tokenization) — reuse the materialized index
+      // stage the retrieval queries built instead of re-tokenizing
+      val tf = postingsFor(s, dir)
+        .select(col("doc_id"), col("term").as("w"), col("tf"))
       val kept = tf.withColumn("df",
           count(lit(1)).over(Window.partitionBy("w")))
         .crossJoin(broadcast(Tables.load(s, dir, "documents")

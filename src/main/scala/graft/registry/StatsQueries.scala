@@ -20,17 +20,21 @@ private[graft] object StatsQueries {
     // ---- weighted median per group, integer-exact: smallest value
     //      whose doubled cumulative weight reaches the total ----
     "q_weighted_median" -> ((s, dir) => {
+      // per-value pre-aggregate, materialized: the totals aggregate
+      // and the distributed cumulative walk both read it. The cum walk
+      // is GlobalOrder's GROUPED running sum — 3 return flags in a
+      // partitionBy window would funnel the distinct-value relation
+      // into 3 tasks
       val byVal = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag").as("rf"),
           floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
           col("l_quantity").cast("long").as("qty"))
         .groupBy("rf", "cents").agg(sum("qty").as("w"))
-      val wc = Window.partitionBy("rf").orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wt = Window.partitionBy("rf")
-      byVal
-        .withColumn("cum", sum("w").over(wc))
-        .withColumn("total", sum("w").over(wt))
+        .localCheckpoint(eager = true)
+      val totals = byVal.groupBy("rf").agg(sum("w").as("total"))
+      graft.operators.GlobalOrder.withGroupedRunningSum(
+          byVal, Seq("rf"), Seq(col("cents")), col("w"), "cum")
+        .join(broadcast(totals), "rf")
         .filter(col("cum") * 2 >= col("total"))
         .groupBy("rf")
         .agg(min("cents").as("median_cents"), max("total").as("total_weight"))
@@ -60,14 +64,18 @@ private[graft] object StatsQueries {
     // ---- equi-depth quartile assignment per group: (rank−1)·4 div n
     //      (ntile semantics differ across engines; the rank formula
     //      with value-only ties is the portable contract) ----
+    //      Distributed grouped rank: 3 return flags over the raw fact
+    //      table would funnel the whole relation into 3 window tasks —
+    //      GlobalOrder's grouped form range-partitions on (flag, qty)
+    //      instead; group totals are a 3-row broadcast aggregate ----
     "q_quartile_assign" -> ((s, dir) => {
-      val wr = Window.partitionBy("l_returnflag")
-      val wn = Window.partitionBy("l_returnflag")
-      Tables.load(s, dir, "lineitem")
+      val base = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
                 col("l_quantity").cast("long").as("qty"))
-        .withColumn("rk", rank().over(wr.orderBy(col("qty"))))
-        .withColumn("n", count(lit(1)).over(wn))
+      val totals = base.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      graft.operators.GlobalOrder.withGroupedRank(
+          base, Seq("l_returnflag"), Seq(col("qty")), "rk")
+        .join(broadcast(totals), "l_returnflag")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
                 col("qty"), expr("(rk - 1) * 4 div n").as("quartile"))
     }),
@@ -134,11 +142,13 @@ private[graft] object StatsQueries {
       // weight) — the corpus is scanned once, the MAD pattern
       val byVal = d.groupBy("rf", "v").agg(count(lit(1)).as("w"))
         .localCheckpoint(eager = true)
-      val wc = Window.partitionBy("rf").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wt = Window.partitionBy("rf")
-      val cum = byVal.withColumn("cum", sum("w").over(wc))
-        .withColumn("total", sum("w").over(wt))
+      // distributed grouped cumulative walk (see q_weighted_median);
+      // materialized because BOTH percentile filters read it
+      val totals = byVal.groupBy("rf").agg(sum("w").as("total"))
+      val cum = graft.operators.GlobalOrder.withGroupedRunningSum(
+          byVal, Seq("rf"), Seq(col("v")), col("w"), "cum")
+        .join(broadcast(totals), "rf")
+        .localCheckpoint(eager = true)
       val bounds = cum.filter(col("cum") * 20 >= col("total"))
         .groupBy("rf").agg(min("v").as("p05"))
         .join(cum.filter(col("cum") * 20 >= col("total") * 19)
@@ -160,10 +170,10 @@ private[graft] object StatsQueries {
               col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey"), col("c_custkey"))
         .agg(count(lit(1)).as("x"))
-      val w = Window.partitionBy("c_nationkey")
-        .orderBy(col("x"), col("c_custkey"))
-      perCust
-        .withColumn("i", row_number().over(w).cast("long"))
+      // grouped distributed numbering: 25 nations over the customer
+      // population is a 25-task window funnel at scale
+      graft.operators.GlobalOrder.withGroupedRowNumber(
+          perCust, Seq("c_nationkey"), Seq(col("x"), col("c_custkey")), "i")
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n"), sum("x").as("sx"),
              sum(expr("i * x")).as("six"))
@@ -175,13 +185,16 @@ private[graft] object StatsQueries {
     // ---- percentile rank (relative standing) of each order within
     //      its priority class: (rank−1)·10⁶ div (n−1), value ties
     //      share a rank — engine-portable cume alternative ----
+    //      Distributed grouped rank (see q_quartile_assign): 5
+    //      priorities over raw orders is a 5-task window funnel ----
     "q_percentile_rank" -> ((s, dir) => {
-      val wr = Window.partitionBy("o_orderpriority")
-      Tables.load(s, dir, "orders")
+      val base = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"),
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-        .withColumn("rk", rank().over(wr.orderBy(col("cents"))).cast("long"))
-        .withColumn("n", count(lit(1)).over(wr))
+      val totals = base.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      graft.operators.GlobalOrder.withGroupedRank(
+          base, Seq("o_orderpriority"), Seq(col("cents")), "rk")
+        .join(broadcast(totals), "o_orderpriority")
         .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
           expr("(rk - 1) * 1000000 div (n - 1)").as("pct_rank_ppm"))
     }),
@@ -267,12 +280,12 @@ private[graft] object StatsQueries {
     "q_quantile_norm" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
-      val wSrc = Window.partitionBy("source")
-        .orderBy(col("n_chars"), col("doc_id"))
-      val ranked = d
-        .withColumn("rk", row_number().over(wSrc).cast("long"))
-        .withColumn("n_src", count(lit(1)).over(
-          Window.partitionBy("source")))
+      // grouped distributed numbering: a handful of sources over the
+      // corpus is a per-source window funnel at scale
+      val nSrc = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val ranked = graft.operators.GlobalOrder.withGroupedRowNumber(
+          d, Seq("source"), Seq(col("n_chars"), col("doc_id")), "rk")
+        .join(broadcast(nSrc), "source")
         .withColumn("p_ppm",
           when(col("n_src") > 1,
             expr("(rk - 1) * 1000000 div (n_src - 1)")).otherwise(0L))

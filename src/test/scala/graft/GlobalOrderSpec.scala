@@ -89,6 +89,60 @@ class GlobalOrderSpec extends SparkSpec {
       "positive control: global window must show SinglePartition")
   }
 
+  // grouped fixture: FEW groups (the case the grouped variants exist
+  // for), tie-heavy values, groups interleaved so every group spans
+  // many range partitions
+  private def grouped(n: Int, seed: Long) = {
+    val r = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      (i.toLong, s"g${r.nextInt(3)}", r.nextInt(40).toLong)
+    }.toDF("k", "g", "v").repartition(7)
+  }
+
+  test("withGroupedRank matches the grouped window on tie-heavy data") {
+    val df = grouped(5000, 6)
+    val got = GlobalOrder.withGroupedRank(
+        df, Seq("g"), Seq(col("v")), "rk", 8)
+      .select("k", "rk").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("rk",
+        rank().over(Window.partitionBy("g").orderBy(col("v"))).cast("long"))
+      .select("k", "rk").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("withGroupedRowNumber matches under a total in-group tiebreak") {
+    val df = grouped(4000, 7)
+    val got = GlobalOrder.withGroupedRowNumber(
+        df, Seq("g"), Seq(col("v").desc, col("k")), "rn", 8)
+      .select("k", "rn").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("rn",
+        row_number().over(Window.partitionBy("g")
+          .orderBy(col("v").desc, col("k"))).cast("long"))
+      .select("k", "rn").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("withGroupedRunningSum matches the grouped cumulative window") {
+    val df = grouped(4000, 8)
+    val got = GlobalOrder.withGroupedRunningSum(
+        df, Seq("g"), Seq(col("v"), col("k")), col("v") * 3 + 1, "cum", 8)
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("cum",
+        sum(col("v") * 3 + 1).over(Window.partitionBy("g")
+          .orderBy(col("v"), col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("grouped variants handle a single-group and a one-row group") {
+    val df = Seq((1L, "a", 5L), (2L, "a", 5L), (3L, "a", 1L), (4L, "b", 9L))
+      .toDF("k", "g", "v").repartition(3)
+    val rk = GlobalOrder.withGroupedRank(df, Seq("g"), Seq(col("v")), "rk", 4)
+      .select("k", "rk").as[(Long, Long)].collect().toMap
+    assert(rk == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("empty input yields empty output for every numbering") {
     val df = fixture(100, 5).filter(col("v") < -1)
     assert(GlobalOrder.withRowNumber(df, Seq(col("k")), "rn").count() == 0)
