@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Integer-exact grouped statistics beyond plain aggregates. First
@@ -63,6 +64,95 @@ object Stats {
             .as("intercept_milli")): _*)
   }
 
+  /** Smallest value per group whose cumulative weight crosses each of
+    * a set of rational thresholds: min v with cum(v)·k ≥ total·m
+    * (k ≥ m ≥ 0, integer-exact — median is (k=2, m=1), p05 is
+    * (20, 1), p95 is (20, 19)). Returns one row per group with one
+    * output column per requested ratio.
+    *
+    * NO sort, cumulative walk, or materialization of the value
+    * relation. A quantile crossing doesn't need the full prefix —
+    * only the ONE value where it crosses — so this runs as a
+    * two-level histogram whose heavy stages are all
+    * map-side-combinable aggregations over `rows`:
+    *
+    *   1. per-group (min, max, total): G rows, broadcast;
+    *   2. bucket histogram — width w = (max−min) div B + 1, bucket
+    *      = (v−min) div w (pure integer, overflow-free) — a G·≤B-row
+    *      aggregate with map-side partials; its prefix walk is a
+    *      window over G·B rows, never the data. ALL ratios share it;
+    *   3. crossing BUCKET + cumulative weight before it, for ALL
+    *      ratios in ONE conditional aggregation over the G·B rows
+    *      (the crossing predicate is monotone in the bucket index, so
+    *      "first hit bucket" and "last miss cum" are min/max of
+    *      conditional projections — no self-join, no checkpoint),
+    *      broadcast back;
+    *   4. per ratio: rescan only the crossing bucket's rows,
+    *      pre-aggregate them per (group, value) — a map-side-
+    *      combinable groupBy whose output is HARD-bounded by the
+    *      bucket's integer width (≈ range/B distinct values), no
+    *      matter how concentrated the weights (a raw-row refinement
+    *      would re-create the grouped-window funnel exactly when the
+    *      mass piles into one bucket, e.g. absolute deviations near
+    *      the median) — then cross within that bounded relation.
+    *
+    * `rows` may carry duplicate (group, value) pairs — no per-value
+    * pre-aggregation is needed (when values are near-unique such a
+    * pre-aggregate is pure overhead, which is why this takes raw
+    * rows). It is evaluated 2 + |ratios| times, each a map-side pass
+    * (scan + broadcast join) — hand it a cheap-to-rescan subtree (a
+    * column-pruned table scan) or pre-materialize. Intended for
+    * LOW-cardinality groups (G-row tables are broadcast). */
+  def groupedWeightedCrossings(rows: DataFrame, groupCols: Seq[String],
+                               vCol: String, wCol: String,
+                               ratios: Seq[(Long, Long, String)],
+                               buckets: Int = 1024): DataFrame = {
+    require(ratios.nonEmpty, "need at least one crossing ratio")
+    ratios.foreach { case (k, m, _) =>
+      require(k >= m && m >= 0 && k > 0, s"bad crossing ratio m/k = $m/$k") }
+    val g = groupCols.map(col)
+    val rng = rows.groupBy(g: _*).agg(
+      min(vCol).as("__mn"), max(vCol).as("__mx"), sum(wCol).as("__tot"))
+    def bucketed = rows.join(broadcast(rng), groupCols)
+      .withColumn("__bk",
+        expr(s"($vCol - __mn) div ((__mx - __mn) div $buckets + 1)"))
+    val wb = Window.partitionBy(g: _*).orderBy("__bk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // G·≤(B+1)-row histogram; the crossing predicate is monotone in
+    // __bk, so every ratio's (first hit bucket, cum before it) pair
+    // is one conditional min/max over it — ONE tiny pick table for
+    // all ratios, no self-join, no checkpoint
+    val cum = bucketed.groupBy(g :+ col("__bk"): _*)
+      .agg(sum(wCol).as("__w"), max("__tot").as("__tot"))
+      .withColumn("__cumb", sum("__w").over(wb))
+    val pickAggs = ratios.zipWithIndex.flatMap { case ((k, m, _), i) =>
+      val hit = col("__cumb") * k >= col("__tot") * m
+      Seq(min(when(hit, col("__bk"))).as(s"__cb$i"),
+          coalesce(max(when(!hit, col("__cumb"))), lit(0L)).as(s"__before$i"))
+    } :+ max("__tot").as("__tot")
+    val pick = cum.groupBy(g: _*).agg(pickAggs.head, pickAggs.tail: _*)
+    val wv = Window.partitionBy(g: _*).orderBy(vCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ratios.zipWithIndex.map { case ((k, m, out), i) =>
+      bucketed.drop("__tot")
+        .join(broadcast(pick), groupCols)
+        .filter(col("__bk") === col(s"__cb$i"))
+        .groupBy(g :+ col(vCol): _*)
+        .agg(sum(wCol).as("__w"), max(s"__before$i").as("__before"),
+          max("__tot").as("__tot"))
+        .withColumn("__cumv", col("__before") + sum("__w").over(wv))
+        .filter(col("__cumv") * k >= col("__tot") * m)
+        .groupBy(g: _*).agg(min(vCol).as(out))
+    }.reduce(_.join(_, groupCols))
+  }
+
+  /** Single-ratio form of [[groupedWeightedCrossings]]. */
+  def groupedWeightedCrossing(rows: DataFrame, groupCols: Seq[String],
+                              vCol: String, wCol: String, k: Long, m: Long,
+                              out: String, buckets: Int = 1024): DataFrame =
+    groupedWeightedCrossings(rows, groupCols, vCol, wCol,
+      Seq((k, m, out)), buckets)
+
   /** Per-group median and median absolute deviation — the robust
     * location/scale pair (outlier-resistant alternative to mean/σ,
     * the robust cousin of `Series.sigmaOutliers`' threshold inputs).
@@ -70,44 +160,25 @@ object Stats {
     * Integer-exact: "median" is the smallest value whose doubled
     * cumulative count reaches the group total (the `q_weighted_median`
     * crossing rule — no interpolation), applied twice: once to the
-    * values, once to |value − median|. Each pass is one per-value
-    * pre-aggregate (so the window walks DISTINCT values, not rows)
-    * plus one cumulative window; the median table is group-cardinality
-    * sized, so the join back is a broadcast at any data scale.
+    * values, once to |value − median|. Each pass is a
+    * [[groupedWeightedCrossing]] over the RAW rows — histogram
+    * crossing: no sort, no per-value pre-aggregate, no
+    * materialization; `df` is re-scanned ~6× map-side, so hand it a
+    * cheap subtree (a column-pruned scan) or pre-materialize. The
+    * median table is group-cardinality sized, so the join back is a
+    * broadcast at any data scale.
     */
   def medianAbsDev(df: DataFrame, groupCols: Seq[String],
                    valueCol: Column): DataFrame = {
     val d = df.select(groupCols.map(col) :+ valueCol.cast("long").as("v"): _*)
-
-    // weighted crossing over (value, weight) rows — both passes run on
-    // pre-aggregated per-value counts, never on raw rows. The
-    // cumulative walk uses GlobalOrder's GROUPED running sum: with a
-    // handful of groups a partitionBy window funnels the whole
-    // distinct-value relation into that many tasks; the grouped form
-    // stays P-way parallel. Totals are a G-row broadcast aggregate.
-    def crossing(t: DataFrame, vc: String, out: String): DataFrame = {
-      val totals = t.groupBy(groupCols.map(col): _*)
-        .agg(sum("w").as("total"))
-      GlobalOrder.withGroupedRunningSum(
-          t, groupCols, Seq(col(vc)), col("w"), "cum")
-        .join(broadcast(totals), groupCols)
-        .filter(col("cum") * 2 >= col("total"))
-        .groupBy(groupCols.map(col): _*)
-        .agg(min(vc).as(out))
-    }
-
-    // ONE raw-data aggregation, materialized for both passes: the
-    // deviation relation derives from the per-value counts (|v−med|
-    // carries v's weight), so pass 2 re-aggregates ~distinct-values
-    // rows, not the corpus
-    val byVal = d.groupBy(groupCols.map(col) :+ col("v"): _*)
-      .agg(count(lit(1)).as("w"))
-      .localCheckpoint(eager = true)
-    val med = crossing(byVal, "v", "median")
-    val devW = byVal.join(broadcast(med), groupCols)
-      .groupBy(groupCols.map(col) :+ abs(col("v") - col("median")).as("dev"): _*)
-      .agg(sum("w").as("w"))
-    crossing(devW, "dev", "mad").join(broadcast(med), groupCols)
+      .withColumn("w", lit(1L))
+    val med = groupedWeightedCrossing(
+      d, groupCols, "v", "w", k = 2, m = 1, out = "median")
+    val dev = d.join(broadcast(med), groupCols)
+      .withColumn("dev", abs(col("v") - col("median")))
+    groupedWeightedCrossing(dev, groupCols, "dev", "w", k = 2, m = 1,
+        out = "mad")
+      .join(broadcast(med), groupCols)
       .select(groupCols.map(col) ++ Seq(col("median"), col("mad")): _*)
   }
 }

@@ -20,24 +20,19 @@ private[graft] object StatsQueries {
     // ---- weighted median per group, integer-exact: smallest value
     //      whose doubled cumulative weight reaches the total ----
     "q_weighted_median" -> ((s, dir) => {
-      // per-value pre-aggregate, materialized: the totals aggregate
-      // and the distributed cumulative walk both read it. The cum walk
-      // is GlobalOrder's GROUPED running sum — 3 return flags in a
-      // partitionBy window would funnel the distinct-value relation
-      // into 3 tasks
-      val byVal = Tables.load(s, dir, "lineitem")
+      // histogram crossing straight over the raw fact rows — no sort,
+      // no per-value pre-aggregate (cents are near-unique, so that
+      // "reduction" would materialize the corpus), no cumulative walk
+      // (Stats.groupedWeightedCrossings scaladoc)
+      val d = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag").as("rf"),
           floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
-          col("l_quantity").cast("long").as("qty"))
-        .groupBy("rf", "cents").agg(sum("qty").as("w"))
-        .localCheckpoint(eager = true)
-      val totals = byVal.groupBy("rf").agg(sum("w").as("total"))
-      graft.operators.GlobalOrder.withGroupedRunningSum(
-          byVal, Seq("rf"), Seq(col("cents")), col("w"), "cum")
+          col("l_quantity").cast("long").as("w"))
+      val totals = d.groupBy("rf").agg(sum("w").as("total_weight"))
+      graft.operators.Stats.groupedWeightedCrossing(
+          d, Seq("rf"), "cents", "w", k = 2, m = 1, out = "median_cents")
         .join(broadcast(totals), "rf")
-        .filter(col("cum") * 2 >= col("total"))
-        .groupBy("rf")
-        .agg(min("cents").as("median_cents"), max("total").as("total_weight"))
+        .select("rf", "median_cents", "total_weight")
     }),
 
     // ---- grouped OLS: price-vs-quantity trend per return flag,
@@ -64,18 +59,25 @@ private[graft] object StatsQueries {
     // ---- equi-depth quartile assignment per group: (rank−1)·4 div n
     //      (ntile semantics differ across engines; the rank formula
     //      with value-only ties is the portable contract) ----
-    //      Distributed grouped rank: 3 return flags over the raw fact
-    //      table would funnel the whole relation into 3 window tasks —
-    //      GlobalOrder's grouped form range-partitions on (flag, qty)
-    //      instead; group totals are a 3-row broadcast aggregate ----
+    //      NO ordering of the fact table: quantity is a BOUNDED
+    //      integer domain (1..50), so the per-(flag, value) weight
+    //      table is a few hundred rows at ANY corpus scale; rank with
+    //      ties = 1 + cumulative weight of strictly-smaller values,
+    //      computed on that tiny table and broadcast back ----
     "q_quartile_assign" -> ((s, dir) => {
       val base = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
                 col("l_quantity").cast("long").as("qty"))
-      val totals = base.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-      graft.operators.GlobalOrder.withGroupedRank(
-          base, Seq("l_returnflag"), Seq(col("qty")), "rk")
-        .join(broadcast(totals), "l_returnflag")
+      val byVal = base.groupBy("l_returnflag", "qty")
+        .agg(count(lit(1)).as("w"))
+      val wq = Window.partitionBy("l_returnflag").orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranks = byVal
+        .withColumn("cum", sum("w").over(wq))
+        .withColumn("rk", col("cum") - col("w") + 1)
+        .withColumn("n", sum("w").over(Window.partitionBy("l_returnflag")))
+        .select("l_returnflag", "qty", "rk", "n")
+      base.join(broadcast(ranks), Seq("l_returnflag", "qty"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
                 col("qty"), expr("(rk - 1) * 4 div n").as("quartile"))
     }),
@@ -137,27 +139,18 @@ private[graft] object StatsQueries {
       val d = Tables.load(s, dir, "lineitem")
         .select(col("l_returnflag").as("rf"),
           floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))
-      // ONE raw-data aggregation; bounds AND the clipped sum both come
-      // from the materialized per-value counts (clip(v) carries v's
-      // weight) — the corpus is scanned once, the MAD pattern
-      val byVal = d.groupBy("rf", "v").agg(count(lit(1)).as("w"))
-        .localCheckpoint(eager = true)
-      // distributed grouped cumulative walk (see q_weighted_median);
-      // materialized because BOTH percentile filters read it
-      val totals = byVal.groupBy("rf").agg(sum("w").as("total"))
-      val cum = graft.operators.GlobalOrder.withGroupedRunningSum(
-          byVal, Seq("rf"), Seq(col("v")), col("w"), "cum")
-        .join(broadcast(totals), "rf")
-        .localCheckpoint(eager = true)
-      val bounds = cum.filter(col("cum") * 20 >= col("total"))
-        .groupBy("rf").agg(min("v").as("p05"))
-        .join(cum.filter(col("cum") * 20 >= col("total") * 19)
-          .groupBy("rf").agg(min("v").as("p95")), "rf")
-      byVal.join(broadcast(bounds), "rf")
+        .withColumn("w", lit(1L))
+      // P05 and P95 are two crossing ratios over ONE shared histogram
+      // of the raw rows — no sort, no per-value pre-aggregate, no
+      // cumulative walk (Stats.groupedWeightedCrossings scaladoc)
+      val bounds = graft.operators.Stats.groupedWeightedCrossings(
+        d, Seq("rf"), "v", "w",
+        Seq((20L, 1L, "p05"), (20L, 19L, "p95")))
+      d.join(broadcast(bounds), "rf")
         .groupBy("rf", "p05", "p95")
-        .agg(sum(greatest(col("p05"), least(col("p95"), col("v"))) * col("w"))
+        .agg(sum(greatest(col("p05"), least(col("p95"), col("v"))))
                .as("winsorized_cents"),
-             sum("w").as("n"))
+             count(lit(1)).as("n"))
         .select("rf", "p05", "p95", "winsorized_cents", "n")
     }),
 

@@ -194,6 +194,43 @@ class BasketGraphStatsSpec extends SparkSpec {
     assert(out("b").getAs[Long]("mad") === 0L) // devs 0,2 → crossing at 0
   }
 
+  test("groupedWeightedCrossing: differential vs the window crossing " +
+       "on randomized weighted values, several ratios") {
+    val r = new scala.util.Random(42)
+    // clustered values so buckets get uneven mass, plus a wide outlier
+    // tail so the histogram range is much larger than the clusters
+    val rows = (0 until 4000).map { i =>
+      val g = s"g${i % 4}"
+      val v = if (r.nextInt(50) == 0) r.nextInt(1000000).toLong
+              else (r.nextInt(20) * 97).toLong
+      (g, v, 1L + r.nextInt(5).toLong)
+    }
+    val d = rows.toDF("g", "v", "w").repartition(6)
+    for ((k, m) <- Seq((2L, 1L), (20L, 1L), (20L, 19L), (1L, 1L), (5L, 0L))) {
+      val got = Stats.groupedWeightedCrossing(
+          d, Seq("g"), "v", "w", k, m, "x")
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("x")).toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val byV = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+          .toSeq.sortBy(_._1)
+        val tot = byV.map(_._2).sum
+        var cum = 0L
+        g -> byV.collectFirst {
+          case (v, w) if { cum += w; cum * k >= tot * m } => v
+        }.get
+      }
+      assert(got == want, s"crossing k=$k m=$m")
+    }
+  }
+
+  test("groupedWeightedCrossing: all-equal values and one-row groups") {
+    val d = Seq(("a", 7L, 3L), ("a", 7L, 9L), ("b", -5L, 1L))
+      .toDF("g", "v", "w")
+    val out = Stats.groupedWeightedCrossing(d, Seq("g"), "v", "w", 2, 1, "x")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("x")).toMap
+    assert(out == Map("a" -> 7L, "b" -> -5L))
+  }
+
   test("linearFitGrouped: zero x-variance group yields NULL fit, stats intact") {
     val d = Seq(("c", 5L, 1L), ("c", 5L, 9L)).toDF("g", "x", "y")
     val r = Stats.linearFitGrouped(d, Seq("g"), col("x"), col("y")).head()

@@ -219,13 +219,21 @@ class PlanRegressionSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") == 1, p)
   }
 
-  test("MAD pass 2 reads materialized value counts, never the corpus") {
-    // both crossings and the deviation re-aggregation run over the
-    // localCheckpointed per-value counts: the FINAL plan must contain
-    // no file scan at all
+  test("MAD runs as histogram crossings: no sort of the corpus, no " +
+       "single-partition window, scans stay 2-column") {
+    // groupedWeightedCrossings deliberately RESCANS the raw rows
+    // (map-side passes) instead of materializing a per-value relation
+    // — the contract is the absence of any ordering of the data: every
+    // window/sort must sit above the G·B-bucket aggregates, never the
+    // corpus, so no SinglePartition exchange and no exchange that
+    // range-partitions the scan
     val p = plan("q_mad")
-    assert(!p.contains("FileScan") && !p.contains("BatchScan"),
-      "corpus rescan in MAD pass 2:\n" + p)
+    assert(!p.contains("Exchange SinglePartition"),
+      "single-partition funnel in MAD:\n" + p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "corpus-wide sort exchange in MAD:\n" + p)
+    // column pruning: the fact scans must read only flag + price
+    assert(!p.contains("l_orderkey"), "unpruned MAD scan:\n" + p)
   }
 
   test("iterative graph results read checkpointed state, not files") {
