@@ -134,13 +134,6 @@ private[graft] object QueryHelpers {
       graft.operators.LoopCheckpoint(graft.functions.InvertedIndex.postings(
         Tables.load(s, dir, "documents"), "doc_id", "text")))
 
-  /** One PERSISTED impact index per (session, sf dir) — the
-    * term+doc-bucketed block-max layout ([[graft.sources.ImpactIndex]])
-    * that q_bm25_bucketed searches. Built once into a scratch path
-    * keyed on the sanitized dir + application id (the incremental-
-    * dedup store convention: no cross-session path sharing). At 100 TB
-    * the build is the nightly index job; every search reads only its
-    * query terms' buckets. */
   /** Scratch path for per-(session, sf dir) mutable fixtures (stores,
     * indexes): keyed on the SANITIZED dir string (hashCode alone is
     * 32-bit and collision-prone) plus the application id, so two
@@ -154,6 +147,14 @@ private[graft] object QueryHelpers {
 
   private val impactIdx = scala.collection.concurrent.TrieMap[
     (SparkSession, String), String]()
+
+  /** One PERSISTED impact index per (session, sf dir) — the
+    * term+doc-bucketed block-max layout ([[graft.sources.ImpactIndex]])
+    * that q_bm25_bucketed searches. Built once into a scratch path
+    * keyed on the sanitized dir + application id (the incremental-
+    * dedup store convention: no cross-session path sharing). At 100 TB
+    * the build is the nightly index job; every search reads only its
+    * query terms' buckets. */
   def impactIndexFor(s: SparkSession, dir: String): String =
     impactIdx.getOrElseUpdate((s, dir), {
       val path = scratchPathFor(s, dir, "impact_idx")

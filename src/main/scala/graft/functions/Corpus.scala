@@ -41,14 +41,21 @@ object Corpus {
   /** [[leakFreeSplit]] from an ALREADY-LABELED component relation
     * (`node`, `component`) — the stored-artifact form: at scale the
     * dedup pass writes the labeling once and every split/election/
-    * cluster consumer joins it instead of re-running clustering. */
+    * cluster consumer joins it instead of re-running clustering.
+    *
+    * `comps` may be PARTIAL (edge-incident nodes only — what
+    * [[graft.operators.ConnectedComponents.runBlocked]] emits): an
+    * unlabeled doc is its own singleton component, exactly what the
+    * full `run()` labeling assigns it, so no document is ever dropped
+    * from the split. */
   def leakFreeSplitFromComponents(docs: DataFrame, idCol: String,
                                   comps: DataFrame, trainPct: Int = 80,
                                   valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"bad split percentages: train=$trainPct val=$valPct")
     val slot = pmod(col("component"), lit(100))
-    docs.join(comps, docs(idCol) === comps("node"))
+    docs.join(comps, docs(idCol) === comps("node"), "left")
+      .withColumn("component", coalesce(col("component"), docs(idCol)))
       .drop("node")
       .withColumn("split",
         when(slot < trainPct, "train")

@@ -486,6 +486,14 @@ object Dedup {
                    maxHamming: Int, maxBucket: Int = 100000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    {
+      import org.apache.spark.sql.types._
+      require(Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(docs.schema(idCol).dataType),
+        s"simhashPairs: id column '$idCol' must be an integral type for " +
+        s"the in-task pair kernel (got ${docs.schema(idCol).dataType}); " +
+        "dictionary-encode non-numeric ids upstream")
+    }
     val sigs = simhashSignatures(docs, idCol, textCol)
     // Pair generation runs INSIDE the (band, value) bucket's own task:
     // one groupByKey on the band key (the same shuffle the previous

@@ -136,6 +136,19 @@ object InvertedIndex {
                  terms: Seq[String], k: Int): DataFrame =
     bm25SearchFrom(postings(docs, idCol, textCol), idCol, terms, k)
 
+  /** The ONE definition of the integer BM25 term score (micro units) —
+    * shared by every scorer here plus [[graft.sources.ImpactIndex]]'s
+    * index-time builder and delta scorer, whose contract is BIT
+    * parity with [[bm25Search]]: a tuning edit to a private copy
+    * would silently break index-time vs query-time score equality.
+    * `tf`/`dlMilli` are SQL sub-expressions (WAND's ceiling passes
+    * `max_tf` / `min_dl * 1000`); `s_milli`, `nd`, `df` must be in
+    * scope. */
+  private[graft] def termScoreSql(tf: String, dlMilli: String): String =
+    s"(44 * $tf * s_milli * 1000000 div" +
+    s" (20 * $tf * s_milli + 6 * s_milli + 18 * ($dlMilli)))" +
+    " * (nd * 1000000 div df) div 1000000"
+
   /** [[bm25Search]] over a pre-built postings relation. */
   def bm25SearchFrom(posts: DataFrame, idCol: String,
                      terms: Seq[String], k: Int): DataFrame = {
@@ -148,12 +161,7 @@ object InvertedIndex {
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .withColumn("s_milli", expr("tot * 1000 div nd"))
-      .withColumn("d_milli", expr("dl * 1000"))
-      .withColumn("sat_micro", expr(
-        "44 * tf * s_milli * 1000000 div" +
-        " (20 * tf * s_milli + 6 * s_milli + 18 * d_milli)"))
-      .withColumn("w_ppm", expr("nd * 1000000 div df"))
-      .withColumn("term_score", expr("sat_micro * w_ppm div 1000000"))
+      .withColumn("term_score", expr(termScoreSql("tf", "dl * 1000")))
       .groupBy(col(idCol))
       .agg(sum("term_score").as("score_micro"),
            count(lit(1)).as("n_terms"))
@@ -212,20 +220,14 @@ object InvertedIndex {
       .agg(max("tf").as("max_tf"), first("df").as("df"))
       .crossJoin(broadcast(stats))
       .withColumn("s_milli", expr("tot * 1000 div nd"))
-      .withColumn("u_t", expr(
-        "(44 * max_tf * s_milli * 1000000 div" +
-        " (20 * max_tf * s_milli + 6 * s_milli + 18 * min_dl * 1000))" +
-        " * (nd * 1000000 div df) div 1000000"))
+      .withColumn("u_t", expr(termScoreSql("max_tf", "min_dl * 1000")))
       .select(col("term"), col("u_t"))
     def exactScores(subset: DataFrame): DataFrame =
       hits.join(subset, Seq(idCol), "left_semi")
         .join(dl, idCol)
         .crossJoin(broadcast(stats))
         .withColumn("s_milli", expr("tot * 1000 div nd"))
-        .withColumn("term_score", expr(
-          "(44 * tf * s_milli * 1000000 div" +
-          " (20 * tf * s_milli + 6 * s_milli + 18 * dl * 1000))" +
-          " * (nd * 1000000 div df) div 1000000"))
+        .withColumn("term_score", expr(termScoreSql("tf", "dl * 1000")))
         .groupBy(col(idCol))
         .agg(sum("term_score").as("score_micro"),
              count(lit(1)).as("n_terms"))

@@ -468,6 +468,14 @@ object Similarity {
       maxBlock: Int = 100000, tiles: Int = 8): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    {
+      import org.apache.spark.sql.types._
+      require(Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(emb.schema("vec_id").dataType),
+        s"labelBlockedNearDup: vec_id must be an integral type for the " +
+        s"in-task pair kernel (got ${emb.schema("vec_id").dataType}); " +
+        "dictionary-encode non-numeric ids upstream")
+    }
     val raw = emb.select(col("vec_id").cast("long").as("vec_id"),
                          col("label").cast("string").as("label"),
                          col("embedding").cast("array<double>").as("embedding"))

@@ -269,4 +269,51 @@ object TextAnalysis {
       "stopword_ratio" -> round(stopHits / nullif(nTok, lit(0.0)), 6),
       "mean_token_len" -> round(alpha / nullif(nTok, lit(0.0)), 6))
   }
+
+  /** Distinctive terms per stratum — the c-TF-IDF-style "what makes
+    * this slice different" analysis (BERTopic's class-TF-IDF, the
+    * standard way to LABEL a corpus partition: a source, a language, a
+    * semantic cluster) with the log replaced by an integer lift so
+    * both engines agree bit-for-bit:
+    *
+    *   lift_ppm(t, s) = ((cnt·10⁶ div cnt_g) · tot_g) div tot_s
+    *
+    * i.e. the term's within-stratum relative frequency over its
+    * corpus-wide relative frequency, in ppm (1,000,000 = exactly
+    * corpus-average usage). Top `topK` per stratum by (lift DESC,
+    * term ASC), gated on `cnt ≥ minCount` so one-off typos don't top
+    * every list.
+    *
+    * Scale shape: one tokenize pass → a map-side-combinable
+    * (stratum, term) count; everything after runs on VOCAB-sized
+    * relations (stratum totals, global term counts), never the corpus
+    * — the per-stratum top-k window sorts |vocab ∩ stratum| rows, not
+    * documents. `tot_g` is corpus token volume: the ppm product needs
+    * `cnt·10⁶ ≤ ~9·10¹⁸/tot_g`, comfortably wide below ~10¹²-token
+    * corpora; shard the call beyond that. */
+  def distinctiveTerms(docs: org.apache.spark.sql.DataFrame,
+                       stratumCol: String, textCol: String,
+                       minCount: Long = 5L, topK: Int = 5)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = docs
+      .select(col(stratumCol).as("stratum"),
+        explode(split(normalized(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("stratum", "term").agg(count(lit(1)).as("cnt"))
+    val tots = st.groupBy("stratum").agg(sum("cnt").as("tot_s"))
+    val glob = st.groupBy("term").agg(sum("cnt").as("cnt_g"))
+    val totg = st.agg(sum("cnt").as("tot_g"))
+    val w = Window.partitionBy("stratum")
+      .orderBy(col("lift_ppm").desc, col("term"))
+    st.filter(col("cnt") >= minCount)
+      .join(broadcast(tots), "stratum")
+      .join(glob, "term")
+      .crossJoin(broadcast(totg))
+      .withColumn("lift_ppm",
+        expr("((cnt * 1000000 div cnt_g) * tot_g) div tot_s"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("stratum", "rank", "term", "cnt", "lift_ppm")
+  }
 }

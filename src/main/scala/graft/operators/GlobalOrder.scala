@@ -121,14 +121,42 @@ object GlobalOrder {
     * LongType overflow semantics are preserved (offsets sum in
     * BIGINT); widen `valueCol` upstream if the total needs it. */
   def withRunningSum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
-                     out: String, parts: Int = 0): DataFrame = {
-    val s = ranged(df.withColumn("__go_v", valueCol), sortCols, parts)
+                     out: String, parts: Int = 0): DataFrame =
+    withRunningSums(df, sortCols, Seq((valueCol, out)), parts)
+
+  /** Several global running sums over ONE sort order in ONE ranged
+    * pass — chaining [[withRunningSum]] would re-pay the range
+    * shuffle + pinning checkpoint once PER SUM over the identical
+    * key (the q_ks_test shape: cumulative F and O counts over the
+    * same pooled support). One per-partition window computes every
+    * prefix; one P-row offset table carries every column's exclusive
+    * total. */
+  def withRunningSums(df: DataFrame, sortCols: Seq[Column],
+                      sums: Seq[(Column, String)],
+                      parts: Int = 0): DataFrame = {
+    require(sums.nonEmpty, "need at least one (valueCol, out) sum")
+    val vcols = sums.zipWithIndex.map { case ((v, _), i) => v.as(s"__go_v$i") }
+    val s = ranged(df.select(col("*") +: vcols: _*), sortCols, parts)
     val w = Window.partitionBy(PID).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    s.withColumn("__go_ps", sum("__go_v").over(w))
-      .join(broadcast(offsets(s, sum(col("__go_v")))), PID)
-      .withColumn(out, col("__go_off") + col("__go_ps"))
-      .drop(PID, "__go_v", "__go_ps", "__go_off")
+    val offAggs = sums.indices.map(i => sum(col(s"__go_v$i")).as(s"__go_n$i"))
+    val offWin = Window.orderBy(PID)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sums.indices.foldLeft(
+        s.groupBy(col(PID)).agg(offAggs.head, offAggs.tail: _*)) { (d, i) =>
+        d.withColumn(s"__go_off$i",
+          coalesce(sum(col(s"__go_n$i")).over(offWin), lit(0L)))
+      }
+      .select(col(PID) +: sums.indices.map(i => col(s"__go_off$i")): _*)
+    val prefixed = sums.indices.foldLeft(s) { (d, i) =>
+      d.withColumn(s"__go_ps$i", sum(col(s"__go_v$i")).over(w))
+    }
+    val out = sums.zipWithIndex.foldLeft(
+        prefixed.join(broadcast(offs), PID)) { case (d, ((_, o), i)) =>
+      d.withColumn(o, col(s"__go_off$i") + col(s"__go_ps$i"))
+    }
+    out.drop(PID +: sums.indices.flatMap(i =>
+      Seq(s"__go_v$i", s"__go_ps$i", s"__go_off$i")): _*)
   }
 
   // ------------------------------------------------------------------

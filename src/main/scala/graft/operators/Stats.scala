@@ -111,8 +111,20 @@ object Stats {
     ratios.foreach { case (k, m, _) =>
       require(k >= m && m >= 0 && k > 0, s"bad crossing ratio m/k = $m/$k") }
     val g = groupCols.map(col)
+    // the crossing rule is only monotone for non-negative weights; a
+    // signed-weight caller would get a silently wrong quantile, so the
+    // guard rides the per-group range aggregate the pass already pays
+    // (raise_error only evaluates on violation — Graph.guarded pattern)
     val rng = rows.groupBy(g: _*).agg(
-      min(vCol).as("__mn"), max(vCol).as("__mx"), sum(wCol).as("__tot"))
+        min(vCol).as("__mn"), max(vCol).as("__mx"), sum(wCol).as("__tot"),
+        min(wCol).as("__wmn"))
+      .withColumn("__tot",
+        when(col("__wmn") < 0,
+          expr("raise_error(concat('groupedWeightedCrossings: negative " +
+               "weight (min ', __wmn, ') — the crossing rule requires " +
+               "non-negative weights'))"))
+          .otherwise(col("__tot")))
+      .drop("__wmn")
     def bucketed = rows.join(broadcast(rng), groupCols)
       .withColumn("__bk",
         expr(s"($vCol - __mn) div ((__mx - __mn) div $buckets + 1)"))

@@ -138,6 +138,15 @@ private[graft] object GraphQueries {
       graft.operators.Bfs.boundedMinCost(we, sources, rounds = 3)
     }),
 
+    // ---- community detection: deterministic synchronous label
+    //      propagation (3 rounds, min-label ties) over the supplier
+    //      co-occurrence graph — communities stop at local-majority
+    //      boundaries where connected components merge everything
+    //      reachable; oracle unrolls the same rounds ----
+    "q_label_prop" -> ((s, dir) =>
+      graft.operators.LabelPropagation.run(
+        coEdgesFor(s, dir).select("u", "v"), "u", "v", rounds = 3)),
+
     // ---- degree distribution of the supplier co-purchase graph:
     //      incident-edge counts per node, histogrammed in bands of 8.
     //      Edge derivation shares [[CoOccurrence.edges]] (hub-guarded,
@@ -328,6 +337,39 @@ private[graft] object GraphQueries {
                SELECT sym.v, r2.cost + sym.cost FROM r2
                JOIN sym ON sym.u = r2.node) GROUP BY 1)
       SELECT node, cost::BIGINT AS cost FROM r3
+    """,
+
+    // three synchronous LPA rounds unrolled; row_number (cnt DESC,
+    // label ASC) reproduces the Spark side's max(struct(cnt, -label))
+    // argmax-with-min-tie-break exactly
+    "q_label_prop" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      e0 AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_suppkey < b.l_suppkey
+             GROUP BY 1, 2),
+      e AS (SELECT u, v FROM e0 WHERE w >= 5),
+      sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+      l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+      c1 AS (SELECT s.v AS node, l.label AS label, count(*) AS cnt
+             FROM sym s JOIN l0 l ON s.u = l.node GROUP BY 1, 2),
+      l1 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (
+                 PARTITION BY node ORDER BY cnt DESC, label) AS rn
+               FROM c1) WHERE rn = 1),
+      c2 AS (SELECT s.v AS node, l.label AS label, count(*) AS cnt
+             FROM sym s JOIN l1 l ON s.u = l.node GROUP BY 1, 2),
+      l2 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (
+                 PARTITION BY node ORDER BY cnt DESC, label) AS rn
+               FROM c2) WHERE rn = 1),
+      c3 AS (SELECT s.v AS node, l.label AS label, count(*) AS cnt
+             FROM sym s JOIN l2 l ON s.u = l.node GROUP BY 1, 2),
+      l3 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (
+                 PARTITION BY node ORDER BY cnt DESC, label) AS rn
+               FROM c3) WHERE rn = 1)
+      SELECT node, label FROM l3
     """,
 
     "q_degree_hist" -> """

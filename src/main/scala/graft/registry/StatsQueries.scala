@@ -366,11 +366,11 @@ private[graft] object StatsQueries {
       val byV = o.groupBy("cents")
         .agg(sum("is_f").as("cf"), sum(expr("1 - is_f")).as("co"))
       // distinct cents are corpus-proportional — distributed prefix
-      // sums, not the single-partition window
-      val cum = graft.operators.GlobalOrder.withRunningSum(
-          graft.operators.GlobalOrder.withRunningSum(
-            byV, Seq(col("cents")), col("cf"), "cum_f"),
-          Seq(col("cents")), col("co"), "cum_o")
+      // sums, not the single-partition window; BOTH cumulatives ride
+      // one ranged pass (chaining would re-range-shuffle the support)
+      val cum = graft.operators.GlobalOrder.withRunningSums(
+          byV, Seq(col("cents")),
+          Seq((col("cf"), "cum_f"), (col("co"), "cum_o")))
         .select("cum_f", "cum_o")
       val tot = o.agg(sum("is_f").as("n_f"), sum(expr("1 - is_f")).as("n_o"))
       cum.crossJoin(broadcast(tot))

@@ -18,6 +18,15 @@ private[graft] object TextQueries {
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
     // ---- text analysis (additive) ----
+
+    // ---- distinctive terms per source (c-TF-IDF-style integer lift):
+    //      the corpus-composition / cluster-labeling analysis — what
+    //      vocabulary makes each slice different ----
+    "q_stratum_terms" -> ((s, dir) =>
+      graft.functions.TextAnalysis.distinctiveTerms(
+        Tables.load(s, dir, "documents"), "source", "text",
+        minCount = 5L, topK = 5)),
+
     "q_text_stats" -> ((s, dir) => {
       val cols = graft.functions.TextAnalysis.qualityColumns(col("text"))
         .map { case (n, c) => c.as(n) }
@@ -285,6 +294,33 @@ private[graft] object TextQueries {
   )
 
   val oracleSql: Seq[(String, String)] = Seq(
+    // same tokenization, same integer lift, same (lift DESC, term ASC)
+    // top-5 rule as TextAnalysis.distinctiveTerms
+    "q_stratum_terms" -> s"""
+      WITH st AS (
+        SELECT source AS stratum, term, count(*) AS cnt FROM (
+          SELECT source, unnest($duckToks) AS term FROM documents)
+        WHERE term <> '' GROUP BY 1, 2),
+      tots AS (SELECT stratum, sum(cnt)::BIGINT AS tot_s
+               FROM st GROUP BY 1),
+      gl AS (SELECT term, sum(cnt)::BIGINT AS cnt_g FROM st GROUP BY 1),
+      totg AS (SELECT sum(cnt)::BIGINT AS tot_g FROM st),
+      lifted AS (
+        SELECT st.stratum, st.term, st.cnt::BIGINT AS cnt,
+               (((st.cnt * 1000000 // gl.cnt_g) * totg.tot_g)
+                 // tots.tot_s)::BIGINT AS lift_ppm
+        FROM st
+        JOIN tots ON st.stratum = tots.stratum
+        JOIN gl ON st.term = gl.term
+        CROSS JOIN totg
+        WHERE st.cnt >= 5)
+      SELECT stratum, rank, term, cnt, lift_ppm FROM (
+        SELECT *, row_number() OVER (PARTITION BY stratum
+                 ORDER BY lift_ppm DESC, term)::BIGINT AS rank
+        FROM lifted)
+      WHERE rank <= 5
+    """,
+
     "q_text_stats" -> s"""
       SELECT doc_id, n_chars_measured, n_tokens, n_tokens_bpe,
              round(alpha / nullif(len, 0), 6) AS alpha_ratio,

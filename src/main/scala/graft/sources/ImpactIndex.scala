@@ -72,10 +72,8 @@ object ImpactIndex {
       .join(dfs, "term")
       .crossJoin(broadcast(stats))
       .withColumn("s_milli", expr("tot * 1000 div nd"))
-      .withColumn("score", expr(
-        "(44 * tf * s_milli * 1000000 div" +
-        " (20 * tf * s_milli + 6 * s_milli + 18 * dl * 1000))" +
-        " * (nd * 1000000 div df) div 1000000"))
+      .withColumn("score", expr(graft.functions.InvertedIndex
+        .termScoreSql("tf", "dl * 1000")))
       .withColumn("term_bucket",
         pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
       .withColumn("doc_bucket",
@@ -229,10 +227,8 @@ object ImpactIndex {
       .crossJoin(broadcast(stats))
       .withColumn("df", coalesce(col("main_df"), col("delta_df")))
       .withColumn("s_milli", expr("tot * 1000 div nd"))
-      .withColumn("score", expr(
-        "(44 * tf * s_milli * 1000000 div" +
-        " (20 * tf * s_milli + 6 * s_milli + 18 * dl * 1000))" +
-        " * (nd * 1000000 div df) div 1000000"))
+      .withColumn("score", expr(graft.functions.InvertedIndex
+        .termScoreSql("tf", "dl * 1000")))
       .groupBy(col(idCol))
       .agg(sum("score").as("score_micro"), count(lit(1)).as("n_terms"))
     val deltaIds = delta.select(col(idCol)).distinct()

@@ -231,6 +231,18 @@ class BasketGraphStatsSpec extends SparkSpec {
     assert(out == Map("a" -> 7L, "b" -> -5L))
   }
 
+  test("groupedWeightedCrossing fails loudly on negative weights " +
+       "instead of returning a silently wrong quantile") {
+    val d = Seq(("a", 1L, 4L), ("a", 2L, -1L), ("a", 3L, 4L))
+      .toDF("g", "v", "w")
+    val e = intercept[Exception] {
+      Stats.groupedWeightedCrossing(d, Seq("g"), "v", "w", 2, 1, "x")
+        .collect()
+    }
+    assert(e.getMessage.contains("negative weight") ||
+           Option(e.getCause).exists(_.getMessage.contains("negative weight")))
+  }
+
   test("linearFitGrouped: zero x-variance group yields NULL fit, stats intact") {
     val d = Seq(("c", 5L, 1L), ("c", 5L, 9L)).toDF("g", "x", "y")
     val r = Stats.linearFitGrouped(d, Seq("g"), col("x"), col("y")).head()

@@ -66,6 +66,29 @@ class CorpusScrubSpec extends SparkSpec {
     assert(split.select("split").distinct().count() == 3) // all three occur
   }
 
+  test("leakFreeSplitFromComponents: a PARTIAL labeling (edge-incident " +
+       "nodes only) drops no document — singletons split as themselves") {
+    val docs = (0L until 100L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
+    // label only docs 0-19 (two 10-doc components); 80 docs unlabeled —
+    // the runBlocked shape, which emits edge-incident nodes only
+    val comps = (0L until 20L).map(i => (i, if (i < 10) 0L else 10L))
+      .toDF("node", "component")
+    val split = Corpus.leakFreeSplitFromComponents(docs, "doc_id", comps)
+    assert(split.count() == 100 &&
+      split.select("doc_id").distinct().count() == 100)
+    // labeled docs keep their component; unlabeled fall back to own id,
+    // exactly what the full run() labeling assigns a singleton
+    assert(split.filter(col("doc_id") < 20 &&
+      col("component") =!= when(col("doc_id") < 10, 0L).otherwise(10L))
+      .count() == 0)
+    assert(split.filter(col("doc_id") >= 20 &&
+      col("component") =!= col("doc_id")).count() == 0)
+    // components still never straddle splits
+    assert(split.groupBy("component")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1)
+      .count() == 0)
+  }
+
   test("stratifiedSample: deterministic, monotone in rate, exact at bounds") {
     val docs = (0L until 2000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
       .toDF("doc_id", "lang")

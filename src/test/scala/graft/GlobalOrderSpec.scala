@@ -66,6 +66,26 @@ class GlobalOrderSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("withRunningSums: N sums in one pass equal N chained windows") {
+    val df = fixture(4000, 3)
+    val got = GlobalOrder.withRunningSums(
+        df, Seq(col("v"), col("k")),
+        Seq((col("v") * 3 + 1, "c1"), (lit(1L), "c2"),
+            (when(col("v") % 2 === 0, col("v")).otherwise(lit(0L)), "c3")), 8)
+      .select("k", "c1", "c2", "c3").as[(Long, Long, Long, Long)]
+      .collect().map { case (k, a, b, c) => k -> (a, b, c) }.toMap
+    val w = Window.orderBy(col("v"), col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("c1", sum(col("v") * 3 + 1).over(w))
+      .withColumn("c2", sum(lit(1L)).over(w))
+      .withColumn("c3",
+        sum(when(col("v") % 2 === 0, col("v")).otherwise(lit(0L))).over(w))
+      .select("k", "c1", "c2", "c3").as[(Long, Long, Long, Long)]
+      .collect().map { case (k, a, b, c) => k -> (a, b, c) }.toMap
+    assert(got == want)
+  }
+
   test("no SinglePartition exchange in the data path") {
     val df = fixture(2000, 4)
     val out = GlobalOrder.withRowNumber(df, Seq(col("v"), col("k")), "rn", 8)

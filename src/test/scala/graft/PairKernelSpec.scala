@@ -100,4 +100,20 @@ class PairKernelSpec extends SparkSpec {
     assert(got.map(p => (p._1, p._2)).distinct.length == 10)
     assert(got.forall(_._3 == 0))
   }
+
+  test("pair kernels reject non-integral ids with a clear message " +
+       "(the declarative self-joins they replaced took any orderable id)") {
+    val sdocs = Seq(("doc-1", "alpha beta"), ("doc-2", "alpha beta"))
+      .toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(sdocs, "doc_id", "text", 3)
+    }
+    assert(e1.getMessage.contains("integral"))
+    val semb = Seq(("v-1", "x", Array(1.0, 0.0)), ("v-2", "x", Array(1.0, 0.0)))
+      .toDF("vec_id", "label", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.labelBlockedNearDup(semb, 0.9)
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
 }
