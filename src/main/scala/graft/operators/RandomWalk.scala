@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic random-walk corpus generation — the walk-sampling
+  * stage of DeepWalk/node2vec-style graph-embedding pipelines (walks
+  * become "sentences" a sequence model trains on), made reproducible
+  * so the cross-engine gate can check it.
+  *
+  * True random walks draw the next hop uniformly; a training pipeline
+  * needs the corpus to be REGENERABLE (resumable shards, audit, the
+  * same leak-free-split guarantees as any other training table), so
+  * the draw here is a hash: at step t, walk (seed, walk_no) moves to
+  * the neighbor minimizing
+  *
+  *   pri(v) = ((seed·31 + walk_no)·1315423911
+  *             + t·2654435761 + v·2246822519) mod 1000000007
+  *
+  * (pure BIGINT arithmetic both engines evaluate identically — the
+  * [[graft.QueryHelpers.sampleSlot]] convention; ties broken toward
+  * the smaller neighbor id). Distinct (seed, walk_no, t) triples give
+  * independent-looking draws; the walk still never leaves the graph
+  * (every hop is a real edge) and hub neighbors are picked ∝ nothing —
+  * each neighbor equally likely across hash space, the uniform
+  * DeepWalk kernel. Magnitude bound: the product stays inside signed
+  * 64-bit for node ids below ~4·10⁹ (same honesty note as
+  * `sampleSlot` — DuckDB errors on overflow where the JVM wraps, so
+  * the oracle keeps the bound enforced).
+  *
+  * Scale shape (per step): one equi-join of the frontier (|seeds| ×
+  * `walksPerSeed` rows) onto the symmetrized adjacency — shuffle
+  * keyed on the current node — then a map-side-combinable
+  * `min(struct(pri, v))` argmin per walk. No sort, no window, no
+  * driver action; the frontier is pinned per step with
+  * [[LoopCheckpoint]]. Work per step is Σ degree(frontier), the same
+  * cost as one BFS round over the frontier.
+  *
+  * Input contract: canonical (u < v) undirected edges with integral
+  * ids, each edge once (the `coEdgesFor` shape).
+  */
+object RandomWalk {
+
+  /** `walksPerSeed` walks of `steps` hops from every seed node.
+    * Returns (seed, walk_no, step, node) — step 0 is the seed itself;
+    * one row per visited position, the walk-corpus layout a
+    * sequence-model tokenizer consumes. */
+  def deterministicWalks(edges: DataFrame, uCol: String, vCol: String,
+                         seeds: DataFrame, seedCol: String,
+                         walksPerSeed: Int, steps: Int): DataFrame = {
+    require(walksPerSeed >= 1 && steps >= 1,
+      s"need walksPerSeed >= 1 and steps >= 1, got $walksPerSeed/$steps")
+    val e = edges.select(col(uCol).cast("long").as("u"),
+                         col(vCol).cast("long").as("v"))
+    val sym = LoopCheckpoint(
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v"))))
+    var cur = seeds
+      .select(col(seedCol).cast("long").as("seed"))
+      .crossJoin(
+        seeds.sparkSession.range(walksPerSeed).select(
+          col("id").cast("long").as("walk_no")))
+      .withColumn("node", col("seed"))
+    var all = cur.withColumn("step", lit(0L))
+    for (t <- 1 to steps) {
+      val next = cur
+        .join(sym.withColumnRenamed("u", "node"), "node")
+        .withColumn("pri", expr(
+          s"((seed * 31 + walk_no) * 1315423911 + $t * 2654435761" +
+          " + v * 2246822519) % 1000000007"))
+        .groupBy("seed", "walk_no")
+        .agg(min(struct(col("pri"), col("v"))).as("m"))
+        .select(col("seed"), col("walk_no"), col("m.v").as("node"))
+      cur = LoopCheckpoint(next)
+      all = all.unionByName(cur.withColumn("step", lit(t.toLong)))
+    }
+    all.select("seed", "walk_no", "step", "node")
+  }
+}

@@ -147,6 +147,17 @@ private[graft] object GraphQueries {
       graft.operators.LabelPropagation.run(
         coEdgesFor(s, dir).select("u", "v"), "u", "v", rounds = 3)),
 
+    // ---- deterministic random-walk corpus (DeepWalk's sampling
+    //      stage, hash-drawn so it's regenerable): 2 walks × 3 hops
+    //      from each low-key supplier over the co-occurrence graph;
+    //      oracle unrolls the hops ----
+    "q_random_walks" -> ((s, dir) =>
+      graft.operators.RandomWalk.deterministicWalks(
+        coEdgesFor(s, dir).select("u", "v"), "u", "v",
+        Tables.load(s, dir, "supplier")
+          .filter(col("s_suppkey") < 10).select(col("s_suppkey")),
+        "s_suppkey", walksPerSeed = 2, steps = 3)),
+
     // ---- degree distribution of the supplier co-purchase graph:
     //      incident-edge counts per node, histogrammed in bands of 8.
     //      Edge derivation shares [[CoOccurrence.edges]] (hub-guarded,
@@ -337,6 +348,53 @@ private[graft] object GraphQueries {
                SELECT sym.v, r2.cost + sym.cost FROM r2
                JOIN sym ON sym.u = r2.node) GROUP BY 1)
       SELECT node, cost::BIGINT AS cost FROM r3
+    """,
+
+    // three hash-drawn hops unrolled; row_number (pri ASC, v ASC)
+    // reproduces the Spark side's min(struct(pri, v)) argmin exactly
+    "q_random_walks" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      e0 AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_suppkey < b.l_suppkey
+             GROUP BY 1, 2),
+      e AS (SELECT u, v FROM e0 WHERE w >= 5),
+      sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+      seeds AS (SELECT s_suppkey::BIGINT AS seed FROM supplier
+                WHERE s_suppkey < 10),
+      w0 AS (SELECT seed, wn.walk_no::BIGINT AS walk_no, seed AS node
+             FROM seeds CROSS JOIN (SELECT unnest([0, 1]) AS walk_no) wn),
+      c1 AS (SELECT w.seed, w.walk_no, s.v,
+                    ((w.seed * 31 + w.walk_no) * 1315423911
+                     + 1 * 2654435761 + s.v * 2246822519)
+                      % 1000000007 AS pri
+             FROM w0 w JOIN sym s ON s.u = w.node),
+      w1 AS (SELECT seed, walk_no, node FROM (
+               SELECT seed, walk_no, v AS node, row_number() OVER (
+                 PARTITION BY seed, walk_no ORDER BY pri, v) AS rn
+               FROM c1) WHERE rn = 1),
+      c2 AS (SELECT w.seed, w.walk_no, s.v,
+                    ((w.seed * 31 + w.walk_no) * 1315423911
+                     + 2 * 2654435761 + s.v * 2246822519)
+                      % 1000000007 AS pri
+             FROM w1 w JOIN sym s ON s.u = w.node),
+      w2 AS (SELECT seed, walk_no, node FROM (
+               SELECT seed, walk_no, v AS node, row_number() OVER (
+                 PARTITION BY seed, walk_no ORDER BY pri, v) AS rn
+               FROM c2) WHERE rn = 1),
+      c3 AS (SELECT w.seed, w.walk_no, s.v,
+                    ((w.seed * 31 + w.walk_no) * 1315423911
+                     + 3 * 2654435761 + s.v * 2246822519)
+                      % 1000000007 AS pri
+             FROM w2 w JOIN sym s ON s.u = w.node),
+      w3 AS (SELECT seed, walk_no, node FROM (
+               SELECT seed, walk_no, v AS node, row_number() OVER (
+                 PARTITION BY seed, walk_no ORDER BY pri, v) AS rn
+               FROM c3) WHERE rn = 1)
+      SELECT seed, walk_no, 0::BIGINT AS step, node FROM w0
+      UNION ALL SELECT seed, walk_no, 1::BIGINT, node FROM w1
+      UNION ALL SELECT seed, walk_no, 2::BIGINT, node FROM w2
+      UNION ALL SELECT seed, walk_no, 3::BIGINT, node FROM w3
     """,
 
     // three synchronous LPA rounds unrolled; row_number (cnt DESC,

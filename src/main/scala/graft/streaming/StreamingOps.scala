@@ -309,6 +309,31 @@ object StreamingOps {
               expr("(p.ts_ns - c.ts_ns) div 1000").as("gap_us"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[attributionJoin]]
+    * plus the unconverted clicks: a click with no purchase in its gap
+    * window is emitted with null purchase columns. The outer side is
+    * the state-EVICTION shape inner joins never exercise: Structured
+    * Streaming may only emit the null-padded row once the purchase
+    * watermark has passed `c.ts + maxGap` (before that a match could
+    * still arrive), so unmatched clicks surface with watermark delay —
+    * the documented outer-join semantics, asserted by the streaming
+    * differential rather than re-derived here. Batch (`withWatermark`
+    * a no-op) emits them immediately; the spec proves stream ≡ batch
+    * on the watermark-closed prefix. */
+  def attributionJoinLeftOuter(clicks: DataFrame, purchases: DataFrame,
+                               maxGap: String,
+                               watermark: String): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark).alias("c")
+    val p = purchases.withWatermark("ts", watermark).alias("p")
+    c.join(p, expr(
+        s"c.user_id = p.user_id AND p.ts >= c.ts" +
+        s" AND p.ts <= c.ts + interval '$maxGap'"), "left_outer")
+      .select(col("c.user_id").as("user_id"),
+              col("c.event_id").as("click_id"),
+              col("p.event_id").as("purchase_id"),
+              expr("(p.ts_ns - c.ts_ns) div 1000").as("gap_us"))
+  }
+
   /** File-stream reader for the events fixture — ts normalization is
     * shared with the batch loader (Tables.normalizeEvents), so both
     * paths track the fixture's actual encoding (nanos-long vs

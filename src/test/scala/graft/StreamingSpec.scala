@@ -99,6 +99,56 @@ class StreamingSpec extends SparkSpec {
       gap >= 0L && gap <= 86400000000L }, "gap outside the interval")
   }
 
+  test("LEFT OUTER stream-stream join: inner rows match batch; " +
+       "null-padded rows appear exactly for watermark-closed clicks") {
+    val stream = StreamingOps.eventsStream(spark, dir)
+    val q = StreamingOps.attributionJoinLeftOuter(
+        stream.filter($"event_type" === "click"),
+        stream.filter($"event_type" === "purchase"),
+        "24 hours", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrib_lo")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("attrib_lo")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    val ev = Tables.events(spark, dir)
+    val batch = StreamingOps.attributionJoinLeftOuter(
+        ev.filter($"event_type" === "click"),
+        ev.filter($"event_type" === "purchase"),
+        "24 hours", "1 hour")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    // matched pairs are watermark-independent: exact equality
+    assert(streamed.filter(_._3.isDefined) == batch.filter(_._3.isDefined))
+    // null-padded rows: the stream may only emit a click's row once the
+    // watermark passed ts + 24h (before that a purchase could still
+    // arrive); batch emits every unmatched click immediately. So the
+    // streamed nulls are a subset of the batch nulls...
+    val sNull = streamed.filter(_._3.isEmpty)
+    val bNull = batch.filter(_._3.isEmpty)
+    assert(sNull.subsetOf(bNull))
+    // ...and every batch null whose window closed STRICTLY before the
+    // final watermark was emitted. The global watermark is the MIN of
+    // the two sides' (max ts − 1h delay) — the sides are filtered
+    // streams, so their maxima differ — taken with a 3h safety margin
+    // so the assertion never sits on the eviction boundary
+    val maxTsNs = math.min(
+      ev.filter($"event_type" === "click")
+        .agg(max($"ts_ns")).head().getLong(0),
+      ev.filter($"event_type" === "purchase")
+        .agg(max($"ts_ns")).head().getLong(0))
+    val closed = StreamingOps.attributionJoinLeftOuter(
+        ev.filter($"event_type" === "click" &&
+          $"ts_ns" + lit(28L * 3600L * 1000000000L) < lit(maxTsNs)),
+        ev.filter($"event_type" === "purchase"),
+        "24 hours", "1 hour")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+      .filter(_._3.isEmpty)
+    assert(closed.subsetOf(sNull),
+      s"${closed.size} closed unmatched clicks, ${sNull.size} emitted")
+    assert(closed.nonEmpty, "fixture must have closed unconverted clicks")
+  }
+
   test("watermarked streaming dedup removes redelivered events") {
     // stage the SAME fixture file twice — an at-least-once source that
     // redelivers every event exactly once
