@@ -56,9 +56,9 @@ object RandomWalk {
       e.unionByName(e.select(col("v").as("u"), col("u").as("v"))))
     var cur = seeds
       .select(col(seedCol).cast("long").as("seed"))
-      .crossJoin(
+      .crossJoin(broadcast( // walksPerSeed rows by construction
         seeds.sparkSession.range(walksPerSeed).select(
-          col("id").cast("long").as("walk_no")))
+          col("id").cast("long").as("walk_no"))))
       .withColumn("node", col("seed"))
     var all = cur.withColumn("step", lit(0L))
     for (t <- 1 to steps) {
