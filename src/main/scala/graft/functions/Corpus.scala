@@ -53,6 +53,18 @@ object Corpus {
                                   valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"bad split percentages: train=$trainPct val=$valPct")
+    // the own-id fallback (and the pmod slot) need a numeric id: a
+    // string id would coerce the coalesce to STRING and turn the slot
+    // NULL/throwing — same contract as the pair kernels, checked here
+    // instead of failing deep in the job
+    locally {
+      import org.apache.spark.sql.types._
+      require(Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(docs.schema(idCol).dataType),
+        s"leakFreeSplitFromComponents: id column '$idCol' must be an " +
+        s"integral type (got ${docs.schema(idCol).dataType}); " +
+        "dictionary-encode non-numeric ids upstream")
+    }
     val slot = pmod(col("component"), lit(100))
     docs.join(comps, docs(idCol) === comps("node"), "left")
       .withColumn("component", coalesce(col("component"), docs(idCol)))

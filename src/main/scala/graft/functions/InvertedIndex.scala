@@ -145,8 +145,8 @@ object InvertedIndex {
     * `max_tf` / `min_dl * 1000`); `s_milli`, `nd`, `df` must be in
     * scope. */
   private[graft] def termScoreSql(tf: String, dlMilli: String): String =
-    s"(44 * $tf * s_milli * 1000000 div" +
-    s" (20 * $tf * s_milli + 6 * s_milli + 18 * ($dlMilli)))" +
+    s"(44 * ($tf) * s_milli * 1000000 div" +
+    s" (20 * ($tf) * s_milli + 6 * s_milli + 18 * ($dlMilli)))" +
     " * (nd * 1000000 div df) div 1000000"
 
   /** [[bm25Search]] over a pre-built postings relation. */

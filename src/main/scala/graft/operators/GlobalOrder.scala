@@ -56,14 +56,17 @@ object GlobalOrder {
         .withColumn(PID, spark_partition_id()))
   }
 
-  /** Exclusive prefix of `agg` per pid: P rows, broadcast back. */
-  private def offsets(s: DataFrame, aggCol: Column): DataFrame = {
-    s.groupBy(col(PID)).agg(aggCol.as("__go_n"))
-      .withColumn("__go_off",
-        coalesce(sum("__go_n").over(
-          Window.orderBy(PID)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(PID), col("__go_off"))
+  /** Exclusive prefix of each aggregate per pid: P rows, broadcast
+    * back as `__go_off0..__go_offN-1` (input order) — the ONE
+    * definition of the prefix-offset table every numbering uses. */
+  private def offsets(s: DataFrame, aggCols: Seq[Column]): DataFrame = {
+    val named = aggCols.zipWithIndex.map { case (a, i) => a.as(s"__go_n$i") }
+    val w = Window.orderBy(PID).rowsBetween(Window.unboundedPreceding, -1)
+    aggCols.indices.foldLeft(
+        s.groupBy(col(PID)).agg(named.head, named.tail: _*)) { (d, i) =>
+      d.withColumn(s"__go_off$i",
+        coalesce(sum(col(s"__go_n$i")).over(w), lit(0L)))
+    }.select(col(PID) +: aggCols.indices.map(i => col(s"__go_off$i")): _*)
   }
 
   /** Global `row_number()` over `sortCols` as LongType column `out`.
@@ -74,9 +77,9 @@ object GlobalOrder {
     val s = ranged(df, sortCols, parts)
     val w = Window.partitionBy(PID).orderBy(sortCols: _*)
     s.withColumn("__go_rn", row_number().over(w).cast("long"))
-      .join(broadcast(offsets(s, count(lit(1)))), PID)
-      .withColumn(out, col("__go_off") + col("__go_rn"))
-      .drop(PID, "__go_rn", "__go_off")
+      .join(broadcast(offsets(s, Seq(count(lit(1))))), PID)
+      .withColumn(out, col("__go_off0") + col("__go_rn"))
+      .drop(PID, "__go_rn", "__go_off0")
   }
 
   /** Global `rank()` (gap semantics) over `sortCols`. Equal keys are
@@ -87,9 +90,9 @@ object GlobalOrder {
     val s = ranged(df, sortCols, parts)
     val w = Window.partitionBy(PID).orderBy(sortCols: _*)
     s.withColumn("__go_rk", rank().over(w).cast("long"))
-      .join(broadcast(offsets(s, count(lit(1)))), PID)
-      .withColumn(out, col("__go_off") + col("__go_rk"))
-      .drop(PID, "__go_rk", "__go_off")
+      .join(broadcast(offsets(s, Seq(count(lit(1))))), PID)
+      .withColumn(out, col("__go_off0") + col("__go_rk"))
+      .drop(PID, "__go_rk", "__go_off0")
   }
 
   /** Global `ntile(n)` over `sortCols`: SQL NTILE's exact rule from
@@ -139,15 +142,7 @@ object GlobalOrder {
     val s = ranged(df.select(col("*") +: vcols: _*), sortCols, parts)
     val w = Window.partitionBy(PID).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offAggs = sums.indices.map(i => sum(col(s"__go_v$i")).as(s"__go_n$i"))
-    val offWin = Window.orderBy(PID)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = sums.indices.foldLeft(
-        s.groupBy(col(PID)).agg(offAggs.head, offAggs.tail: _*)) { (d, i) =>
-        d.withColumn(s"__go_off$i",
-          coalesce(sum(col(s"__go_n$i")).over(offWin), lit(0L)))
-      }
-      .select(col(PID) +: sums.indices.map(i => col(s"__go_off$i")): _*)
+    val offs = offsets(s, sums.indices.map(i => sum(col(s"__go_v$i"))))
     val prefixed = sums.indices.foldLeft(s) { (d, i) =>
       d.withColumn(s"__go_ps$i", sum(col(s"__go_v$i")).over(w))
     }

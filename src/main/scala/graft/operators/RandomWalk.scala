@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * the draw here is a hash: at step t, walk (seed, walk_no) moves to
   * the neighbor minimizing
   *
-  *   pri(v) = ((seed·31 + walk_no)·1315423911
-  *             + t·2654435761 + v·2246822519) mod 1000000007
+  *   pri(v) = ( ((seed·31 + walk_no) mod P)·1315423911 mod P
+  *             + t·2654435761 mod P
+  *             + ((v mod P)·2246822519 mod P) ) mod P,  P = 10⁹+7
   *
   * (pure BIGINT arithmetic both engines evaluate identically — the
   * [[graft.QueryHelpers.sampleSlot]] convention; ties broken toward
@@ -23,10 +24,11 @@ import org.apache.spark.sql.functions._
   * independent-looking draws; the walk still never leaves the graph
   * (every hop is a real edge) and hub neighbors are picked ∝ nothing —
   * each neighbor equally likely across hash space, the uniform
-  * DeepWalk kernel. Magnitude bound: the product stays inside signed
-  * 64-bit for node ids below ~4·10⁹ (same honesty note as
-  * `sampleSlot` — DuckDB errors on overflow where the JVM wraps, so
-  * the oracle keeps the bound enforced).
+  * DeepWalk kernel. Magnitude bound: every product is capped by the
+  * interleaved `mod P` at (P−1)·2246822519 ≈ 2.2·10¹⁸ < 2⁶³, so the
+  * arithmetic is overflow-free for ids up to ~3·10¹⁷ (the seed·31
+  * term) — DuckDB errors on BIGINT overflow where the JVM wraps, so
+  * the oracle keeps the bound enforced.
   *
   * Scale shape (per step): one equi-join of the frontier (|seeds| ×
   * `walksPerSeed` rows) onto the symmetrized adjacency — shuffle
@@ -56,6 +58,9 @@ object RandomWalk {
       e.unionByName(e.select(col("v").as("u"), col("u").as("v"))))
     var cur = seeds
       .select(col(seedCol).cast("long").as("seed"))
+      .distinct() // a duplicated seed would double step-0 rows while
+                  // later steps' per-walk argmin collapses to one —
+                  // inconsistent multiplicity no consumer expects
       .crossJoin(broadcast( // walksPerSeed rows by construction
         seeds.sparkSession.range(walksPerSeed).select(
           col("id").cast("long").as("walk_no"))))
@@ -65,8 +70,10 @@ object RandomWalk {
       val next = cur
         .join(sym.withColumnRenamed("u", "node"), "node")
         .withColumn("pri", expr(
-          s"((seed * 31 + walk_no) * 1315423911 + $t * 2654435761" +
-          " + v * 2246822519) % 1000000007"))
+          s"(((seed * 31 + walk_no) % 1000000007) * 1315423911" +
+          s" % 1000000007 + $t * 2654435761 % 1000000007" +
+          " + ((v % 1000000007) * 2246822519) % 1000000007)" +
+          " % 1000000007"))
         .groupBy("seed", "walk_no")
         .agg(min(struct(col("pri"), col("v"))).as("m"))
         .select(col("seed"), col("walk_no"), col("m.v").as("node"))

@@ -365,8 +365,9 @@ private[graft] object GraphQueries {
       w0 AS (SELECT seed, wn.walk_no::BIGINT AS walk_no, seed AS node
              FROM seeds CROSS JOIN (SELECT unnest([0, 1]) AS walk_no) wn),
       c1 AS (SELECT w.seed, w.walk_no, s.v,
-                    ((w.seed * 31 + w.walk_no) * 1315423911
-                     + 1 * 2654435761 + s.v * 2246822519)
+                    (((w.seed * 31 + w.walk_no) % 1000000007) * 1315423911
+                       % 1000000007 + 1 * 2654435761 % 1000000007
+                     + ((s.v % 1000000007) * 2246822519) % 1000000007)
                       % 1000000007 AS pri
              FROM w0 w JOIN sym s ON s.u = w.node),
       w1 AS (SELECT seed, walk_no, node FROM (
@@ -374,8 +375,9 @@ private[graft] object GraphQueries {
                  PARTITION BY seed, walk_no ORDER BY pri, v) AS rn
                FROM c1) WHERE rn = 1),
       c2 AS (SELECT w.seed, w.walk_no, s.v,
-                    ((w.seed * 31 + w.walk_no) * 1315423911
-                     + 2 * 2654435761 + s.v * 2246822519)
+                    (((w.seed * 31 + w.walk_no) % 1000000007) * 1315423911
+                       % 1000000007 + 2 * 2654435761 % 1000000007
+                     + ((s.v % 1000000007) * 2246822519) % 1000000007)
                       % 1000000007 AS pri
              FROM w1 w JOIN sym s ON s.u = w.node),
       w2 AS (SELECT seed, walk_no, node FROM (
@@ -383,8 +385,9 @@ private[graft] object GraphQueries {
                  PARTITION BY seed, walk_no ORDER BY pri, v) AS rn
                FROM c2) WHERE rn = 1),
       c3 AS (SELECT w.seed, w.walk_no, s.v,
-                    ((w.seed * 31 + w.walk_no) * 1315423911
-                     + 3 * 2654435761 + s.v * 2246822519)
+                    (((w.seed * 31 + w.walk_no) % 1000000007) * 1315423911
+                       % 1000000007 + 3 * 2654435761 % 1000000007
+                     + ((s.v % 1000000007) * 2246822519) % 1000000007)
                       % 1000000007 AS pri
              FROM w2 w JOIN sym s ON s.u = w.node),
       w3 AS (SELECT seed, walk_no, node FROM (

@@ -297,12 +297,20 @@ object StreamingOps {
     * timestamp subtraction, so the oracle reproduces it exactly.
     */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
-                      maxGap: String, watermark: String): DataFrame = {
+                      maxGap: String, watermark: String): DataFrame =
+    attributionJoinTyped(clicks, purchases, maxGap, watermark, "inner")
+
+  // one definition of the watermarks, interval condition, and output
+  // shape: an edit reaching only one join type would silently break
+  // the stream≡batch differentials both public forms are gated by
+  private def attributionJoinTyped(clicks: DataFrame, purchases: DataFrame,
+                                   maxGap: String, watermark: String,
+                                   joinType: String): DataFrame = {
     val c = clicks.withWatermark("ts", watermark).alias("c")
     val p = purchases.withWatermark("ts", watermark).alias("p")
     c.join(p, expr(
         s"c.user_id = p.user_id AND p.ts >= c.ts" +
-        s" AND p.ts <= c.ts + interval '$maxGap'"))
+        s" AND p.ts <= c.ts + interval '$maxGap'"), joinType)
       .select(col("c.user_id").as("user_id"),
               col("c.event_id").as("click_id"),
               col("p.event_id").as("purchase_id"),
@@ -322,17 +330,8 @@ object StreamingOps {
     * on the watermark-closed prefix. */
   def attributionJoinLeftOuter(clicks: DataFrame, purchases: DataFrame,
                                maxGap: String,
-                               watermark: String): DataFrame = {
-    val c = clicks.withWatermark("ts", watermark).alias("c")
-    val p = purchases.withWatermark("ts", watermark).alias("p")
-    c.join(p, expr(
-        s"c.user_id = p.user_id AND p.ts >= c.ts" +
-        s" AND p.ts <= c.ts + interval '$maxGap'"), "left_outer")
-      .select(col("c.user_id").as("user_id"),
-              col("c.event_id").as("click_id"),
-              col("p.event_id").as("purchase_id"),
-              expr("(p.ts_ns - c.ts_ns) div 1000").as("gap_us"))
-  }
+                               watermark: String): DataFrame =
+    attributionJoinTyped(clicks, purchases, maxGap, watermark, "left_outer")
 
   /** File-stream reader for the events fixture — ts normalization is
     * shared with the batch loader (Tables.normalizeEvents), so both

@@ -14,8 +14,8 @@ class RandomWalkSpec extends SparkSpec {
 
   private val P = 1000000007L
   private def pri(seed: Long, walkNo: Long, t: Long, v: Long): Long =
-    ((seed * 31 + walkNo) * 1315423911L + t * 2654435761L +
-      v * 2246822519L) % P
+    (((seed * 31 + walkNo) % P) * 1315423911L % P +
+      t * 2654435761L % P + ((v % P) * 2246822519L) % P) % P
 
   private def bruteWalks(edges: Seq[(Long, Long)], seeds: Seq[Long],
                          walks: Int, steps: Int)
@@ -73,6 +73,15 @@ class RandomWalkSpec extends SparkSpec {
     val b = RandomWalk.deterministicWalks(edges, "u", "v", seeds, "s", 3, 4)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(a == b && a.nonEmpty)
+  }
+
+  test("duplicate seed rows do not inflate step-0 multiplicity") {
+    val edges = Seq((1L, 2L)).toDF("u", "v")
+    val seeds = Seq(1L, 1L, 1L).toDF("s") // same seed delivered thrice
+    val got = RandomWalk.deterministicWalks(edges, "u", "v", seeds, "s", 1, 2)
+      .collect()
+    // exactly one row per (walk, step): 1 walk × 3 positions
+    assert(got.length == 3)
   }
 
   test("an isolated seed contributes its step-0 row and nothing else") {
