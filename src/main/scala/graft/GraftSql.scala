@@ -56,6 +56,26 @@ object GraftSql {
     Dedup.dropNearDuplicates(docs, "doc_id", "text", 3, 16, 4)
       .createOrReplaceTempView("documents_deduped")
 
+    // ---- graph family: communities + the regenerable walk corpus
+    //      over the supplier co-occurrence graph (docs/SQL.md §8).
+    //      NB these two materialize at install (iterative operators
+    //      checkpoint per round) — the stored-artifact pattern: at
+    //      scale a pipeline writes them once and every consumer reads
+    //      the table ----
+    val coEdges = QueryHelpers.coEdgesFor(spark, sfDir).select("u", "v")
+    graft.operators.LabelPropagation.run(coEdges, "u", "v", rounds = 3)
+      .createOrReplaceTempView("supplier_communities")
+    graft.operators.RandomWalk.deterministicWalks(coEdges, "u", "v",
+        Tables.load(spark, sfDir, "supplier")
+          .select(org.apache.spark.sql.functions.col("s_suppkey")),
+        "s_suppkey", walksPerSeed = 2, steps = 3)
+      .createOrReplaceTempView("walk_corpus")
+
+    // ---- corpus-composition family: what vocabulary makes each
+    //      source different (c-TF-IDF-style integer lift) ----
+    graft.functions.TextAnalysis.distinctiveTerms(docs, "source", "text")
+      .createOrReplaceTempView("stratum_terms")
+
     // ---- multimodal family: container-header QA + decoded pixel/PCM
     //      features over the shared media fixture — the decode tier
     //      reachable from plain SQL (docs/SQL.md §7) ----

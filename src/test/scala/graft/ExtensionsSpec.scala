@@ -201,6 +201,44 @@ class ExtensionsSpec extends AnyFunSuite {
       viaScala.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("docs/SQL.md recipes run verbatim: graph + corpus-composition " +
+       "views match the Scala operators") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val coEdges = QueryHelpers.coEdgesFor(spark, sfDir).select("u", "v")
+    // communities: recipe top-5 vs the operator's own label sizes
+    val viaScala = graft.operators.LabelPropagation
+      .run(coEdges, "u", "v", rounds = 3)
+      .groupBy("label").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("label")).limit(5)
+      .as[(Long, Long)].collect().toSeq
+    val viaSql = run("community_sizes").as[(Long, Long)].collect().toSeq
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+    // walk sentences: one sentence per (seed, walk_no), node sequence
+    // equal to the operator's step-ordered output
+    val sentences = run("walk_sentences")
+      .as[(Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val walks = graft.operators.RandomWalk.deterministicWalks(
+        coEdges, "u", "v",
+        Tables.load(spark, sfDir, "supplier").select(col("s_suppkey")),
+        "s_suppkey", walksPerSeed = 2, steps = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(_._3).map(_._4).mkString(" ") }
+    assert(sentences == walks && sentences.nonEmpty)
+    // stratum signature terms: rank-1 rows of the operator output
+    val sig = run("source_signature_terms")
+      .as[(String, String, Long)].collect().toSet
+    val sigScala = graft.functions.TextAnalysis
+      .distinctiveTerms(spark.table("documents"), "source", "text")
+      .filter(col("rank") === 1)
+      .select(col("stratum"), col("term"), col("lift_ppm"))
+      .as[(String, String, Long)].collect().toSet
+    assert(sig == sigScala && sig.nonEmpty)
+  }
+
   test("docs/SQL.md recipes run verbatim: multimodal views match the " +
        "Scala decode tier") {
     import spark.implicits._
