@@ -125,9 +125,13 @@ private[graft] object CorpusQueries {
     // ---- greedy max-coverage subset selection (diverse
     //      representative picking for a curation budget): k rounds,
     //      each picks the doc adding the most UNCOVERED trigrams
-    //      (ties → smallest doc_id), then anti-joins its grams out.
-    //      The k argmaxes are the only driver actions (one row each);
-    //      the gram relation stays distributed throughout ----
+    //      (ties → smallest doc_id). The k argmaxes are the only
+    //      driver actions (one row each). The corpus gram relation is
+    //      pinned ONCE; each round anti-joins the (tiny, ≤ Σ picked
+    //      docs' grams) covered-gram set broadcast against it —
+    //      re-checkpointing the full residual relation per round
+    //      rewrote the corpus k times and was the query's entire sf1
+    //      cost ----
     "q_max_coverage" -> ((s, dir) => {
       import s.implicits._
       val g0 = Tables.load(s, dir, "documents")
@@ -135,17 +139,22 @@ private[graft] object CorpusQueries {
           graft.functions.TextAnalysis.shingles(col("text"), 3))).as("g"))
         .distinct()
         .localCheckpoint(eager = true)
-      var remaining = g0
+      var covered: Option[org.apache.spark.sql.DataFrame] = None
+      var pickedIds: Seq[Long] = Nil
       val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
       for (round <- 1 to 3) {
-        val top = remaining.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val uncovered = covered.fold(g0)(c =>
+          g0.join(broadcast(c), Seq("g"), "left_anti"))
+        val cand =
+          if (pickedIds.isEmpty) uncovered
+          else uncovered.filter(!col("doc_id").isin(pickedIds: _*))
+        val top = cand.groupBy("doc_id").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("doc_id")).limit(1).head()
         val docId = top.getLong(0)
         picks += ((round, docId, top.getLong(1)))
-        val covG = remaining.filter(col("doc_id") === docId).select("g")
-        remaining = remaining.join(covG, Seq("g"), "left_anti")
-          .filter(col("doc_id") =!= docId)
-          .localCheckpoint(eager = true)
+        pickedIds :+= docId
+        val newGrams = g0.filter(col("doc_id") === docId).select("g")
+        covered = Some(covered.fold(newGrams)(_ unionByName newGrams))
       }
       picks.toSeq.toDF("pick_order", "doc_id", "new_grams")
     }),
