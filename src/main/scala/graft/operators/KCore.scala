@@ -26,7 +26,15 @@ object KCore {
     * surviving subgraph — after `rounds` peels at threshold `k`.
     * `edges`: two numeric columns, undirected, duplicates/self-loops
     * tolerated.
-    */
+    *
+    * The loop state is the NODE-sized alive set, never the edges: the
+    * edge relation is pinned once and each round derives the induced
+    * subgraph's degrees by two semi-joins against the previous alive
+    * set (alive₀ = everyone, so round 1 skips them). Re-checkpointing
+    * the peeled edge relation per round — the previous form — rewrote
+    * the whole graph k times to delete a sparse fringe; the recurrence
+    * is identical because a round's survivors depend only on degrees
+    * inside the subgraph the previous alive set induces. */
   def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got $k, $rounds")
     val e = edges.toDF("u", "v").filter(col("u") =!= col("v"))
@@ -34,20 +42,22 @@ object KCore {
     // disjoint so the union needs no second distinct
     val canon = e.select(least(col("u"), col("v")).as("u"),
                          greatest(col("u"), col("v")).as("v")).distinct()
-    var sym = canon.union(canon.select(col("v"), col("u")))
+    val sym = canon.union(canon.select(col("v"), col("u")))
       .localCheckpoint(eager = true)
+    def induced(alive: Option[DataFrame]): DataFrame =
+      alive.fold(sym)(a =>
+        sym.join(a, Seq("u"), "left_semi")
+           .join(a.select(col("u").as("v")), Seq("v"), "left_semi"))
+    var alive: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
-      // materialize the survivor set: it feeds BOTH endpoint
-      // semi-joins, and it is node-sized (small), so the checkpoint
-      // is cheaper than running the degree aggregate twice
-      val keep = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      // node-sized per-round state; it feeds both endpoint semi-joins
+      // of the next round, so the checkpoint is cheaper than running
+      // the degree aggregate twice
+      alive = Some(induced(alive)
+        .groupBy("u").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("u")
-        .localCheckpoint(eager = true)
-      sym = LoopCheckpoint(sym
-        .join(keep, Seq("u"), "left_semi")
-        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
-        .select("u", "v"))
+        .localCheckpoint(eager = true))
     }
-    sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    induced(alive).groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }
 }
