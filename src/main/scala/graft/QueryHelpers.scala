@@ -122,6 +122,21 @@ private[graft] object QueryHelpers {
           Tables.load(s, dir, "lineitem"), "l_orderkey", "l_suppkey")
         .filter(col("w") >= 5)))
 
+  /** One cached, materialized walk corpus per (session, sf dir) —
+    * walk generation checkpoints per hop, and both q_random_walks and
+    * q_walk_pairs (skip-gram extraction) consume the SAME corpus: at
+    * scale the walks ARE the stored artifact the pair extractor reads. */
+  private val walkCorpus = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), org.apache.spark.sql.DataFrame]()
+  def walksFor(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    walkCorpus.getOrElseUpdate((s, dir),
+      graft.operators.RandomWalk.deterministicWalks(
+        coEdgesFor(s, dir).select("u", "v"), "u", "v",
+        Tables.load(s, dir, "supplier")
+          .filter(col("s_suppkey") < 10).select(col("s_suppkey")),
+        "s_suppkey", walksPerSeed = 2, steps = 3))
+
   /** One cached, materialized postings relation per (session, sf dir)
     * over the documents table — at 100 TB the postings ARE the stored
     * index artifact; here six retrieval queries (ranked, BM25, WAND,

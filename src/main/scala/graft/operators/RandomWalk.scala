@@ -82,4 +82,30 @@ object RandomWalk {
     }
     all.select("seed", "walk_no", "step", "node")
   }
+
+  /** Skip-gram co-visit pairs from a walk corpus — the step that
+    * turns walks into embedding-model training pairs (DeepWalk §4.2:
+    * every node pair within `window` positions of each other inside
+    * one walk is a (center, context) example). Pairs are canonical
+    * (u ≤ v, both orientations of a co-visit collapse to one row)
+    * with their corpus-wide count — the weighted-pair table an SGNS
+    * or matrix-factorization trainer consumes.
+    *
+    * Scale shape: a self-join keyed on (seed, walk_no) — each walk
+    * holds ≤ steps+1 rows, so the per-key pair volume is bounded by
+    * (steps+1)·window regardless of corpus size — then one
+    * map-side-combinable count. */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"need window >= 1, got $window")
+    val a = walks.select(col("seed"), col("walk_no"),
+      col("step").as("step_a"), col("node").as("node_a"))
+    val b = walks.select(col("seed"), col("walk_no"),
+      col("step").as("step_b"), col("node").as("node_b"))
+    a.join(b, Seq("seed", "walk_no"))
+      .filter(col("step_b") > col("step_a") &&
+              col("step_b") <= col("step_a") + window)
+      .select(least(col("node_a"), col("node_b")).as("u"),
+              greatest(col("node_a"), col("node_b")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n_covisits"))
+  }
 }

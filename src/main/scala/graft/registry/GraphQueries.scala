@@ -151,12 +151,14 @@ private[graft] object GraphQueries {
     //      stage, hash-drawn so it's regenerable): 2 walks × 3 hops
     //      from each low-key supplier over the co-occurrence graph;
     //      oracle unrolls the hops ----
-    "q_random_walks" -> ((s, dir) =>
-      graft.operators.RandomWalk.deterministicWalks(
-        coEdgesFor(s, dir).select("u", "v"), "u", "v",
-        Tables.load(s, dir, "supplier")
-          .filter(col("s_suppkey") < 10).select(col("s_suppkey")),
-        "s_suppkey", walksPerSeed = 2, steps = 3)),
+    "q_random_walks" -> ((s, dir) => walksFor(s, dir)),
+
+    // ---- skip-gram co-visit pairs from the walk corpus (DeepWalk's
+    //      actual OUTPUT — the weighted pair table an embedding
+    //      trainer consumes); window 2, canonical u ≤ v ----
+    "q_walk_pairs" -> ((s, dir) =>
+      graft.operators.RandomWalk.skipGramPairs(walksFor(s, dir),
+        window = 2)),
 
     // ---- degree distribution of the supplier co-purchase graph:
     //      incident-edge counts per node, histogrammed in bands of 8.
@@ -172,6 +174,52 @@ private[graft] object GraphQueries {
           min("d").as("min_deg"), max("d").as("max_deg"))
     }),
   )
+
+  // WITH-clause shared by the two walk oracles: the co-occurrence
+  // graph, seeds, and the three unrolled hash-drawn hops
+  private val walkCte = """
+      WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      e0 AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_suppkey < b.l_suppkey
+             GROUP BY 1, 2),
+      e AS (SELECT u, v FROM e0 WHERE w >= 5),
+      sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+      seeds AS (SELECT s_suppkey::BIGINT AS seed FROM supplier
+                WHERE s_suppkey < 10),
+      w0 AS (SELECT seed, wn.walk_no::BIGINT AS walk_no, seed AS node
+             FROM seeds CROSS JOIN (SELECT unnest([0, 1]) AS walk_no) wn),
+      c1 AS (SELECT w.seed, w.walk_no, s.v,
+                    (((w.seed * 31 + w.walk_no) % 1000000007) * 1315423911
+                       % 1000000007 + 1 * 2654435761 % 1000000007
+                     + ((s.v % 1000000007) * 2246822519) % 1000000007)
+                      % 1000000007 AS pri
+             FROM w0 w JOIN sym s ON s.u = w.node),
+      w1 AS (SELECT seed, walk_no, node FROM (
+               SELECT seed, walk_no, v AS node, row_number() OVER (
+                 PARTITION BY seed, walk_no ORDER BY pri, v) AS rn
+               FROM c1) WHERE rn = 1),
+      c2 AS (SELECT w.seed, w.walk_no, s.v,
+                    (((w.seed * 31 + w.walk_no) % 1000000007) * 1315423911
+                       % 1000000007 + 2 * 2654435761 % 1000000007
+                     + ((s.v % 1000000007) * 2246822519) % 1000000007)
+                      % 1000000007 AS pri
+             FROM w1 w JOIN sym s ON s.u = w.node),
+      w2 AS (SELECT seed, walk_no, node FROM (
+               SELECT seed, walk_no, v AS node, row_number() OVER (
+                 PARTITION BY seed, walk_no ORDER BY pri, v) AS rn
+               FROM c2) WHERE rn = 1),
+      c3 AS (SELECT w.seed, w.walk_no, s.v,
+                    (((w.seed * 31 + w.walk_no) % 1000000007) * 1315423911
+                       % 1000000007 + 3 * 2654435761 % 1000000007
+                     + ((s.v % 1000000007) * 2246822519) % 1000000007)
+                      % 1000000007 AS pri
+             FROM w2 w JOIN sym s ON s.u = w.node),
+      w3 AS (SELECT seed, walk_no, node FROM (
+               SELECT seed, walk_no, v AS node, row_number() OVER (
+                 PARTITION BY seed, walk_no ORDER BY pri, v) AS rn
+               FROM c3) WHERE rn = 1)
+"""
 
   val oracleSql: Seq[(String, String)] = Seq(
     // chaining ALL consecutive orderkeys inside a bucket makes the
@@ -352,53 +400,27 @@ private[graft] object GraphQueries {
 
     // three hash-drawn hops unrolled; row_number (pri ASC, v ASC)
     // reproduces the Spark side's min(struct(pri, v)) argmin exactly
-    "q_random_walks" -> """
-      WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-      e0 AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
-             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-                                AND a.l_suppkey < b.l_suppkey
-             GROUP BY 1, 2),
-      e AS (SELECT u, v FROM e0 WHERE w >= 5),
-      sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
-      seeds AS (SELECT s_suppkey::BIGINT AS seed FROM supplier
-                WHERE s_suppkey < 10),
-      w0 AS (SELECT seed, wn.walk_no::BIGINT AS walk_no, seed AS node
-             FROM seeds CROSS JOIN (SELECT unnest([0, 1]) AS walk_no) wn),
-      c1 AS (SELECT w.seed, w.walk_no, s.v,
-                    (((w.seed * 31 + w.walk_no) % 1000000007) * 1315423911
-                       % 1000000007 + 1 * 2654435761 % 1000000007
-                     + ((s.v % 1000000007) * 2246822519) % 1000000007)
-                      % 1000000007 AS pri
-             FROM w0 w JOIN sym s ON s.u = w.node),
-      w1 AS (SELECT seed, walk_no, node FROM (
-               SELECT seed, walk_no, v AS node, row_number() OVER (
-                 PARTITION BY seed, walk_no ORDER BY pri, v) AS rn
-               FROM c1) WHERE rn = 1),
-      c2 AS (SELECT w.seed, w.walk_no, s.v,
-                    (((w.seed * 31 + w.walk_no) % 1000000007) * 1315423911
-                       % 1000000007 + 2 * 2654435761 % 1000000007
-                     + ((s.v % 1000000007) * 2246822519) % 1000000007)
-                      % 1000000007 AS pri
-             FROM w1 w JOIN sym s ON s.u = w.node),
-      w2 AS (SELECT seed, walk_no, node FROM (
-               SELECT seed, walk_no, v AS node, row_number() OVER (
-                 PARTITION BY seed, walk_no ORDER BY pri, v) AS rn
-               FROM c2) WHERE rn = 1),
-      c3 AS (SELECT w.seed, w.walk_no, s.v,
-                    (((w.seed * 31 + w.walk_no) % 1000000007) * 1315423911
-                       % 1000000007 + 3 * 2654435761 % 1000000007
-                     + ((s.v % 1000000007) * 2246822519) % 1000000007)
-                      % 1000000007 AS pri
-             FROM w2 w JOIN sym s ON s.u = w.node),
-      w3 AS (SELECT seed, walk_no, node FROM (
-               SELECT seed, walk_no, v AS node, row_number() OVER (
-                 PARTITION BY seed, walk_no ORDER BY pri, v) AS rn
-               FROM c3) WHERE rn = 1)
-      SELECT seed, walk_no, 0::BIGINT AS step, node FROM w0
+    "q_random_walks" -> (walkCte + """      SELECT seed, walk_no, 0::BIGINT AS step, node FROM w0
       UNION ALL SELECT seed, walk_no, 1::BIGINT, node FROM w1
       UNION ALL SELECT seed, walk_no, 2::BIGINT, node FROM w2
       UNION ALL SELECT seed, walk_no, 3::BIGINT, node FROM w3
-    """,
+    """),
+
+    // the walk CTE again + the window-2 skip-gram pair join, exactly
+    // as RandomWalk.skipGramPairs canonicalizes (u <= v, corpus count)
+    "q_walk_pairs" -> (walkCte + """
+      , corpus AS (
+        SELECT seed, walk_no, 0::BIGINT AS step, node FROM w0
+        UNION ALL SELECT seed, walk_no, 1::BIGINT, node FROM w1
+        UNION ALL SELECT seed, walk_no, 2::BIGINT, node FROM w2
+        UNION ALL SELECT seed, walk_no, 3::BIGINT, node FROM w3)
+      SELECT least(a.node, b.node) AS u, greatest(a.node, b.node) AS v,
+             count(*)::BIGINT AS n_covisits
+      FROM corpus a JOIN corpus b
+        ON a.seed = b.seed AND a.walk_no = b.walk_no
+       AND b.step > a.step AND b.step <= a.step + 2
+      GROUP BY 1, 2
+    """),
 
     // three synchronous LPA rounds unrolled; row_number (cnt DESC,
     // label ASC) reproduces the Spark side's max(struct(cnt, -label))

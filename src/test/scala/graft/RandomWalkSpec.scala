@@ -75,6 +75,33 @@ class RandomWalkSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("skipGramPairs matches brute-force window pairing on random walks") {
+    val rnd = new Random(13)
+    val n = 25
+    val edges = (1 to 60).map { _ =>
+      val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val walks = RandomWalk.deterministicWalks(
+      edges.toDF("u", "v"), "u", "v", Seq(0L, 2L, 5L).toDF("s"), "s", 2, 4)
+    val rows = walks.as[(Long, Long, Long, Long)].collect()
+    for (w <- 1 to 3) {
+      val got = RandomWalk.skipGramPairs(walks, w)
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val want = rows.groupBy(r => (r._1, r._2)).values.flatMap { wk =>
+        val path = wk.toSeq.sortBy(_._3)
+        for {
+          i <- path.indices; j <- path.indices
+          if j > i && j <= i + w
+        } yield (math.min(path(i)._4, path(j)._4),
+                 math.max(path(i)._4, path(j)._4))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == want, s"window $w")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("duplicate seed rows do not inflate step-0 multiplicity") {
     val edges = Seq((1L, 2L)).toDF("u", "v")
     val seeds = Seq(1L, 1L, 1L).toDF("s") // same seed delivered thrice
