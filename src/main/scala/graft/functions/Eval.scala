@@ -62,7 +62,10 @@ object Eval {
       .groupBy("s")
       .agg(count(lit(1)).as("n_s"), sum("y").as("pos_s"))
     val total = byValue.agg(sum("n_s").as("n"))
-    graft.operators.GlobalOrder.withRunningSum(
+    // auto-gated: the numbered relation is the distinct-value
+    // histogram, usually tiny — the distributed form engages only
+    // past the threshold (score domains CAN be corpus-sized)
+    graft.operators.GlobalOrder.withRunningSumAuto(
         byValue, Seq(col("s")), col("n_s"), "__cum")
       .withColumn("rk", col("__cum") - col("n_s") + 1L)
       .crossJoin(broadcast(total))

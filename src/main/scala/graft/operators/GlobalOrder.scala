@@ -46,6 +46,32 @@ object GlobalOrder {
 
   private val PID = "__go_pid"
 
+  /** Row-count threshold below which the plain single-partition window
+    * beats the distributed numbering: the distributed form pays a fixed
+    * stage tax (range shuffle + pinning checkpoint + offset join,
+    * ~1-1.5 s at local[32]) that only amortizes once the relation is
+    * big enough that ONE task sorting it is the slower evil. 2M rows
+    * sort single-threaded in well under a second; the default sits
+    * there. Conf-tunable per deployment. */
+  def smallThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.globalorder.smallThreshold", "2000000").toLong
+
+  /** Cardinality gate for the `*Auto` variants: a caller-supplied bound
+    * decides statically (zero cost — use it when the bound is provable,
+    * e.g. a post-aggregation keyed by a dimension); with no bound the
+    * input is persisted and counted in ONE job — the count action
+    * materializes the cache, and BOTH branches then read the cached
+    * blocks, so nothing is computed twice and the gate costs exactly
+    * one count pass. MEMORY_AND_DISK: storage-evictable and spilling,
+    * never an OOM vector when the gate discovers the input is big. */
+  private def gated(df: DataFrame, bound: Option[Long]): (DataFrame, Long) =
+    bound match {
+      case Some(n) => (df, n)
+      case None =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (p, p.count())
+    }
+
   /** Range-partition on the sort order and pin partition ids. */
   private def ranged(df: DataFrame, sortCols: Seq[Column], parts: Int): DataFrame = {
     val p =
@@ -138,6 +164,14 @@ object GlobalOrder {
                       sums: Seq[(Column, String)],
                       parts: Int = 0): DataFrame = {
     require(sums.nonEmpty, "need at least one (valueCol, out) sum")
+    require(sums.map(_._2).distinct.size == sums.size,
+      s"duplicate output names in sums: ${sums.map(_._2).mkString(", ")} — " +
+        "the withColumn fold would silently clobber the earlier sum")
+    sums.map(_._2).find(df.columns.contains).foreach { o =>
+      throw new IllegalArgumentException(
+        s"running-sum output name '$o' already exists in the input — " +
+          "it would silently replace the input column; rename one")
+    }
     val vcols = sums.zipWithIndex.map { case ((v, _), i) => v.as(s"__go_v$i") }
     val s = ranged(df.select(col("*") +: vcols: _*), sortCols, parts)
     val w = Window.partitionBy(PID).orderBy(sortCols: _*)
@@ -213,6 +247,89 @@ object GlobalOrder {
         PID +: groupCols)
       .withColumn(out, col("__go_off") + col("__go_rn"))
       .drop(PID, "__go_rn", "__go_off")
+  }
+
+  // ------------------------------------------------------------------
+  // Cardinality-gated `*Auto` variants.
+  //
+  // The distributed numbering is the correct DEFAULT — an
+  // unpartitioned window is the first thing that stops finishing at
+  // 100 TB — but it carries a fixed stage tax (~1-1.5 s at local[32])
+  // that is pure loss when the numbered relation is PROVABLY small
+  // (post-aggregation by a dimension key, distinct-value histograms).
+  // These pick per input: at or below [[smallThreshold]] rows the
+  // plain window runs (tiny relation, one task is fine — the exact
+  // situation the P-row offset table itself relies on); above it the
+  // distributed form engages unchanged. Both branches produce
+  // bit-identical values and the same column types (LongType).
+  //
+  // `bound`: caller-supplied row-count bound when one is provable
+  // (skips the gate entirely); `None` pins the input once and counts
+  // the materialized blocks — both branches then consume the pinned
+  // frame, so the gate costs one count over cached data, never a
+  // recompute.
+  // ------------------------------------------------------------------
+
+  /** [[withRowNumber]] with the small-relation fast path. */
+  def withRowNumberAuto(df: DataFrame, sortCols: Seq[Column], out: String,
+                        bound: Option[Long] = None,
+                        parts: Int = 0): DataFrame = {
+    val (src, n) = gated(df, bound)
+    if (n <= smallThreshold(df.sparkSession))
+      src.withColumn(out,
+        row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
+    else withRowNumber(src, sortCols, out, parts)
+  }
+
+  /** [[withRank]] with the small-relation fast path. */
+  def withRankAuto(df: DataFrame, sortCols: Seq[Column], out: String,
+                   bound: Option[Long] = None, parts: Int = 0): DataFrame = {
+    val (src, n) = gated(df, bound)
+    if (n <= smallThreshold(df.sparkSession))
+      src.withColumn(out,
+        rank().over(Window.orderBy(sortCols: _*)).cast("long"))
+    else withRank(src, sortCols, out, parts)
+  }
+
+  /** [[withNtile]] with the small-relation fast path (built-in NTILE —
+    * [[withNtile]] reproduces its exact uneven-bucket rule, so the two
+    * branches agree bit-for-bit at every remainder class). */
+  def withNtileAuto(df: DataFrame, n: Int, sortCols: Seq[Column],
+                    out: String, bound: Option[Long] = None,
+                    parts: Int = 0): DataFrame = {
+    require(n > 0, s"ntile bucket count must be positive, got $n")
+    val (src, total) = gated(df, bound)
+    if (total <= smallThreshold(df.sparkSession))
+      src.withColumn(out,
+        ntile(n).over(Window.orderBy(sortCols: _*)).cast("long"))
+    else withNtile(src, n, sortCols, out, parts)
+  }
+
+  /** [[withRunningSum]] with the small-relation fast path. */
+  def withRunningSumAuto(df: DataFrame, sortCols: Seq[Column],
+                         valueCol: Column, out: String,
+                         bound: Option[Long] = None,
+                         parts: Int = 0): DataFrame = {
+    val (src, n) = gated(df, bound)
+    if (n <= smallThreshold(df.sparkSession))
+      src.withColumn(out, sum(valueCol).over(Window.orderBy(sortCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    else withRunningSum(src, sortCols, valueCol, out, parts)
+  }
+
+  /** [[withGroupedRowNumber]] with the small-relation fast path (the
+    * plain grouped window — fine when the WHOLE relation is small,
+    * regardless of group count). */
+  def withGroupedRowNumberAuto(df: DataFrame, groupCols: Seq[String],
+                               sortCols: Seq[Column], out: String,
+                               bound: Option[Long] = None,
+                               parts: Int = 0): DataFrame = {
+    val (src, n) = gated(df, bound)
+    if (n <= smallThreshold(df.sparkSession))
+      src.withColumn(out, row_number().over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(sortCols: _*))
+        .cast("long"))
+    else withGroupedRowNumber(src, groupCols, sortCols, out, parts)
   }
 
   /** Per-group running sum of `valueCol` over `sortCols`

@@ -98,9 +98,10 @@ private[graft] object CorpusQueries {
         docs.select(col("source"), col("n_chars")),
         "source", "n_chars", budget = 200L)
         .select(col("k").as("source"), col("quota"))
-      // grouped distributed numbering: per-source ranking over the
-      // corpus must not funnel into |sources| window tasks
-      graft.operators.GlobalOrder.withGroupedRowNumber(
+      // auto-gated grouped numbering: per-source ranking over the
+      // corpus must not funnel into |sources| window tasks at scale,
+      // but below the threshold the plain grouped window is cheaper
+      graft.operators.GlobalOrder.withGroupedRowNumberAuto(
           docs.join(broadcast(quotas), "source"), Seq("source"),
           Seq(col("n_chars").desc, col("doc_id")), "rn")
         .filter(col("rn") <= col("quota"))
@@ -115,8 +116,8 @@ private[graft] object CorpusQueries {
       val srcIdx = docs.select("source").distinct()
         .withColumn("src_idx",
           row_number().over(Window.orderBy("source")).cast("long"))
-      // grouped distributed numbering (see q_budget_select)
-      graft.operators.GlobalOrder.withGroupedRowNumber(
+      // auto-gated grouped numbering (see q_budget_select)
+      graft.operators.GlobalOrder.withGroupedRowNumberAuto(
           docs.join(broadcast(srcIdx), "source"), Seq("source"),
           Seq(col("doc_id")), "round")
         .select(col("doc_id"), col("source"), col("round"), col("src_idx"))

@@ -420,18 +420,26 @@ private[graft] object GovernanceQueries {
     //      each layout's order; stats and the prune test are the
     //      standard zone-map arithmetic ----
     "q_scan_pruning" -> ((s, dir) => {
+      // cache the 3-col projection ONCE (persist + count = one job):
+      // both layouts' numberings, the bounds aggregate, and the
+      // cardinality gate all read the same cached blocks instead of
+      // rescanning orders four times
       val o = Tables.load(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
           expr("cast(datediff(o_orderdate, date'1970-01-01') as bigint)")
             .as("day"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nOrders = o.count()
       val bounds = o.agg(min("o_custkey").as("mn"), max("o_custkey").as("mx"))
         .select(expr("mn + (mx - mn) * 4 div 10").as("lo"),
           expr("mn + (mx - mn) * 5 div 10").as("hi"))
       // file assignment = global NTILE(64) over each layout's order —
-      // distributed numbering (q_scan_pruning sorted the whole fact
-      // table through one task TWICE with the window form)
+      // auto-gated distributed numbering (the window form sorted the
+      // whole fact table through one task TWICE; the distributed form
+      // engages once the pinned count crosses the threshold)
       def layout(name: String, sortCols: Seq[org.apache.spark.sql.Column]) =
-        graft.operators.GlobalOrder.withNtile(o, 64, sortCols, "file_id")
+        graft.operators.GlobalOrder.withNtileAuto(o, 64, sortCols, "file_id",
+            bound = Some(nOrders))
           .groupBy("file_id")
           .agg(min("o_custkey").as("mn_ck"), max("o_custkey").as("mx_ck"))
           .crossJoin(broadcast(bounds))

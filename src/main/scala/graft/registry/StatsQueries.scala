@@ -273,10 +273,11 @@ private[graft] object StatsQueries {
     "q_quantile_norm" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
-      // grouped distributed numbering: a handful of sources over the
-      // corpus is a per-source window funnel at scale
+      // auto-gated grouped numbering: a handful of sources over the
+      // corpus is a per-source window funnel at scale; below the
+      // threshold the plain grouped window wins
       val nSrc = d.groupBy("source").agg(count(lit(1)).as("n_src"))
-      val ranked = graft.operators.GlobalOrder.withGroupedRowNumber(
+      val ranked = graft.operators.GlobalOrder.withGroupedRowNumberAuto(
           d, Seq("source"), Seq(col("n_chars"), col("doc_id")), "rk")
         .join(broadcast(nSrc), "source")
         .withColumn("p_ppm",
@@ -310,7 +311,9 @@ private[graft] object StatsQueries {
         .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
           .as("rev"))
       val tot = per.agg(sum("rev").as("total_rev"))
-      graft.operators.GlobalOrder.withRunningSum(per,
+      // auto-gated: numbered relation is keyed by part — dimension-
+      // bounded, so the fast path holds until |part| crosses 2M
+      graft.operators.GlobalOrder.withRunningSumAuto(per,
           Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum")
         .crossJoin(broadcast(tot))
         // cum·10⁶ tops BIGINT at ~sf1 total revenue (DuckDB's sum is
