@@ -52,9 +52,13 @@ object ConnectedComponents {
     // the per-round viaEdge join needs hashpartitioning(u), and the
     // checkpoint preserves the layout — one shuffle now instead of one
     // per round on the edge side
-    val sym = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
-      .repartition(col("u"))
-      .localCheckpoint(true)
+    // LoopCheckpoint (not raw localCheckpoint): the edge relation is
+    // consumed by EVERY round, so it must honor the reliable-mode conf
+    // on clusters — losing its executor-local blocks mid-loop would
+    // kill the job as surely as losing a loop-carried frame
+    val sym = LoopCheckpoint(
+      e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+        .repartition(col("u")))
     // Only edge-incident nodes iterate; isolated nodes are singleton
     // components by definition and would otherwise ride along through
     // every per-round shuffle (in a dedup graph, duplicates are a few

@@ -2,8 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 
-/** Eager localCheckpoint for LOOP-CARRIED frames in iterative
-  * operators (components, PageRank, BFS, k-core, k-means).
+/** Eager lineage cut for LOOP-CARRIED frames in iterative operators
+  * (components, PageRank, BFS, k-core, k-means).
   *
   * Plain `localCheckpoint` truncates lineage but — since SPARK-39748 —
   * PRESERVES the origin plan's Statistics on the resulting LogicalRDD.
@@ -17,8 +17,38 @@ import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
   *
   * This wrapper drops the carried stats (keeping the checkpointed RDD,
   * partitioning, and ordering — zero data movement), so every round
-  * plans against the same bounded default estimate. */
+  * plans against the same bounded default estimate.
+  *
+  * Durability: `localCheckpoint` stores blocks on executor-local
+  * storage, NON-replicated — the right call single-JVM (local[32]:
+  * executor death is driver death), but on a real cluster ONE lost
+  * executor invalidates the cut lineage and kills the whole iterative
+  * job, hours in. Cluster deploys set
+  * `spark.graft.checkpoint.reliable=true` to route every loop cut
+  * through a reliable `checkpoint()` into fault-tolerant storage
+  * (HDFS/S3): the checkpoint dir comes from the SparkContext if
+  * already set, else from `spark.graft.checkpoint.dir`. Reliable cuts
+  * cost a write+read of the loop frame per round — pay it when an
+  * executor loss mid-loop costs more (see docs/DEPLOY.md). */
 private[graft] object LoopCheckpoint {
-  def apply(df: DataFrame): DataFrame =
-    GraftSqlBridge.dropCarriedStats(df.localCheckpoint(true))
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable =
+      spark.conf.get("spark.graft.checkpoint.reliable", "false").toBoolean
+    val pinned =
+      if (!reliable) df.localCheckpoint(true)
+      else {
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty) {
+          val dir = spark.conf.getOption("spark.graft.checkpoint.dir")
+            .getOrElse(throw new IllegalStateException(
+              "spark.graft.checkpoint.reliable=true needs a checkpoint " +
+                "dir: call sparkContext.setCheckpointDir or set " +
+                "spark.graft.checkpoint.dir to fault-tolerant storage"))
+          sc.setCheckpointDir(dir)
+        }
+        df.checkpoint(true)
+      }
+    GraftSqlBridge.dropCarriedStats(pinned)
+  }
 }

@@ -65,4 +65,53 @@ class LoopCheckpointSpec extends SparkSpec {
     // the fixed stats are a real (positive, bounded) byte count
     assert(statsBits(fixed) > 0 && statsBits(fixed) < 64)
   }
+
+  private def withReliable[T](dir: Option[String])(body: => T): T = {
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    dir.foreach(d => spark.conf.set("spark.graft.checkpoint.dir", d))
+    try body finally {
+      spark.conf.unset("spark.graft.checkpoint.reliable")
+      spark.conf.unset("spark.graft.checkpoint.dir")
+      // reset so later suites/tests don't inherit a checkpoint dir
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
+  test("reliable mode writes checkpoint files and loops unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    withReliable(Some(dir)) {
+      val base = (1L to 64L).map(i => (i, i % 8)).toDF("id", "k")
+      var cur = LoopCheckpoint(base)
+      (1 to 4).foreach(_ => cur = LoopCheckpoint(round(cur)))
+      assert(cur.count() == 64L)
+      assert(statsBits(cur) < 64, "stats must stay bounded in reliable mode")
+      // files actually landed in fault-tolerant storage
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"no checkpoint files under $dir")
+    }
+  }
+
+  test("reliable mode without a checkpoint dir fails loudly") {
+    withReliable(None) {
+      val base = (1L to 8L).toDF("id")
+      val e = intercept[IllegalStateException] { LoopCheckpoint(base) }
+      assert(e.getMessage.contains("spark.graft.checkpoint.dir"))
+    }
+  }
+
+  test("iterative operators produce identical results under both modes") {
+    import graft.operators.ConnectedComponents
+    val nodes = (1L to 10L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))
+      .toDF("u", "v")
+    val local = ConnectedComponents.run(nodes, edges)
+      .collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    val reliable = withReliable(Some(dir)) {
+      ConnectedComponents.run(nodes, edges)
+        .collect().map(_.toSeq).toSet
+    }
+    assert(reliable == local)
+  }
 }
