@@ -138,13 +138,34 @@ object Similarity {
     * B·k candidates per vector instead of N. Everything stays
     * distributed — no driver collect; tile parallelism is blocks², and
     * at 100 TB this exact shape runs per IVF cell with cells as the
-    * partition key ([[annIvf]] is the corpus-scale path). */
-  def knnJoin(corpus: DataFrame, k: Int, blocks: Int = 32): DataFrame = {
+    * partition key ([[annIvf]] is the corpus-scale path).
+    *
+    * CONTRACT — exact N² recall baseline, NEVER the scale path: the
+    * kernel evaluates every unordered vector pair by construction, so
+    * its cost is |corpus|² dot products no matter how it is tiled.
+    * Run it on bounded inputs (recall audits, per-IVF-cell exact
+    * plans); route corpora through [[annIvf]] / [[annIvfKmeans]]. The
+    * `maxPairs` ceiling (default 2e9 pair evaluations ≈ minutes at
+    * local[32]) enforces this loudly — same `raise_error` pattern as
+    * [[labelBlockedNearDup]]'s block guard: codegen'd, evaluates only
+    * on violation, no driver action. */
+  def knnJoin(corpus: DataFrame, k: Int, blocks: Int = 32,
+              maxPairs: Long = 2000000000L): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val nVec = corpus.agg(count(lit(1)).as("n_vec"))
     val packed: org.apache.spark.sql.Dataset[(Int, Array[(Long, Array[Double])])] =
-      corpus.select(col("vec_id").cast("long"),
-                    col("embedding").cast("array<double>"))
+      corpus.select(col("vec_id").cast("long").as("vec_id"),
+                    col("embedding").cast("array<double>").as("embedding"))
+        .crossJoin(broadcast(nVec))
+        .withColumn("vec_id",
+          when(col("n_vec") * col("n_vec") > maxPairs,
+            expr(s"raise_error(concat('knnJoin: ', n_vec, ' vectors -> ', " +
+              s"n_vec * n_vec, ' candidate pairs exceeds maxPairs=$maxPairs" +
+              " — the exact N-squared kernel is the recall baseline, never" +
+              " the scale path; use Similarity.annIvf / annIvfKmeans'))"))
+            .otherwise(col("vec_id")))
+        .select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Double])]
         .groupByKey(r => math.floorMod(r._1, blocks.toLong).toInt)
         .mapGroups((b, it) => (b, it.toArray))

@@ -66,7 +66,12 @@ private[graft] object SimilarityQueries {
                 round(graft.functions.Similarity.norm(col("embedding")), 6)
                   .as("l2_norm"))),
 
-    // ---- exact k-NN self-join (all-pairs baseline for the ANN ops) ----
+    // ---- exact k-NN self-join: the all-pairs RECALL BASELINE the ANN
+    //      ops are judged against — deliberately N², guarded by
+    //      knnJoin's maxPairs raise_error ceiling (fires ~2e9 pair
+    //      evaluations; the sf10 fixture's 200k vectors trip it by
+    //      design). NEVER the scale path: corpus-scale kNN is
+    //      q_sim_ann_ivf / q_sim_ann_kmeans ----
     "q_knn_join" -> ((s, dir) =>
       graft.functions.Similarity.knnJoin(
         Tables.load(s, dir, "embeddings"), 3)),

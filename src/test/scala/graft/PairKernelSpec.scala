@@ -116,4 +116,27 @@ class PairKernelSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("integral"))
   }
+
+  test("knnJoin maxPairs ceiling fails loudly and points at the ANN path; " +
+       "results unchanged below the ceiling") {
+    val r = new scala.util.Random(11)
+    val emb = (0L until 40L).map(i =>
+        (i, Array.fill(8)(r.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    // below the ceiling: the guard column is inert and the kernel runs
+    val ok = Similarity.knnJoin(emb, 3, blocks = 4, maxPairs = 40L * 40L)
+      .collect()
+    assert(ok.nonEmpty)
+    // above: loud failure naming the bound and the scale path
+    val e = intercept[Exception] {
+      Similarity.knnJoin(emb, 3, blocks = 4, maxPairs = 100L).collect()
+    }
+    val msg = String.valueOf(e.getMessage) +
+      String.valueOf(Option(e.getCause).map(_.getMessage).getOrElse(""))
+    assert(msg.contains("annIvf"), s"guard message must name the ANN path: $msg")
+    // and the guarded call's output equals the unguarded kernel's
+    val unguarded = Similarity.knnJoin(emb, 3, blocks = 4)
+      .collect().map(_.toSeq).toSet
+    assert(ok.map(_.toSeq).toSet == unguarded)
+  }
 }
