@@ -5,7 +5,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.sources._
 
-import graft.sources.{EsAdapter, EsDsl, EsTransport}
+import graft.sources.{EsAdapter, EsConf, EsDsl, EsTransport}
 
 /** Contract tests for the ES adapter seam: generated query DSL must
   * match the reference's structures node-for-node (parsed JSON
@@ -192,5 +192,52 @@ class EsAdapterSpec extends SparkSpec {
         {"date_range": {"gte": 200, "lte": 300},
          "date_range_alt": {"gte": "2020-01-01", "lte": "2020-06-30"},
          "retained": true}]}""")
+  }
+
+  test("EsConf emits the reference's session conf block 1:1") {
+    // the hardcoded block at HouseholdRetentionProcessing.scala:104-115
+    // (ssl on, self-signed tolerated, defaults elsewhere)
+    val s = EsConf(nodes = "es.internal", ssl = true,
+      allowSelfSigned = true).settings
+    assert(s("es.net.ssl") == "true")
+    assert(s("es.net.ssl.cert.allow.self.signed") == "true")
+    assert(s("es.index.auto.create") == "false")
+    assert(s("es.nodes") == "es.internal")
+    assert(s("es.nodes.wan.only") == "false")
+    assert(s("es.write.operation") == "upsert")
+    assert(s("es.batch.size.bytes") == "1mb")
+    assert(s("es.batch.size.entries") == "1000")
+    assert(s("es.http.timeout") == "1m")
+    assert(s("es.http.retries") == "3")
+    // self-signed tolerance is opt-in: absent unless ssl AND the flag
+    assert(!EsConf().settings.contains("es.net.ssl.cert.allow.self.signed"))
+    // CA truststore + basic auth (the es_ca.cer migration path)
+    val t = EsConf(ssl = true, truststoreLocation = Some("file:///ca.jks"),
+      truststorePass = Some("pw"), authUser = Some("u"),
+      authPass = Some("p")).settings
+    assert(t("es.net.ssl.truststore.location") == "file:///ca.jks")
+    assert(t("es.net.ssl.truststore.pass") == "pw")
+    assert(t("es.net.http.auth.user") == "u")
+    assert(t("es.net.http.auth.pass") == "p")
+  }
+
+  test("EsConf.fromEnv reads the pod env contract; invalid combos loud") {
+    val env = Map(
+      "ES_HOST" -> "exp-elasticsearch.default.svc.cluster.local",
+      "ES_PORT" -> "9200",
+      "ES_REQUEST_TIMEOUT" -> "5m",
+      "ES_REQUEST_RETRY_COUNT" -> "10",
+      "ES_WRITE_BATCH_SIZE_BYTES" -> "1mb",
+      "ES_SSL" -> "true")
+    val c = EsConf.fromEnv(env.get)
+    assert(c.nodes == "exp-elasticsearch.default.svc.cluster.local")
+    assert(c.httpTimeout == "5m" && c.httpRetries == 10)
+    assert(c.ssl && !c.allowSelfSigned)
+    // unset vars keep reference defaults
+    assert(c.writeOperation == "upsert" && c.batchSizeEntries == 1000)
+    intercept[IllegalArgumentException] { EsConf(writeOperation = "delete") }
+    intercept[IllegalArgumentException] { EsConf(authUser = Some("u")) }
+    intercept[IllegalArgumentException] { EsConf(port = 0) }
+    intercept[IllegalArgumentException] { EsConf(truststorePass = Some("x")) }
   }
 }
