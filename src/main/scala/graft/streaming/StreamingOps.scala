@@ -29,7 +29,8 @@ case class LatenessOut(user_id: Long, event_id: Long, late: Long,
                        late_ns: Long)
 
 case class SessionEvent(user_id: Long, event_id: Long, ts_ns: Long)
-case class SessionState(sessionStartNs: Long, lastNs: Long, n: Long)
+case class SessionRun(startNs: Long, endNs: Long, n: Long)
+case class SessionState(maxTsNs: Long, runs: Seq[SessionRun])
 case class SessionOut(user_id: Long, session_start_ns: Long,
                       session_end_ns: Long, n_events: Long)
 
@@ -58,45 +59,83 @@ object StreamingOps {
   /** Gap-based sessionization with explicit keyed state
     * (flatMapGroupsWithState) — the streaming dual of
     * q_events_sessionize. Emits a session row when a gap exceeds
-    * `gapNs`; state per user is O(1). Pass ProcessingTimeTimeout in a
-    * long-running deployment to flush idle users' open sessions (with
-    * NoTimeout, the default, open sessions stay in state — which is
-    * also what lets a drain-the-source test terminate).
+    * `gapNs`; state per user is O(1) (the open session's interval).
+    * Pass ProcessingTimeTimeout in a long-running deployment to flush
+    * idle users' open sessions (with NoTimeout, the default, open
+    * sessions stay in state — which is also what lets a
+    * drain-the-source test terminate).
+    *
+    * Late-data contract (the watermark-boundary corner, pinned by
+    * StreamingSessionLateSpec): each microbatch is merged with the
+    * PENDING session runs by an INTERVAL SWEEP — kept runs and the
+    * batch's event points coalesce whenever they are within `gapNs`,
+    * so an out-of-order event landing inside or within the gap of a
+    * pending session EXTENDS it in both directions (a naive
+    * `lastNs := e.ts` would walk the session's end backwards and
+    * mis-split on the next event). A run is EMITTED only once no
+    * event still in flight could bridge it: with `latenessNs` the
+    * upstream disorder bound (the watermark), a future event's ts is
+    * ≥ maxSeenTs − latenessNs, and bridging a run needs
+    * ts ≤ run.end + gapNs — so a run closes exactly when
+    * `run.end + gapNs < maxSeenTs − latenessNs`. Under that bound,
+    * streaming output equals the batch gaps-and-islands result
+    * EXACTLY; an event later than the declared bound is still never
+    * dropped — it lands in (or becomes) a pending run and is emitted
+    * as its own session row, it just can no longer re-open an
+    * already-emitted one (append sinks are immutable).
+    *
+    * `latenessNs = 0` (default) is the eager in-order contract: a run
+    * closes as soon as a later event leaves a gap behind it —
+    * byte-compatible with the previous single-run formulation on
+    * in-order streams. State per user is the runs inside the
+    * `latenessNs + gapNs` horizon plus one — O(horizon / min event
+    * spacing), the same bound any watermarked session operator
+    * carries, NOT O(history).
     */
   def sessionize(events: Dataset[SessionEvent], gapNs: Long,
-                 timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+                 timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+                 latenessNs: Long = 0L)
       : Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    require(gapNs > 0, s"session gap must be positive: $gapNs")
+    require(latenessNs >= 0, s"lateness bound must be >= 0: $latenessNs")
     val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, timeout) {
         (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            val out = state.getOption.map(s =>
-              SessionOut(userId, s.sessionStartNs, s.lastNs, s.n)).toSeq
+            val out = state.getOption.toSeq.flatMap(_.runs)
+              .map(r => SessionOut(userId, r.startNs, r.endNs, r.n))
             state.remove()
             out.iterator
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts_ns, e.event_id))
-            var cur = state.getOption
-            val closed = Seq.newBuilder[SessionOut]
-            sorted.foreach { e =>
-              cur match {
-                case Some(s) if e.ts_ns - s.lastNs <= gapNs =>
-                  cur = Some(s.copy(lastNs = e.ts_ns, n = s.n + 1))
-                case Some(s) =>
-                  closed += SessionOut(userId, s.sessionStartNs, s.lastNs, s.n)
-                  cur = Some(SessionState(e.ts_ns, e.ts_ns, 1))
-                case None =>
-                  cur = Some(SessionState(e.ts_ns, e.ts_ns, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
+            val prev = state.getOption.getOrElse(SessionState(Long.MinValue, Nil))
+            val evts = it.toSeq
+            // interval sweep over (pending runs + event points)
+            // ordered by start: adjacent items within gapNs coalesce
+            val items = prev.runs.map(r => (r.startNs, r.endNs, r.n)) ++
+              evts.sortBy(e => (e.ts_ns, e.event_id))
+                .map(e => (e.ts_ns, e.ts_ns, 1L))
+            val runs = items.sortBy(x => (x._1, x._2))
+              .foldLeft(List.empty[(Long, Long, Long)]) {
+                case ((hs, he, hn) :: t, (s, e, n)) if s - he <= gapNs =>
+                  (hs, math.max(he, e), hn + n) :: t
+                case (acc, r) => r :: acc
+              }.reverse
+              .map(r => SessionRun(r._1, r._2, r._3))
+            if (runs.isEmpty) Iterator.empty
+            else {
+              val maxTs = math.max(prev.maxTsNs,
+                evts.foldLeft(Long.MinValue)((m, e) => math.max(m, e.ts_ns)))
+              // close runs no in-flight event can bridge; keep the rest
+              val (closed, pending) = runs.partition(r =>
+                r.endNs + gapNs < maxTs - latenessNs)
+              state.update(SessionState(maxTs, pending))
               if (useTimeout) state.setTimeoutDuration("30 seconds")
+              closed.map(r => SessionOut(userId, r.startNs, r.endNs, r.n))
+                .iterator
             }
-            closed.result().iterator
           }
       }
   }
