@@ -65,10 +65,12 @@ object GraftSql {
     val coEdges = QueryHelpers.coEdgesFor(spark, sfDir).select("u", "v")
     graft.operators.LabelPropagation.run(coEdges, "u", "v", rounds = 3)
       .createOrReplaceTempView("supplier_communities")
-    graft.operators.RandomWalk.deterministicWalks(coEdges, "u", "v",
-        Tables.load(spark, sfDir, "supplier")
-          .select(org.apache.spark.sql.functions.col("s_suppkey")),
-        "s_suppkey", walksPerSeed = 2, steps = 3)
+    // the ONE walk corpus: same seeds/params as q_random_walks /
+    // q_walk_pairs (QueryHelpers.walksFor) — a consumer comparing the
+    // view to the registered queries must see identical rows, and the
+    // helper's per-(session, dir) cache means the install reuses the
+    // already-materialized corpus instead of re-walking
+    QueryHelpers.walksFor(spark, sfDir)
       .createOrReplaceTempView("walk_corpus")
 
     // ---- corpus-composition family: what vocabulary makes each

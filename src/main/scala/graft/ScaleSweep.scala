@@ -11,14 +11,37 @@ import org.apache.spark.sql.functions._
   * graph, retrieval) see genuine 10× candidate volume, not a
   * degenerate all-duplicates corpus.
   *
+  * Content perturbation modes (arg 4, default `rotate`):
+  *   - `rotate` — cyclic word/component shift by the replica index.
+  *     Kept for sf1 artifact comparability, but NOTE the known shape:
+  *     a cyclic shift preserves all n-gram shingles except the ~2
+  *     crossing the cut, so rotated replicas of one document are
+  *     MUTUAL NEAR-DUPLICATES (Jaccard ≈ (n−4)/n) — the near-dup pair
+  *     volume grows quadratically in the copy count, which dominates
+  *     the sf1 dedup row counts. Also collides when the shift reaches
+  *     the word count (short docs repeat verbatim), so it cannot
+  *     stack into a second decade.
+  *   - `subst` — hash-keyed rewrite: replica i rewrites every word
+  *     whose xxhash64(word, pos, doc_id, i) % 3 == 0 to `word~i`
+  *     (~1/3 of positions, deterministic), which caps cross-replica
+  *     3-gram Jaccard near (2/3)³ ≈ 0.30 — BELOW every near-dup
+  *     threshold in the suite — while keeping word counts and
+  *     document structure; embeddings get a replica-keyed component
+  *     sign-flip pattern (unit norm preserved, expected cosine ≈ 0).
+  *     No collisions at ANY copy count: this is the mode for sf10+,
+  *     where near-dup volume must grow data-proportionally, not as
+  *     (copies)².
+  *
   * The driver ships sf0.001/0.01/0.1 only (TESTDATA.md, read-only);
   * this writes to a scratch dir for the scale sweep. Usage:
-  *   runMain graft.ScaleFixture /root/testdata/sf0.1 /tmp/graft_sf1 10
+  *   runMain graft.ScaleFixture /root/testdata/sf0.1 /tmp/graft_sf1 10 [rotate|subst]
   */
 object ScaleFixture {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir) = args.take(2)
     val copies = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "rotate"
+    require(mode == "rotate" || mode == "subst", s"unknown mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -94,23 +117,50 @@ object ScaleFixture {
 
     val docS = stride(src("documents"), "doc_id")
     rep(src("documents")) { (d, i) =>
-      // rotate words by i — replicas share vocabulary but not shingles,
-      // so they behave as fresh documents for n-gram/LSH candidates
-      d.withColumn("doc_id", col("doc_id") + lit(i * docS))
-        .withColumn("text", when(lit(i) === 0, col("text")).otherwise(
+      val perturbed = mode match {
+        case "rotate" =>
+          // rotate words by i — destroys the shingles crossing the cut
           array_join(concat(
             slice(split(col("text"), " "), i + 1, 100000),
-            slice(split(col("text"), " "), 1, i)), " ")))
+            slice(split(col("text"), " "), 1, i)), " ")
+        case "subst" =>
+          // rewrite ~1/3 of word positions, keyed by (word, pos,
+          // doc_id, replica) — deterministic, collision-free at any
+          // copy count, cross-replica shingle overlap ~(2/3)³
+          array_join(
+            zip_with(
+              split(col("text"), " "),
+              sequence(lit(0), size(split(col("text"), " ")) - 1),
+              (w, p) => when(
+                pmod(xxhash64(w, p, col("doc_id"), lit(i)), lit(3)) === 0,
+                concat(w, lit("~"), lit(i))).otherwise(w)),
+            " ")
+      }
+      d.withColumn("doc_id", col("doc_id") + lit(i * docS))
+        .withColumn("text",
+          when(lit(i) === 0, col("text")).otherwise(perturbed))
     }.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val vecS = stride(src("embeddings"), "vec_id")
     rep(src("embeddings")) { (d, i) =>
-      // rotate vector components by i — unit norms preserved, angles not
-      d.withColumn("vec_id", col("vec_id") + lit(i * vecS))
-        .withColumn("embedding", when(lit(i) === 0, col("embedding"))
-          .otherwise(concat(
+      val perturbed = mode match {
+        case "rotate" =>
+          // rotate vector components by i — unit norms kept, angles not
+          concat(
             slice(col("embedding"), i + 1, 100000),
-            slice(col("embedding"), 1, i))))
+            slice(col("embedding"), 1, i))
+        case "subst" =>
+          // replica-keyed sign-flip pattern per component: unit norm
+          // preserved exactly, expected cosine vs any other replica ≈ 0
+          zip_with(
+            col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (v, k) => when(pmod(xxhash64(lit(i), k), lit(2)) === 0,
+              -v).otherwise(v))
+      }
+      d.withColumn("vec_id", col("vec_id") + lit(i * vecS))
+        .withColumn("embedding",
+          when(lit(i) === 0, col("embedding")).otherwise(perturbed))
     }.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     println(s"[scale-fixture] wrote ${copies}x $srcDir -> $outDir")

@@ -38,15 +38,17 @@ import org.apache.spark.sql.functions._
   * Input contract: `edges` holds each undirected edge ONCE in
   * canonical (u < v) form with integral node ids (the
   * [[graft.operators.CoOccurrence]] / `coEdgesFor` shape); duplicate
-  * or bidirectional rows would double-count neighbor votes.
+  * or bidirectional rows would double-count neighbor votes. The
+  * canonical form is ENFORCED by [[EdgeContract.canonical]] — a
+  * reversed or self-loop row fails loudly (map-side `raise_error`,
+  * zero extra pass) instead of silently skewing votes.
   */
 object LabelPropagation {
 
   def run(edges: DataFrame, uCol: String, vCol: String,
           rounds: Int): DataFrame = {
     require(rounds >= 1, s"need at least one round, got $rounds")
-    val e = edges.select(col(uCol).cast("long").as("u"),
-                         col(vCol).cast("long").as("v"))
+    val e = EdgeContract.canonical(edges, uCol, vCol, "LabelPropagation")
     val sym = LoopCheckpoint(
       e.unionByName(e.select(col("v").as("u"), col("u").as("v"))))
     // init: every edge-incident node is its own label (nodes without

@@ -39,7 +39,10 @@ import org.apache.spark.sql.functions._
   * cost as one BFS round over the frontier.
   *
   * Input contract: canonical (u < v) undirected edges with integral
-  * ids, each edge once (the `coEdgesFor` shape).
+  * ids, each edge once (the `coEdgesFor` shape) — enforced by
+  * [[EdgeContract.canonical]] (loud map-side failure on reversed or
+  * self-loop rows; a violated contract would bias every step's
+  * neighbor argmin).
   */
 object RandomWalk {
 
@@ -52,8 +55,7 @@ object RandomWalk {
                          walksPerSeed: Int, steps: Int): DataFrame = {
     require(walksPerSeed >= 1 && steps >= 1,
       s"need walksPerSeed >= 1 and steps >= 1, got $walksPerSeed/$steps")
-    val e = edges.select(col(uCol).cast("long").as("u"),
-                         col(vCol).cast("long").as("v"))
+    val e = EdgeContract.canonical(edges, uCol, vCol, "RandomWalk")
     val sym = LoopCheckpoint(
       e.unionByName(e.select(col("v").as("u"), col("u").as("v"))))
     var cur = seeds

@@ -131,6 +131,14 @@ class PlanLintSpec extends SparkSpec {
             case _: Aggregate => ()
             case _: LocalRelation => ()
             case _: GlobalLimit => ()
+            // the GlobalOrder.*Auto gate: the input was persisted,
+            // MEASURED (count gate), and only then routed to the
+            // single-partition window — the cache's actual size is the
+            // proof. At a bigger sf the same query flips to the
+            // distributed branch and this window disappears, so the
+            // lint stays consistent at any scale.
+            case m: org.apache.spark.sql.execution.columnar.InMemoryRelation
+                if m.computeStats().sizeInBytes <= (256L << 20) => ()
           }.isDefined
           if (bounded || inspectedGlobalWindow(name)) None else Some(name)
       }.flatten
