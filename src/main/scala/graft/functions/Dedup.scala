@@ -30,20 +30,45 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("s"))
 
   /** All pairs with n-gram Jaccard ≥ threshold, via AllPairs/PPJoin
-    * prefix filtering (Bayardo et al., WWW'07): order every document's
-    * shingle set by ascending global document frequency; a pair with
-    * Jaccard ≥ t MUST share a shingle inside each side's first
-    * |A|−⌈t·|A|⌉+1 shingles, so only those prefixes enter the
-    * candidate self-join (on a 64-bit shingle hash, not the string).
-    * Exact |A∩B| is then computed per candidate with `array_intersect`
-    * on the full sets. Same output as the naive inverted-index join,
-    * but the join input shrinks from every posting to the rare-shingle
-    * prefixes — the difference between quadratic blow-up on hub
-    * shingles and a bounded candidate set at 100 TB (measured 4× at
-    * sf0.1).
+    * prefix filtering (Bayardo et al., WWW'07; Xiao et al., WWW'08):
+    * order every document's shingle set by ascending global document
+    * frequency; a pair with Jaccard ≥ t MUST share a shingle inside
+    * each side's first |A|−⌈t·|A|⌉+1 shingles, so only those prefixes
+    * generate candidates (on a 64-bit shingle hash, not the string).
+    * Exact |A∩B| is then computed per surviving candidate with
+    * `array_intersect` on the full sets.
+    *
+    * Candidate generation runs INSIDE each prefix-token bucket's own
+    * task (the [[simhashPairs]] kernel shape), with each posting
+    * carrying its doc's h-sorted prefix hashes + their df-order
+    * positions (≤ ⌈(1−t)·|A|⌉+1 longs/ints):
+    *
+    *   - FIRST-SHARED-TOKEN emission: a pair is emitted only from the
+    *     bucket of the minimum shared prefix hash, so the candidate
+    *     set is exact-distinct BY CONSTRUCTION. The sf10 sweep
+    *     measured 1.07e9 candidate-pair OCCURRENCES for ~25M distinct
+    *     pairs on a replica-heavy corpus — the former join+distinct
+    *     formulation sorted all 1e9 and filled 70 GB of spill.
+    *   - POSITIONAL + COUNT filter in-task (PPJoin): with k = |shared
+    *     prefix tokens| and h* their df-order maximum (position p_a in
+    *     a, p_b in b), every shared token globally ≤ h* lies in BOTH
+    *     prefixes (h* does, and prefixes are downward-closed in the
+    *     global (df, h) order), so
+    *       |A∩B| ≤ k + min(|A|−p_a, |B|−p_b);
+    *     the pair survives only if that bound reaches
+    *     ⌈t/(1+t)·(|A|+|B|)⌉ — the overlap a Jaccard of t requires —
+    *     and |A|,|B| pass the t·|A| ≤ |B| ≤ |A|/t length filter.
+    *     Low-overlap replica clusters (the quadratic candidate mass)
+    *     die here without ever touching the full sets.
+    *
+    * Same output as the naive inverted-index join; the verification
+    * join sees only filter survivors. Per-bucket work is quadratic —
+    * `maxBucket` applies the CoOccurrence loud-failure contract to hub
+    * prefix tokens.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double,
+                        maxBucket: Int = 100000): DataFrame = {
     // The shingle STRING never leaves the scan: each doc's distinct
     // shingles hash to 60-bit md5 integers immediately (md5-60 — the
     // cross-engine hash, so the DuckDB oracle verifies over the SAME
@@ -62,19 +87,88 @@ object Dedup {
     val ex = sets.select(col("doc_id"), size(col("sh")).as("sz"),
                          explode(col("sh")).as("h"))
     // document frequency via a count window over the same h-shuffle the
-    // candidate join needs anyway — one stage cheaper than a separate
-    // groupBy + join-back of the frequency table
+    // prefix construction needs anyway — one stage cheaper than a
+    // separate groupBy + join-back of the frequency table
     val wdf = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "h")
     val prefix = ex.withColumn("df", count(lit(1)).over(wdf))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("doc_id", "h")
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .select("doc_id", "sz", "h", "rn")
+    // per-doc prefix arrays, h-sorted with parallel df-order positions
+    // (array_sort on struct(h, rn) orders by h; h values are distinct
+    // within a doc) — each posting carries its doc's whole prefix so
+    // the bucket kernel can canonicalize and filter pairs in-task
+    val docPrefix = prefix.groupBy("doc_id", "sz")
+      .agg(array_sort(collect_list(struct(col("h"), col("rn")))).as("pr"))
+      .select(col("doc_id"), col("sz"),
+              transform(col("pr"), x => x("h")).as("hs"),
+              transform(col("pr"), x => x("rn").cast("int")).as("ps"))
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    val posting = docPrefix
+      .select(explode(col("hs")).as("h"), col("doc_id").cast("long"),
+              col("sz").cast("int"), col("hs"), col("ps"))
+      .as[(Long, Long, Int, Array[Long], Array[Int])]
+    val t = threshold
+    val cand = posting.groupByKey(_._1)
+      .flatMapGroups { (h: Long, it: Iterator[(Long, Long, Int, Array[Long], Array[Int])]) =>
+        val a = it.map(r => (r._2, r._3, r._4, r._5)).toArray
+        if (a.length > maxBucket)
+          throw new IllegalStateException(
+            s"ngramJaccardPairs: prefix token $h has ${a.length} docs " +
+            s"(max $maxBucket); strip boilerplate or raise the shingle " +
+            "width before pairing")
+        val m = a.length
+        // LAZY double loop (the simhashPairs contract): sorted-merge
+        // each pair's h-sorted prefixes — the FIRST match is the
+        // minimum shared hash (emit only when it equals this bucket's
+        // key: exact-distinct by construction, and an early exit for
+        // every other bucket the pair collides in); completing the
+        // merge yields k (shared count) and the df-order positions of
+        // the maximum shared hash for the positional bound.
+        (0 until m - 1).iterator.flatMap { i =>
+          val (idI, szI, hsI, psI) = a(i)
+          (i + 1 until m).iterator.flatMap { j =>
+            val (idJ, szJ, hsJ, psJ) = a(j)
+            // length filter first: t·|A| ≤ |B| ≤ |A|/t (cheapest)
+            val lo = math.min(szI, szJ); val hi = math.max(szI, szJ)
+            if (idI == idJ || lo < t * hi) None
+            else {
+              var x = 0; var y = 0
+              var minShared = Long.MinValue; var k = 0
+              var pmaxI = 0; var pmaxJ = 0
+              var abort = false
+              while (!abort && x < hsI.length && y < hsJ.length) {
+                val hx = hsI(x); val hy = hsJ(y)
+                if (hx == hy) {
+                  if (k == 0) {
+                    minShared = hx
+                    // not this pair's canonical bucket — stop now
+                    if (minShared != h) abort = true
+                  }
+                  if (!abort) {
+                    k += 1
+                    if (psI(x) > pmaxI) pmaxI = psI(x)
+                    if (psJ(y) > pmaxJ) pmaxJ = psJ(y)
+                    x += 1; y += 1
+                  }
+                } else if (hx < hy) x += 1 else y += 1
+              }
+              if (abort || k == 0) None
+              else {
+                // PPJoin positional+count bound vs the required overlap
+                val alpha = math.ceil(t / (1 + t) * (szI + szJ)).toInt
+                val ubound = k + math.min(szI - pmaxI, szJ - pmaxJ)
+                if (ubound < alpha) None
+                else if (idI < idJ) Some((idI, idJ)) else Some((idJ, idI))
+              }
+            }
+          }
+        }
+      }
+      .toDF("doc_a", "doc_b")
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -532,12 +626,19 @@ object Dedup {
             s"simhashPairs: band $bnd bucket $bv has ${a.length} docs " +
             s"(max $maxBucket); strip boilerplate or sub-split the " +
             "band before pairing")
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-        var i = 0
-        while (i < a.length) {
+        // LAZY emission — Spark drains this iterator row by row, so
+        // task memory is the bucket array alone. The earlier
+        // ArrayBuffer materialized every survivor pair per bucket:
+        // replica-heavy corpora put hundreds of same-signature docs in
+        // one bucket (SimHash is order-free, so any token-multiset-
+        // preserving perturbation collides at Hamming 0), and at sf10
+        // a hub bucket's buffered pairs × 32 concurrent tasks OOMed a
+        // 64g heap. None here is a singleton — allocation happens only
+        // on emission.
+        val n = a.length
+        (0 until n - 1).iterator.flatMap { i =>
           val (idI, simI) = a(i)
-          var j = i + 1
-          while (j < a.length) {
+          (i + 1 until n).iterator.flatMap { j =>
             val simJ = a(j)._2
             val h = java.lang.Long.bitCount(simI ^ simJ)
             if (h <= maxHamming) {
@@ -552,17 +653,15 @@ object Dedup {
                      ((simJ >> (first * 15)) & 32767L)) first += 1
               if (first == bnd) {
                 val idJ = a(j)._1
-                if (idI < idJ) out += ((idI, idJ, h))
-                else if (idJ < idI) out += ((idJ, idI, h))
+                if (idI < idJ) Some((idI, idJ, h))
+                else if (idJ < idI) Some((idJ, idI, h))
                 // equal ids (duplicate input keys) never paired — the
                 // strict a.doc_id < b.doc_id contract
-              }
-            }
-            j += 1
+                else None
+              } else None
+            } else None
           }
-          i += 1
         }
-        out.iterator
       }
       .toDF("doc_a", "doc_b", "hamming")
   }

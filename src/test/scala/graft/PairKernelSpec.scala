@@ -117,6 +117,60 @@ class PairKernelSpec extends SparkSpec {
     assert(e2.getMessage.contains("integral"))
   }
 
+  test("ngramJaccardPairs kernel matches naive all-pairs Jaccard on " +
+       "random docs (incl. replica-shaped 0.2-0.5 overlap clusters)") {
+    val words = Vector.tabulate(40)(i => s"w$i")
+    val rnd = new scala.util.Random(13)
+    def doc(len: Int) = Seq.fill(len)(words(rnd.nextInt(words.size))).mkString(" ")
+    // base docs + perturbed replicas (the candidate-mass shape the
+    // positional/count filter exists to prune)
+    val base = (0 until 30).map(_ => doc(8 + rnd.nextInt(20)))
+    // alnum-only rewrites: the normalizer maps non-[a-z0-9] to spaces,
+    // which would change tokenization under a '~' marker
+    val docs = (base ++ base.flatMap { t =>
+      (1 to 3).map { j =>
+        t.split(" ").map(w =>
+          if (rnd.nextInt(3) == 0) s"${w}x$j" else w).mkString(" ")
+      }
+    }).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8)) {
+      val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, t)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      // naive reference: exact Jaccard over distinct 3-gram sets
+      val sets = docs.as[(Long, String)].collect().toMap.map { case (id, tx) =>
+        val w = tx.split(" ")
+        id -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }
+      val ids = sets.keys.toSeq.sorted
+      val want = (for {
+        ai <- ids.indices.iterator; bi <- (ai + 1) until ids.size
+        a = ids(ai); b = ids(bi)
+        if sets(a).nonEmpty && sets(b).nonEmpty
+        inter = (sets(a) & sets(b)).size
+        jr = BigDecimal(inter.toDouble /
+            (sets(a).size + sets(b).size - inter))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if jr >= t
+      } yield (a, b, jr)).toSet
+      assert(got == want, s"threshold $t: " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("ngramJaccardPairs hub-bucket guard fails loudly") {
+    val docs = (0L until 20L).map(i => (i, "a b c d e f"))
+      .toDF("doc_id", "text") // identical docs: every prefix token a hub
+    val e = intercept[Exception] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        maxBucket = 5).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("ngramJaccardPairs") ||
+      String.valueOf(Option(e.getCause).map(_.getMessage).orNull)
+        .contains("ngramJaccardPairs"))
+  }
+
   test("knnJoin maxPairs ceiling fails loudly and points at the ANN path; " +
        "results unchanged below the ceiling") {
     val r = new scala.util.Random(11)
