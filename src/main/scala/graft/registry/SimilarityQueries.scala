@@ -141,18 +141,45 @@ private[graft] object SimilarityQueries {
     //      absolute: an absolute df≤100 emptied the vocabulary at the
     //      sf1 sweep (every term outgrew it); 20% of sf0.01's 500 docs
     //      is the old 100 exactly. Cosine² stays integral: cos²·1e6 =
-    //      dot²·1e6 div (‖a‖²·‖b‖²), threshold 0.25 = cos ≥ 0.5 ----
+    //      dot²·1e6 div (‖a‖²·‖b‖²), threshold 0.25 = cos ≥ 0.5.
+    //
+    //      CONTRACT — exact all-pairs similarity search (APSS) is
+    //      OUTPUT-quadratic on overlap-heavy corpora: the pair list
+    //      itself grows as the clique sizes square (sf0.01→sf1
+    //      measured 300→3.1M result rows for 100× docs), so no
+    //      candidate filter can make it sublinear. The Σ C(df,2)
+    //      guard below enforces the bound loudly (the knnJoin/
+    //      labelBlockedNearDup pattern; sf10 measured 6.3e10
+    //      candidates — 70 GB of spill before the guard existed).
+    //      Corpus-scale similarity belongs on the banded/bucketed
+    //      paths: q_dedup_minhash_lsh, q_sim_ann_ivf, or BM25 via
+    //      sources.ImpactIndex ----
     "q_sparse_cosine_pairs" -> ((s, dir) => {
       // the TF vectors ARE the shared postings relation (identical
       // normalize+split tokenization) — reuse the materialized index
       // stage the retrieval queries built instead of re-tokenizing
       val tf = postingsFor(s, dir)
         .select(col("doc_id"), col("term").as("w"), col("tf"))
-      val kept = tf.withColumn("df",
+      val kept0 = tf.withColumn("df",
           count(lit(1)).over(Window.partitionBy("w")))
         .crossJoin(broadcast(Tables.load(s, dir, "documents")
           .agg(count(lit(1)).as("n_docs"))))
         .filter(expr("df * 100 <= n_docs * 20")).drop("n_docs")
+      // candidate-volume ceiling: Σ C(df,2) over the kept vocabulary,
+      // broadcast back as a one-row guard — codegen'd raise_error,
+      // evaluates only on violation
+      val maxPairs = 2000000000L
+      val volume = kept0.groupBy("w").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("cand"))
+      val kept = kept0.crossJoin(broadcast(volume))
+        .withColumn("doc_id",
+          when(col("cand") > maxPairs,
+            expr(s"raise_error(concat('q_sparse_cosine_pairs: ', cand, " +
+              s"' candidate pairs exceeds $maxPairs — exact APSS is " +
+              "output-quadratic on overlap-heavy corpora; route through " +
+              "minhash LSH / annIvf / ImpactIndex'))"))
+            .otherwise(col("doc_id")))
+        .drop("cand")
       val norms = kept.groupBy("doc_id")
         .agg(sum(expr("tf * tf")).as("n2"))
       val dot = kept.select(col("doc_id").as("doc_a"), col("w"),
