@@ -50,11 +50,13 @@ object GlobalOrder {
     * beats the distributed numbering: the distributed form pays a fixed
     * stage tax (range shuffle + pinning checkpoint + offset join,
     * ~1-1.5 s at local[32]) that only amortizes once the relation is
-    * big enough that ONE task sorting it is the slower evil. 2M rows
-    * sort single-threaded in well under a second; the default sits
-    * there. Conf-tunable per deployment. */
+    * big enough that ONE task sorting it is the slower evil. Default
+    * 1M: measured at sf1, a 1.5M-row double-ntile was already FASTER
+    * distributed (2.62 s) than single-task (3.36 s), while the gated
+    * post-aggregation relations (≤150k rows) sit far below either
+    * bound. Conf-tunable per deployment. */
   def smallThreshold(spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.get("spark.graft.globalorder.smallThreshold", "2000000").toLong
+    spark.conf.get("spark.graft.globalorder.smallThreshold", "1000000").toLong
 
   /** Cardinality gate for the `*Auto` variants: a caller-supplied bound
     * decides statically (zero cost — use it when the bound is provable,
