@@ -31,6 +31,30 @@ class LabelPropagationSpec extends SparkSpec {
     labels
   }
 
+  test("edge contract: reversed and self-loop rows fail loudly in both " +
+       "LabelPropagation and RandomWalk; canonical input passes") {
+    def msgOf(e: Throwable): String =
+      String.valueOf(e.getMessage) +
+        String.valueOf(Option(e.getCause).map(_.getMessage).getOrElse(""))
+    val reversed = Seq((1L, 2L), (3L, 2L)).toDF("u", "v") // 3 > 2
+    val selfLoop = Seq((1L, 2L), (2L, 2L)).toDF("u", "v")
+    val seeds = Seq(1L).toDF("s")
+    for (bad <- Seq(reversed, selfLoop)) {
+      val e1 = intercept[Exception] {
+        LabelPropagation.run(bad, "u", "v", rounds = 1).collect()
+      }
+      assert(msgOf(e1).contains("canonical u < v"), msgOf(e1))
+      val e2 = intercept[Exception] {
+        graft.operators.RandomWalk.deterministicWalks(
+          bad, "u", "v", seeds, "s", 1, 1).collect()
+      }
+      assert(msgOf(e2).contains("canonical u < v"), msgOf(e2))
+    }
+    // canonical edges sail through (the guard costs nothing valid rows)
+    assert(LabelPropagation.run(
+      Seq((1L, 2L), (2L, 3L)).toDF("u", "v"), "u", "v", 1).count() == 3)
+  }
+
   test("barbell: two triangles over one bridge become TWO communities " +
        "where connected components merge them into one") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
