@@ -158,10 +158,15 @@ object Similarity {
       corpus.select(col("vec_id").cast("long").as("vec_id"),
                     col("embedding").cast("array<double>").as("embedding"))
         .crossJoin(broadcast(nVec))
+        // overflow-safe square compare: n² > maxPairs ⟺ n > maxPairs div n
+        // for n ≥ 1 — n_vec * n_vec wraps negative above ~3.04e9 vectors
+        // with ANSI off (silently BYPASSING the guard at exactly the
+        // corpus scale it exists to stop) and throws an opaque overflow
+        // with ANSI on
         .withColumn("vec_id",
-          when(col("n_vec") * col("n_vec") > maxPairs,
+          when(col("n_vec") > lit(maxPairs) / greatest(col("n_vec"), lit(1L)),
             expr(s"raise_error(concat('knnJoin: ', n_vec, ' vectors -> ', " +
-              s"n_vec * n_vec, ' candidate pairs exceeds maxPairs=$maxPairs" +
+              s"'n_vec * n_vec candidate pairs exceeds maxPairs=$maxPairs" +
               " — the exact N-squared kernel is the recall baseline, never" +
               " the scale path; use Similarity.annIvf / annIvfKmeans'))"))
             .otherwise(col("vec_id")))

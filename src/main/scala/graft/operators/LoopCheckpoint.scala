@@ -28,8 +28,15 @@ import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
   * through a reliable `checkpoint()` into fault-tolerant storage
   * (HDFS/S3): the checkpoint dir comes from the SparkContext if
   * already set, else from `spark.graft.checkpoint.dir`. Reliable cuts
-  * cost a write+read of the loop frame per round — pay it when an
-  * executor loss mid-loop costs more (see docs/DEPLOY.md). */
+  * cost one compute + a write + a read of the loop frame per round
+  * (the frame is persisted around the eager checkpoint so the
+  * ReliableCheckpointRDD write job reads cached blocks instead of
+  * recomputing the whole lineage — the documented Spark idiom — and
+  * unpersisted right after the write lands). Checkpoint dirs
+  * accumulate one per round unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set —
+  * see docs/DEPLOY.md. Pay all this when an executor loss mid-loop
+  * costs more. */
 private[graft] object LoopCheckpoint {
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -47,7 +54,15 @@ private[graft] object LoopCheckpoint {
                 "spark.graft.checkpoint.dir to fault-tolerant storage"))
           sc.setCheckpointDir(dir)
         }
-        df.checkpoint(true)
+        // persist → eager checkpoint → unpersist: without the persist,
+        // the ReliableCheckpointRDD write runs as a SEPARATE job that
+        // recomputes the whole lineage (each round would pay compute
+        // twice plus the write); with it, the write job reads cached
+        // blocks and the cache is dropped as soon as the checkpoint
+        // files are durable
+        val p = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try p.checkpoint(true) finally p.unpersist(false)
       }
     GraftSqlBridge.dropCarriedStats(pinned)
   }

@@ -420,15 +420,17 @@ private[graft] object GovernanceQueries {
     //      each layout's order; stats and the prune test are the
     //      standard zone-map arithmetic ----
     "q_scan_pruning" -> ((s, dir) => {
-      // cache the 3-col projection ONCE (persist + count = one job):
-      // both layouts' numberings, the bounds aggregate, and the
-      // cardinality gate all read the same cached blocks instead of
+      // pin the 3-col projection ONCE (eager checkpoint — its blocks
+      // are ContextCleaner-released when the plan dies, unlike a
+      // persist with no unpersist, which leaked an entry per bench
+      // pass): both layouts' numberings, the bounds aggregate, and the
+      // cardinality gate all read the same pinned blocks instead of
       // rescanning orders four times
-      val o = Tables.load(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderkey"),
-          expr("cast(datediff(o_orderdate, date'1970-01-01') as bigint)")
-            .as("day"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val o = graft.operators.LoopCheckpoint(
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            expr("cast(datediff(o_orderdate, date'1970-01-01') as bigint)")
+              .as("day")))
       val nOrders = o.count()
       val bounds = o.agg(min("o_custkey").as("mn"), max("o_custkey").as("mx"))
         .select(expr("mn + (mx - mn) * 4 div 10").as("lo"),

@@ -312,7 +312,8 @@ private[graft] object StatsQueries {
           .as("rev"))
       val tot = per.agg(sum("rev").as("total_rev"))
       // auto-gated: numbered relation is keyed by part — dimension-
-      // bounded, so the fast path holds until |part| crosses 2M
+      // bounded, so the fast path holds until |part| crosses the 1M
+      // smallThreshold default
       graft.operators.GlobalOrder.withRunningSumAuto(per,
           Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum")
         .crossJoin(broadcast(tot))
