@@ -258,11 +258,36 @@ object Dedup {
     * grams — sizes and intersections count post-filter grams, so the
     * DuckDB oracle reproduces the exact same integers.
     *
-    * Scale shape: one shuffle keyed by 8-byte gram hash (strings
-    * dropped at the scan), df via the same window, bounded self-join
-    * (≤ maxDf² pairs per gram), one rollup keyed by the pair. Output:
-    * (doc_a, doc_b, inter, sz_a, cont_ppm) with cont_ppm =
-    * inter·10⁶ div sz_a ≥ `thresholdPpm`, both directions emitted.
+    * Scale shape (re-measured at sf10 this round, where the first
+    * formulation was the sweep leader at 55.1 s): the co-occurrence
+    * mass here is 104M pair OCCURRENCES over 94.5M DISTINCT pairs —
+    * pairs share ~1.1 grams on average — so neither first-shared-gram
+    * dedup nor an in-task emission kernel helps (a flatMapGroups
+    * kernel was measured SLOWER, 87 s: it pays boxed-iterator
+    * emission per occurrence for near-zero candidate reduction, where
+    * the join stays in whole-stage codegen). What does help, each
+    * measured at sf10:
+    *   - pin the rare-gram relation (its shingle+md5+window subtree
+    *     fed three consumers and recomputed for each);
+    *   - join UNORDERED (`<`, not `≠`): half the join output and half
+    *     the pair-aggregate input — the direction expansion happens
+    *     AFTER the count, on aggregated rows;
+    *   - filter ppm BEFORE expanding directions: both sides' sizes
+    *     join onto the unordered counts, each direction's threshold
+    *     test runs in one projection, and only surviving directions
+    *     become rows (output-sized, not candidate-sized).
+    * Everything stays declarative — whole-stage codegen end to end,
+    * AQE free to split skewed grams. 55.1 → 31.8 s at sf10 (min-of-2),
+    * identical rows; the residual bulk is the irreducible 104M-row
+    * join output + the 94.5M-group count, both data properties
+    * (Σ C(df,2) with this fixture's df distribution), linear in gram
+    * volume with the C(maxDf,2)=1225 per-gram cap.
+    * [[containmentPairsJoin]] keeps the original form for the
+    * differential spec (a SHUFFLE_HASH hint on the self-join and an
+    * in-task emission kernel were both measured and lost — 33.3 s and
+    * 87 s). Output: (doc_a, doc_b, inter, sz_a, cont_ppm) with
+    * cont_ppm = inter·10⁶ div sz_a ≥ `thresholdPpm`, both directions
+    * emitted.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, thresholdPpm: Long, maxDf: Int): DataFrame = {
@@ -271,9 +296,56 @@ object Dedup {
         TextAnalysis.shingles(col(textCol), n))).as("g"))
       .select(col("doc_id"), md5Hash60(col("g")).as("gh"))
     val wg = org.apache.spark.sql.expressions.Window.partitionBy("gh")
-    val rare = grams.withColumn("df", count(lit(1)).over(wg))
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // each rare row carries its doc's rare-gram count: the sizes ride
+    // THROUGH the self-join into the pair aggregate (constant per key,
+    // so first() is exact) instead of joining a doc-count-sized size
+    // table back onto 94.5M aggregated pairs — at 100 TB that side is
+    // corpus-doc-sized, not broadcastable, and the two post-agg
+    // sort-merge joins it forced were half the operator's sf10 cost
+    val rare = graft.operators.LoopCheckpoint(
+      grams.withColumn("df", count(lit(1)).over(wg))
+        .filter(col("df") <= maxDf)
+        .withColumn("sz", count(lit(1)).over(wd))
+        .select("doc_id", "gh", "sz"))
+    val paired = rare.as("a").join(rare.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
+    val thr = lit(thresholdPpm)
+    paired
+      .select(explode(array(
+        when(expr("inter * 1000000 div sz_a") >= thr,
+          struct(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"),
+            expr("inter * 1000000 div sz_a").as("cont_ppm"))),
+        when(expr("inter * 1000000 div sz_b") >= thr,
+          struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+            col("inter"), col("sz_b").as("sz_a"),
+            expr("inter * 1000000 div sz_b").as("cont_ppm"))))).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.doc_a").as("doc_a"), col("r.doc_b").as("doc_b"),
+        col("r.inter").as("inter"), col("r.sz_a").as("sz_a"),
+        col("r.cont_ppm").as("cont_ppm"))
+  }
+
+  /** The pre-kernel join formulation of [[containmentPairs]] — df via
+    * a count window, capped per-gram pairs materialized through a
+    * self-join, sizes joined back. Kept (package-private) as the
+    * differential baseline [[ContainmentKernelSpec]] pins the kernel
+    * against; same output by construction. */
+  private[graft] def containmentPairsJoin(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, thresholdPpm: Long, maxDf: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), explode(array_distinct(
+        TextAnalysis.shingles(col(textCol), n))).as("g"))
+      .select(col("doc_id"), md5Hash60(col("g")).as("gh"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    val rare = graft.operators.LoopCheckpoint(
+      grams.withColumn("df", count(lit(1)).over(wg))
       .filter(col("df") <= maxDf)
-      .select("doc_id", "gh")
+      .select("doc_id", "gh"))
     val sz = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = rare.as("a").join(rare.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") =!= col("b.doc_id"))

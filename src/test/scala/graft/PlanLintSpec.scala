@@ -139,6 +139,12 @@ class PlanLintSpec extends SparkSpec {
             // lint stays consistent at any scale.
             case m: org.apache.spark.sql.execution.columnar.InMemoryRelation
                 if m.computeStats().sizeInBytes <= (256L << 20) => ()
+            // same gate since round 11: the pin is an eager
+            // localCheckpoint (CacheManager-leak fix), whose LogicalRDD
+            // stats LoopCheckpoint rewrites to the blocks' ACTUAL
+            // stored size — the same measured-size proof
+            case l: org.apache.spark.sql.execution.LogicalRDD
+                if l.computeStats().sizeInBytes <= (256L << 20) => ()
           }.isDefined
           if (bounded || inspectedGlobalWindow(name)) None else Some(name)
       }.flatten
