@@ -56,7 +56,8 @@ object Eval {
     * values runs distributed ([[graft.operators.GlobalOrder]]), so
     * even an all-distinct score column never single-partitions. */
   def calibration(df: DataFrame, score: Column, label: Column,
-                  buckets: Int): DataFrame = {
+                  buckets: Int,
+                  scoreDomainBound: Option[Long] = None): DataFrame = {
     val byValue = df.select(score.cast("long").as("s"),
         label.cast("boolean").cast("long").as("y"))
       .groupBy("s")
@@ -64,9 +65,14 @@ object Eval {
     val total = byValue.agg(sum("n_s").as("n"))
     // auto-gated: the numbered relation is the distinct-value
     // histogram, usually tiny — the distributed form engages only
-    // past the threshold (score domains CAN be corpus-sized)
+    // past the threshold (score domains CAN be corpus-sized). Callers
+    // whose score has a PROVABLE domain size (a ppm score, a bounded
+    // integer grade) pass it via `scoreDomainBound` — an upper bound
+    // is enough, it only routes the physical plan — and skip the
+    // gate's pin+count of the histogram entirely
     graft.operators.GlobalOrder.withRunningSumAuto(
-        byValue, Seq(col("s")), col("n_s"), "__cum")
+        byValue, Seq(col("s")), col("n_s"), "__cum",
+        bound = scoreDomainBound)
       .withColumn("rk", col("__cum") - col("n_s") + 1L)
       .crossJoin(broadcast(total))
       .withColumn("bucket", expr(s"(rk - 1) * $buckets div n"))

@@ -273,12 +273,15 @@ private[graft] object StatsQueries {
     "q_quantile_norm" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
-      // auto-gated grouped numbering: a handful of sources over the
+      // bounded grouped numbering: a handful of sources over the
       // corpus is a per-source window funnel at scale; below the
-      // threshold the plain grouped window wins
+      // threshold the plain grouped window wins. Bound = |documents|
+      // from parquet footer stats, skipping the gate pin of the
+      // projected corpus
       val nSrc = d.groupBy("source").agg(count(lit(1)).as("n_src"))
       val ranked = graft.operators.GlobalOrder.withGroupedRowNumberAuto(
-          d, Seq("source"), Seq(col("n_chars"), col("doc_id")), "rk")
+          d, Seq("source"), Seq(col("n_chars"), col("doc_id")), "rk",
+          bound = Some(Tables.load(s, dir, "documents").count()))
         .join(broadcast(nSrc), "source")
         .withColumn("p_ppm",
           when(col("n_src") > 1,
@@ -311,11 +314,13 @@ private[graft] object StatsQueries {
         .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
           .as("rev"))
       val tot = per.agg(sum("rev").as("total_rev"))
-      // auto-gated: numbered relation is keyed by part — dimension-
-      // bounded, so the fast path holds until |part| crosses the 1M
-      // smallThreshold default
+      // numbered relation is keyed by part — its row count is bounded
+      // by the part DIMENSION, so the bound is a parquet-metadata
+      // count of part (footer stats, no data read) instead of the
+      // gate's pin+count of the full lineitem aggregation
       graft.operators.GlobalOrder.withRunningSumAuto(per,
-          Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum")
+          Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum",
+          bound = Some(Tables.load(s, dir, "part").count()))
         .crossJoin(broadcast(tot))
         // cum·10⁶ tops BIGINT at ~sf1 total revenue (DuckDB's sum is
         // already HUGEINT, so a Spark wrap would diverge silently) —
