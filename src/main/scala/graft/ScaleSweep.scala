@@ -120,6 +120,15 @@ object ScaleFixture {
           .cast("timestamp"))
     }.write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
+    // hot-term knob (SPARK_GRAFT_HOT_TERM_PCT, default off): append a
+    // fixed boilerplate sentence to that percentage of documents
+    // (post-offset doc_id hash — deterministic, oracle sees it too).
+    // Exercises the hub surfaces a boilerplate-heavy corpus hits: hot
+    // posting lists (bm25/impact buckets), stopgram drops
+    // (containment), shared-gram mass (crossdoc/dup_spans), PPJoin
+    // prefix ordering (a high-df shingle sorts LAST, out of prefixes).
+    val hotTermPct = sys.env.getOrElse("SPARK_GRAFT_HOT_TERM_PCT", "0").toInt
+    val hotSentence = "hot boilerplate term cluster shared across corpus"
     val docS = stride(src("documents"), "doc_id")
     rep(src("documents")) { (d, i) =>
       val perturbed = mode match {
@@ -144,7 +153,11 @@ object ScaleFixture {
       d.withColumn("doc_id", col("doc_id") + lit(i * docS))
         .withColumn("text",
           when(lit(i) === 0, col("text")).otherwise(perturbed))
-    }.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }.withColumn("text",
+        when(pmod(xxhash64(col("doc_id")), lit(100L)) < hotTermPct,
+          concat(col("text"), lit(" " + hotSentence)))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val vecS = stride(src("embeddings"), "vec_id")
     rep(src("embeddings")) { (d, i) =>
@@ -166,7 +179,16 @@ object ScaleFixture {
       d.withColumn("vec_id", col("vec_id") + lit(i * vecS))
         .withColumn("embedding",
           when(lit(i) === 0, col("embedding")).otherwise(perturbed))
-    }.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }.withColumn("label",
+        // hot-label knob (SPARK_GRAFT_HOT_LABEL_PCT, default off):
+        // remap that percentage of vectors onto label 0 — one blocking
+        // label owns an outsized near-dup block, exercising the tiled
+        // kernel's labels×tiles² parallelism and (past maxBlock) the
+        // labelBlockedNearDup raise_error guard
+        when(pmod(xxhash64(col("vec_id")), lit(100L)) <
+               lit(sys.env.getOrElse("SPARK_GRAFT_HOT_LABEL_PCT", "0").toInt),
+          lit(0)).otherwise(col("label")))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     println(s"[scale-fixture] wrote ${copies}x $srcDir -> $outDir")
     spark.stop()
@@ -203,9 +225,16 @@ object ScaleSweep {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    // SPARK_GRAFT_SHUFFLE overrides shuffle parallelism independently
+    // of thread count: at sf100 a 600M-row fact table over 32
+    // partitions is ~2 GB per shuffle partition — above what a local
+    // executor thread should hold; AQE coalesces small partitions back
+    // down, so a higher initial number only costs empty-partition
+    // overhead where it isn't needed
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

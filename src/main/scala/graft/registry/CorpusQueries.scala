@@ -98,16 +98,15 @@ private[graft] object CorpusQueries {
         docs.select(col("source"), col("n_chars")),
         "source", "n_chars", budget = 200L)
         .select(col("k").as("source"), col("quota"))
-      // bounded grouped numbering: per-source ranking over the
+      // auto-gated grouped numbering: per-source ranking over the
       // corpus must not funnel into |sources| window tasks at scale,
-      // but below the threshold the plain grouped window is cheaper.
-      // The numbered relation is the docs-quota inner join, bounded by
-      // |documents| — a parquet-metadata count (footer stats) routes
-      // the branch without the gate pinning the joined corpus
+      // but below the threshold the plain grouped window is cheaper
+      // (an explicit metadata-count bound was measured SLOWER here —
+      // the extra count job dominates a sub-second single-consumer
+      // query; the gate pin is the right shape)
       graft.operators.GlobalOrder.withGroupedRowNumberAuto(
           docs.join(broadcast(quotas), "source"), Seq("source"),
-          Seq(col("n_chars").desc, col("doc_id")), "rn",
-          bound = Some(docs.count()))
+          Seq(col("n_chars").desc, col("doc_id")), "rn")
         .filter(col("rn") <= col("quota"))
         .select(col("doc_id"), col("source"))
     }),
@@ -120,11 +119,10 @@ private[graft] object CorpusQueries {
       val srcIdx = docs.select("source").distinct()
         .withColumn("src_idx",
           row_number().over(Window.orderBy("source")).cast("long"))
-      // bounded grouped numbering (see q_budget_select)
+      // auto-gated grouped numbering (see q_budget_select)
       graft.operators.GlobalOrder.withGroupedRowNumberAuto(
           docs.join(broadcast(srcIdx), "source"), Seq("source"),
-          Seq(col("doc_id")), "round",
-          bound = Some(docs.count()))
+          Seq(col("doc_id")), "round")
         .select(col("doc_id"), col("source"), col("round"), col("src_idx"))
     }),
 

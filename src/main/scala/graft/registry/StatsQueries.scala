@@ -271,17 +271,17 @@ private[graft] object StatsQueries {
     //      and the rank→value lookup is a broadcast range join against
     //      that small relation ----
     "q_quantile_norm" -> ((s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("n_chars"))
-      // bounded grouped numbering: a handful of sources over the
-      // corpus is a per-source window funnel at scale; below the
-      // threshold the plain grouped window wins. Bound = |documents|
-      // from parquet footer stats, skipping the gate pin of the
-      // projected corpus
+      // pin the 3-col projection ONCE — it feeds the per-source
+      // counts, the numbering, the value histogram, and the total,
+      // and the numbering gates on the pinned count (trivial over
+      // cached blocks)
+      val d = graft.operators.LoopCheckpoint(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")))
       val nSrc = d.groupBy("source").agg(count(lit(1)).as("n_src"))
       val ranked = graft.operators.GlobalOrder.withGroupedRowNumberAuto(
           d, Seq("source"), Seq(col("n_chars"), col("doc_id")), "rk",
-          bound = Some(Tables.load(s, dir, "documents").count()))
+          bound = Some(d.count()))
         .join(broadcast(nSrc), "source")
         .withColumn("p_ppm",
           when(col("n_src") > 1,
@@ -309,18 +309,19 @@ private[graft] object StatsQueries {
     //      twin of q_pareto_8020's customer view). Cumulative window
     //      over the pre-aggregated part dimension; ppm-exact cuts ----
     "q_abc_class" -> ((s, dir) => {
-      val per = Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_partkey"))
-        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
-          .as("rev"))
+      val per = graft.operators.LoopCheckpoint(
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .as("rev")))
       val tot = per.agg(sum("rev").as("total_rev"))
-      // numbered relation is keyed by part — its row count is bounded
-      // by the part DIMENSION, so the bound is a parquet-metadata
-      // count of part (footer stats, no data read) instead of the
-      // gate's pin+count of the full lineitem aggregation
+      // numbered relation is keyed by part (dimension-bounded); it
+      // ALSO feeds the total-revenue aggregate, so the caller owns
+      // ONE explicit pin shared by both consumers and gates the
+      // numbering on the pinned count (trivial over cached blocks)
       graft.operators.GlobalOrder.withRunningSumAuto(per,
           Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum",
-          bound = Some(Tables.load(s, dir, "part").count()))
+          bound = Some(per.count()))
         .crossJoin(broadcast(tot))
         // cum·10⁶ tops BIGINT at ~sf1 total revenue (DuckDB's sum is
         // already HUGEINT, so a Spark wrap would diverge silently) —
