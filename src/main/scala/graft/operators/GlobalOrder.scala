@@ -61,21 +61,34 @@ object GlobalOrder {
   /** Cardinality gate for the `*Auto` variants: a caller-supplied bound
     * decides statically (zero cost — use it when the bound is provable,
     * e.g. a post-aggregation keyed by a dimension); with no bound the
-    * input is pinned with [[LoopCheckpoint]] (eager; MEMORY_AND_DISK
-    * blocks) and counted over the pinned blocks, and BOTH branches
-    * then read them, so the input is computed exactly once. Checkpoint
-    * rather than persist: a persist with no reachable unpersist (the
-    * gate cannot know when its caller's plan materializes) accumulates
-    * CacheManager entries for the session lifetime across repeated
-    * invocations in a long-lived sweep, while checkpoint blocks are
-    * released by the ContextCleaner once the plan is unreachable. Costs
-    * one extra trivial job (the count over cached blocks) vs the old
-    * persist+count — and stops the leak ADVICE r10 flagged. */
+    * input is persisted and counted in ONE job — the count action
+    * materializes the cache, BOTH branches read the cached blocks, and
+    * (the part an eager checkpoint cannot replicate) any SIBLING plan
+    * containing the same subtree hits the cache too, by the
+    * CacheManager's plan match — callers like q_calibration's total
+    * aggregate lean on exactly that (a localCheckpoint swap was
+    * measured at 2.2-2.8× on the gated bench queries and reverted).
+    * MEMORY_AND_DISK: storage-evictable and spilling, never an OOM
+    * vector when the gate discovers the input is big.
+    *
+    * The unmatched persist WOULD accumulate one CacheManager entry per
+    * invocation for the session lifetime (the ADVICE r10 leak), so the
+    * gate keeps a small FIFO of its pinned frames and unpersists the
+    * oldest beyond [[GatePinCap]] — by then the owning query has long
+    * materialized, and even a straggler merely recomputes (unpersist
+    * never affects correctness). */
+  private[operators] val GatePinCap = 8
+  private val gatePins = new java.util.ArrayDeque[DataFrame]()
   private def gated(df: DataFrame, bound: Option[Long]): (DataFrame, Long) =
     bound match {
       case Some(n) => (df, n)
       case None =>
-        val p = LoopCheckpoint(df)
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        gatePins.synchronized {
+          gatePins.addLast(p)
+          if (gatePins.size > GatePinCap)
+            gatePins.removeFirst().unpersist(false)
+        }
         (p, p.count())
     }
 

@@ -271,17 +271,15 @@ private[graft] object StatsQueries {
     //      and the rank→value lookup is a broadcast range join against
     //      that small relation ----
     "q_quantile_norm" -> ((s, dir) => {
-      // pin the 3-col projection ONCE — it feeds the per-source
-      // counts, the numbering, the value histogram, and the total,
-      // and the numbering gates on the pinned count (trivial over
-      // cached blocks)
-      val d = graft.operators.LoopCheckpoint(
-        Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("source"), col("n_chars")))
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      // auto-gated grouped numbering: a handful of sources over the
+      // corpus is a per-source window funnel at scale; below the
+      // threshold the plain grouped window wins. The gate persist is
+      // also the cache the sibling aggregates (nSrc, vals, total) hit
       val nSrc = d.groupBy("source").agg(count(lit(1)).as("n_src"))
       val ranked = graft.operators.GlobalOrder.withGroupedRowNumberAuto(
-          d, Seq("source"), Seq(col("n_chars"), col("doc_id")), "rk",
-          bound = Some(d.count()))
+          d, Seq("source"), Seq(col("n_chars"), col("doc_id")), "rk")
         .join(broadcast(nSrc), "source")
         .withColumn("p_ppm",
           when(col("n_src") > 1,
@@ -309,19 +307,19 @@ private[graft] object StatsQueries {
     //      twin of q_pareto_8020's customer view). Cumulative window
     //      over the pre-aggregated part dimension; ppm-exact cuts ----
     "q_abc_class" -> ((s, dir) => {
-      val per = graft.operators.LoopCheckpoint(
-        Tables.load(s, dir, "lineitem")
-          .groupBy(col("l_partkey"))
-          .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
-            .as("rev")))
+      val per = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .as("rev"))
       val tot = per.agg(sum("rev").as("total_rev"))
-      // numbered relation is keyed by part (dimension-bounded); it
-      // ALSO feeds the total-revenue aggregate, so the caller owns
-      // ONE explicit pin shared by both consumers and gates the
-      // numbering on the pinned count (trivial over cached blocks)
+      // auto-gated: numbered relation is keyed by part — dimension-
+      // bounded, so the fast path holds until |part| crosses the 1M
+      // smallThreshold default. The gate persist doubles as the cache
+      // the total-revenue aggregate hits (plan-subtree match; explicit
+      // pins and metadata-count bounds were both measured slower and
+      // reverted — BASELINE.md round 11)
       graft.operators.GlobalOrder.withRunningSumAuto(per,
-          Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum",
-          bound = Some(per.count()))
+          Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum")
         .crossJoin(broadcast(tot))
         // cum·10⁶ tops BIGINT at ~sf1 total revenue (DuckDB's sum is
         // already HUGEINT, so a Spark wrap would diverge silently) —
