@@ -86,8 +86,14 @@ object GlobalOrder {
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         gatePins.synchronized {
           gatePins.addLast(p)
-          if (gatePins.size > GatePinCap)
-            gatePins.removeFirst().unpersist(false)
+          if (gatePins.size > GatePinCap) {
+            // the FIFO is JVM-global: an evicted frame may belong to a
+            // SparkSession that has since stopped (test suites, CLI
+            // tools) — unpersist on a stopped context throws, and the
+            // eviction must never fail the CURRENT query
+            val old = gatePins.removeFirst()
+            try old.unpersist(false) catch { case _: Throwable => () }
+          }
         }
         (p, p.count())
     }
