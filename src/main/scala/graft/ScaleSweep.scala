@@ -59,6 +59,18 @@ object ScaleFixture {
     def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until copies).map(i => f(df, i)).reduce(_ unionByName _)
 
+    // hot-key knobs, validated up front: a bare .toInt on '5%' or 150
+    // would crash opaquely mid-write (or silently mark ALL rows hot) —
+    // fail with the variable name before any parquet is touched
+    def hotPct(name: String): Int = {
+      val raw = sys.env.getOrElse(name, "0")
+      val v = raw.toIntOption.getOrElse(sys.error(
+        s"$name must be an integer percentage 0..100, got '$raw'"))
+      require(v >= 0 && v <= 100,
+        s"$name must be in 0..100, got $v")
+      v
+    }
+
     // key-domain strides: one per id space, from the source's max
     def stride(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head().getLong(0) + 1L
@@ -95,13 +107,13 @@ object ScaleFixture {
     // Deterministic (xxhash64 of the POST-offset order key — each
     // replica contributes its own independent ~pct% subset) and applied
     // to the written parquet, so the DuckDB oracle sees the same skew.
-    val hotPct = sys.env.getOrElse("SPARK_GRAFT_HOT_HH_PCT", "0").toInt
+    val hotHhPct = hotPct("SPARK_GRAFT_HOT_HH_PCT")
     rep(src("orders")) { (d, i) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(i * ordS))
         .withColumn("o_custkey", col("o_custkey") + lit(i * custS))
         .withColumn("o_orderdate", date_add(col("o_orderdate"), i))
     }.withColumn("o_custkey",
-        when(pmod(xxhash64(col("o_orderkey")), lit(100L)) < hotPct, lit(2L))
+        when(pmod(xxhash64(col("o_orderkey")), lit(100L)) < hotHhPct, lit(2L))
           .otherwise(col("o_custkey")))
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
@@ -127,7 +139,7 @@ object ScaleFixture {
     // posting lists (bm25/impact buckets), stopgram drops
     // (containment), shared-gram mass (crossdoc/dup_spans), PPJoin
     // prefix ordering (a high-df shingle sorts LAST, out of prefixes).
-    val hotTermPct = sys.env.getOrElse("SPARK_GRAFT_HOT_TERM_PCT", "0").toInt
+    val hotTermPct = hotPct("SPARK_GRAFT_HOT_TERM_PCT")
     val hotSentence = "hot boilerplate term cluster shared across corpus"
     val docS = stride(src("documents"), "doc_id")
     rep(src("documents")) { (d, i) =>
@@ -186,7 +198,7 @@ object ScaleFixture {
         // kernel's labels×tiles² parallelism and (past maxBlock) the
         // labelBlockedNearDup raise_error guard
         when(pmod(xxhash64(col("vec_id")), lit(100L)) <
-               lit(sys.env.getOrElse("SPARK_GRAFT_HOT_LABEL_PCT", "0").toInt),
+               lit(hotPct("SPARK_GRAFT_HOT_LABEL_PCT")),
           lit(0)).otherwise(col("label")))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 

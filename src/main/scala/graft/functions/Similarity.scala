@@ -162,9 +162,10 @@ object Similarity {
         // for n ≥ 1 — n_vec * n_vec wraps negative above ~3.04e9 vectors
         // with ANSI off (silently BYPASSING the guard at exactly the
         // corpus scale it exists to stop) and throws an opaque overflow
-        // with ANSI on
+        // with ANSI on. TRUE integer division (`div`, not Column./ which
+        // is a double Divide) so the equivalence is exact at the boundary
         .withColumn("vec_id",
-          when(col("n_vec") > lit(maxPairs) / greatest(col("n_vec"), lit(1L)),
+          when(col("n_vec") > expr(s"$maxPairs div greatest(n_vec, 1L)"),
             expr(s"raise_error(concat('knnJoin: ', n_vec, ' vectors -> ', " +
               s"'n_vec * n_vec candidate pairs exceeds maxPairs=$maxPairs" +
               " — the exact N-squared kernel is the recall baseline, never" +

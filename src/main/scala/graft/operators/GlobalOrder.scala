@@ -73,26 +73,54 @@ object GlobalOrder {
     *
     * The unmatched persist WOULD accumulate one CacheManager entry per
     * invocation for the session lifetime (the ADVICE r10 leak), so the
-    * gate keeps a small FIFO of its pinned frames and unpersists the
-    * oldest beyond [[GatePinCap]] — by then the owning query has long
-    * materialized, and even a straggler merely recomputes (unpersist
-    * never affects correctness). */
-  private[operators] val GatePinCap = 8
-  private val gatePins = new java.util.ArrayDeque[DataFrame]()
+    * gate keeps a small PER-SESSION FIFO of its pinned frames and
+    * unpersists the oldest beyond [[GatePinCap]] — by then the owning
+    * query has long materialized, and even a straggler merely
+    * recomputes (unpersist never affects correctness). Per-session
+    * (round-12): a JVM-global FIFO let one session's gates evict
+    * another's still-warm pins (doubling work, not breaking anything)
+    * and strongly retained up to 8 frames — and through them stopped
+    * SparkContexts — for the process lifetime. Now pins from one
+    * session never evict another session's, and every gate first
+    * purges entries whose context has stopped (their blocks died with
+    * the context; dropping the map entry releases the reference). */
+  private[graft] val GatePinCap = 8
+  private val gatePins = new java.util.LinkedHashMap[
+    org.apache.spark.sql.SparkSession, java.util.ArrayDeque[DataFrame]]()
+  /** Test hook: the live pin FIFO for `spark` (copied). */
+  private[graft] def gatePinSnapshot(
+      spark: org.apache.spark.sql.SparkSession): Seq[DataFrame] =
+    gatePins.synchronized {
+      Option(gatePins.get(spark))
+        .map(dq => dq.toArray(new Array[DataFrame](0)).toSeq)
+        .getOrElse(Seq.empty)
+    }
   private def gated(df: DataFrame, bound: Option[Long]): (DataFrame, Long) =
     bound match {
       case Some(n) => (df, n)
       case None =>
+        val spark = df.sparkSession
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         gatePins.synchronized {
-          gatePins.addLast(p)
-          if (gatePins.size > GatePinCap) {
-            // the FIFO is JVM-global: an evicted frame may belong to a
-            // SparkSession that has since stopped (test suites, CLI
-            // tools) — unpersist on a stopped context throws, and the
-            // eviction must never fail the CURRENT query
-            val old = gatePins.removeFirst()
-            try old.unpersist(false) catch { case _: Throwable => () }
+          // purge dead sessions: their cached blocks are already gone
+          // (unpersist on a stopped context throws), and keeping the
+          // entry would pin the stopped SparkContext on the heap
+          gatePins.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
+          var dq = gatePins.get(spark)
+          if (dq == null) {
+            dq = new java.util.ArrayDeque[DataFrame]()
+            gatePins.put(spark, dq)
+          }
+          dq.addLast(p)
+          if (dq.size > GatePinCap) {
+            val old = dq.removeFirst()
+            // the eviction must never fail the CURRENT query — but
+            // swallow only NonFatal, re-asserting interrupts
+            try old.unpersist(false) catch {
+              case ie: InterruptedException =>
+                Thread.currentThread().interrupt()
+              case scala.util.control.NonFatal(_) => ()
+            }
           }
         }
         (p, p.count())

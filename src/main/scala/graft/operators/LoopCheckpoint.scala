@@ -66,4 +66,18 @@ private[graft] object LoopCheckpoint {
       }
     GraftSqlBridge.dropCarriedStats(pinned)
   }
+
+  /** Pin for ONE-SHOT frames (a relation built once and consumed by a
+    * few sibling branches of the SAME query): always the eager
+    * `localCheckpoint`, regardless of `spark.graft.checkpoint.reliable`.
+    * The reliable knob exists for LOOP-CARRIED frames, where a lost
+    * executor mid-loop invalidates hours of rounds; a one-shot pin's
+    * worst case on executor loss is recomputing its own subtree once —
+    * not worth a full HDFS write of a corpus-scale relation per
+    * invocation, and a reliable=true cluster without a checkpoint dir
+    * must not throw on a query that never loops. Stats are dropped the
+    * same way (a one-shot pin can still feed a join tree whose
+    * estimate the carried origin stats would distort). */
+  def once(df: DataFrame): DataFrame =
+    GraftSqlBridge.dropCarriedStats(df.localCheckpoint(true))
 }

@@ -426,7 +426,7 @@ private[graft] object GovernanceQueries {
       // pass): both layouts' numberings, the bounds aggregate, and the
       // cardinality gate all read the same pinned blocks instead of
       // rescanning orders four times
-      val o = graft.operators.LoopCheckpoint(
+      val o = graft.operators.LoopCheckpoint.once(
         Tables.load(s, dir, "orders")
           .select(col("o_custkey"), col("o_orderkey"),
             expr("cast(datediff(o_orderdate, date'1970-01-01') as bigint)")

@@ -4,14 +4,19 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Dedup
 
-/** Differential contract for the containment in-task pair kernel:
-  * [[Dedup.containmentPairs]] (single gram-keyed shuffle, per-gram
-  * pairs + size self-tokens emitted inside the bucket's task, one
-  * partially-aggregated count) must emit EXACTLY the rows of the join
-  * formulation it replaced ([[Dedup.containmentPairsJoin]]: window df,
-  * capped posting self-join, sizes joined back) — same stopgram drop,
-  * same directed emission, same integer ppm surface. Randomized text
-  * so gram collisions, the df cap, and the threshold all exercise. */
+/** Differential contract for the containment carry-through
+  * formulation: [[Dedup.containmentPairs]] (pinned rare-gram relation
+  * with per-doc sizes carried on every row, UNORDERED `<` self-join,
+  * one pair-count aggregate with the sizes riding through as
+  * `first()`, per-direction threshold applied BEFORE the two-direction
+  * expansion) must emit EXACTLY the rows of the original join
+  * formulation ([[Dedup.containmentPairsJoin]]: window df, directed
+  * posting self-join, doc-sized size table joined back post-agg) —
+  * same stopgram drop, same directed emission, same integer ppm
+  * surface. (An in-task flatMapGroups kernel was built, measured
+  * slower — 87 s vs 31.8 s at sf10 — and rejected; the shipped form
+  * is the declarative join, see Dedup.scala.) Randomized text so gram
+  * collisions, the df cap, and the threshold all exercise. */
 class ContainmentKernelSpec extends SparkSpec {
   import spark.implicits._
 

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.GlobalOrder
+
+/** Session scoping of the cardinality gate's pin FIFO (round-12): the
+  * gate persists its input when no bound is supplied, and retains at
+  * most [[GlobalOrder.GatePinCap]] pinned frames PER SESSION — one
+  * session's gates must never evict another session's still-warm pins
+  * (the JVM-global FIFO this replaces silently recomputed the victim's
+  * subtree), and eviction within a session unpersists exactly the
+  * oldest frame.
+  */
+class GatePinSessionSpec extends SparkSpec {
+
+  private def gate(s: org.apache.spark.sql.SparkSession, tag: Int): Unit = {
+    import s.implicits._
+    val df = (0 until 64).map(i => (i.toLong + tag * 1000L, i.toLong))
+      .toDF("k", "v")
+    // bound=None forces the persist+count gate
+    GlobalOrder.withRowNumberAuto(df, Seq(col("v"), col("k")), "rn").count()
+  }
+
+  test("pins are per-session: session A's evictions spare session B") {
+    val b = spark.newSession()
+    gate(b, 99) // one pin in session B, first — oldest JVM-wide
+    val bPins = GlobalOrder.gatePinSnapshot(b)
+    assert(bPins.size == 1, s"expected 1 pin in session B, got ${bPins.size}")
+
+    // overflow session A's FIFO: cap + 2 gates
+    (1 to GlobalOrder.GatePinCap + 2).foreach(i => gate(spark, i))
+
+    // B's pin survives A's evictions (global FIFO would have evicted it
+    // first) and is still materialized
+    val bAfter = GlobalOrder.gatePinSnapshot(b)
+    assert(bAfter.size == 1, "session B's pin FIFO must be untouched")
+    assert(bAfter.head.storageLevel != StorageLevel.NONE,
+      "session B's pin must still be persisted after A's evictions")
+
+    // A holds exactly the cap; its evicted frames are unpersisted and
+    // the survivors still persisted
+    val aPins = GlobalOrder.gatePinSnapshot(spark)
+    assert(aPins.size == GlobalOrder.GatePinCap,
+      s"session A must hold exactly the cap, got ${aPins.size}")
+    assert(aPins.forall(_.storageLevel != StorageLevel.NONE),
+      "surviving session-A pins must still be persisted")
+  }
+}
