@@ -50,18 +50,27 @@ private[graft] object QueryHelpers {
       (graft.operators.LoopCheckpoint(assigned), cents)
     })
 
-  /** One cached, materialized MinHash-LSH candidate-pair relation per
-    * (session, sf dir) at the standard (n=3, k=16, bands=4) setting:
-    * the pair query, the cluster query, and the contamination matrix
-    * are three consumers of the SAME relation — share one signature
-    * pass + band join instead of three (mirrors kmeansModels). */
-  private val lshPairs = scala.collection.concurrent.TrieMap[
-    (SparkSession, String), org.apache.spark.sql.DataFrame]()
+  /** One PERSISTED MinHash-LSH dedup index per (session, sf dir) at
+    * the standard (n=3, k=16, bands=4) setting
+    * ([[graft.sources.DedupIndex]], round-12: the stored-artifact form
+    * the sf100 probe asked for): the pair query, the cluster query,
+    * the contamination matrix, survivorship, leak-free split and
+    * curation all READ the same parquet pair relation — the build is
+    * paid once (the nightly index job at 100 TB), not per consumer or
+    * per session. Identical rows to `Dedup.lshCandidatePairs`
+    * (DedupIndexSpec pins it), so every oracle hash is unchanged. */
+  private val lshIdx = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), String]()
   def lshPairsFor(s: SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame =
-    lshPairs.getOrElseUpdate((s, dir),
-      graft.operators.LoopCheckpoint(graft.functions.Dedup.lshCandidatePairs(
-        Tables.load(s, dir, "documents"), "doc_id", "text", 3, 16, 4)))
+      : org.apache.spark.sql.DataFrame = {
+    val path = lshIdx.getOrElseUpdate((s, dir), {
+      val p = scratchPathFor(s, dir, "dedup_idx")
+      graft.sources.DedupIndex.build(
+        Tables.load(s, dir, "documents"), "doc_id", "text", p, 3, 16, 4)
+      p
+    })
+    graft.sources.DedupIndex.pairs(s, path)
+  }
 
   /** One cached, materialized near-dup COMPONENT labeling per
     * (session, sf dir): connected components over the full document

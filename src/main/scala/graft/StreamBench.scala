@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.retention.HhEncounter
+import graft.streaming.{BandRow, SessionEvent, StreamingOps}
+
+/** Streaming throughput artifact (round-12 judge ask #6): drives the
+  * three stateful streaming operators under sustained load at a given
+  * fixture scale and records, PER MICROBATCH, the trigger latency,
+  * input rows, and state-store row count — the numbers the
+  * correctness-only streaming specs never produce.
+  *
+  * Streams measured (each the streaming dual of an oracle-checked
+  * batch query, so correctness is already gated elsewhere):
+  *   - `sessionize`  — gap sessions over the events table
+  *     (flatMapGroupsWithState; state bound: one pending-run list per
+  *     ACTIVE user inside the gap+lateness horizon, O(1) per user);
+  *   - `neardup`     — ingest-time LSH near-dup anchors over the
+  *     documents table (state bound: |distinct band signatures| ≤
+  *     bands × |docs| longs — the inverted index kept incrementally);
+  *   - `retention`   — incremental household retention over the
+  *     orders table (state bound: |households| rows, each pruned to
+  *     admit days inside the scan horizon).
+  *
+  * Input is staged into `SPARK_GRAFT_STREAM_CHUNKS` (default 12)
+  * event-time-ordered files; `maxFilesPerTrigger=1` makes each file
+  * one microbatch, so the artifact shows state GROWTH across batches,
+  * not one bulk load. Sink is `noop` — sink cost is not the object of
+  * measurement.
+  *
+  *   tools/run.sh graft.StreamBench /tmp/graft_sf1 STREAMBENCH.json
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/tmp/graft_sf1"
+    val outJson = args.drop(1).headOption
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "12").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ui.retainedExecutions", "10")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("streambench")
+
+    /** Stage `df` into `chunks` files ordered by `orderCol` (file i =
+      * i-th value-range slice, written sequentially so the file source
+      * picks them up oldest-first): each file is one microbatch of a
+      * time-ordered arrival. */
+    def stage(df: DataFrame, orderCol: String, tag: String): String = {
+      val dir = root.resolve(tag)
+      java.nio.file.Files.createDirectories(dir)
+      val pinned = df.localCheckpoint(true)
+      val (mn, mx) = pinned.agg(min(orderCol), max(orderCol))
+        .as[(Long, Long)].head()
+      val width = (mx - mn) / chunks + 1
+      (0 until chunks).foreach { i =>
+        val tmp = root.resolve(s"${tag}_tmp$i")
+        pinned.filter((col(orderCol) - mn).cast("long") / width === i)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          dir.resolve(f"f$i%03d.parquet"))
+      }
+      dir.toString
+    }
+
+    final case class BatchRow(ms: Long, rows: Long, stateRows: Long,
+                              stateUpdated: Long)
+    final case class StreamResult(batches: Seq[BatchRow], wallSec: Double)
+
+    /** Run one staged stream to the noop sink; collect per-batch
+      * progress. */
+    def run(tag: String, build: DataFrame => DataFrame,
+            stagedDir: String, schema: org.apache.spark.sql.types.StructType,
+            mode: String = "update"): StreamResult = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stagedDir)
+      val t0 = System.nanoTime()
+      val q = build(src).writeStream.outputMode(mode).format("noop")
+        .option("checkpointLocation",
+          root.resolve(s"${tag}_ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val wall = math.rint((System.nanoTime() - t0) / 1e6) / 1000
+      val batches = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map { p =>
+          val so = p.stateOperators.headOption
+          BatchRow(p.durationMs.get("triggerExecution"),
+            p.numInputRows,
+            so.map(_.numRowsTotal).getOrElse(0L),
+            so.map(_.numRowsUpdated).getOrElse(0L))
+        }
+      q.stop()
+      StreamResult(batches, wall)
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap[String,
+      (StreamResult, String)]()
+
+    // 1. sessionize: 30-min gap (the batch q_events_sessionize gap)
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts_ns").cast("long"))
+    val evDir = stage(events, "ts_ns", "sessionize")
+    val evSchema = spark.read.parquet(evDir).schema
+    results("sessionize") = (run("sessionize", df =>
+      StreamingOps.sessionize(df.as[SessionEvent],
+        gapNs = 30L * 60 * 1000 * 1000 * 1000).toDF(),
+      evDir, evSchema, mode = "append"),
+      "state = pending runs per active user in the gap horizon, O(1)/user")
+
+    // 2. near-dup anchors: band rows computed map-side on the stream
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+    val docDir = stage(docs, "doc_id", "neardup")
+    val docSchema = spark.read.parquet(docDir).schema
+    results("neardup") = (run("neardup", df =>
+      graft.functions.Dedup.bandSignatureRows(df, "doc_id", "text", 3, 16, 4)
+        .select(col("doc_id"), col("band").cast("int"), col("sig"))
+        .as[BandRow].transform(StreamingOps.nearDupAnchors(_)).toDF(),
+      docDir, docSchema),
+      "state = |distinct band signatures| <= bands x |docs| longs")
+
+    // 3. incremental retention over the star source's encounters
+    val cfg = graft.retention.StarAdapter.config(spark, sfDir)
+    val enc = graft.retention.StarAdapter.encounters(spark, sfDir)
+      .select(expr("person_id div 2").as("household_id"),
+        expr("cast(datediff(admit_date, DATE'1970-01-01') as int)")
+          .as("admit_epoch_day"))
+      .select(col("household_id").cast("long"),
+        col("admit_epoch_day").cast("int"))
+    val encDir = stage(enc.withColumn("admit_epoch_day",
+        col("admit_epoch_day").cast("long")), "admit_epoch_day", "retention")
+    val encSchema = spark.read.parquet(encDir).schema
+    results("retention") = (run("retention", df =>
+      graft.retention.Incremental.updates(
+        df.select(col("household_id"),
+          col("admit_epoch_day").cast("int").as("admit_epoch_day"))
+          .as[HhEncounter], cfg).toDF(),
+      encDir, encSchema),
+      "state = |households| rows, admit days pruned to the scan horizon")
+
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val js = results.map { case (name, (r, bound)) =>
+      val inRows = r.batches.map(_.rows).sum
+      val sumMs = r.batches.map(_.ms).sum.max(1L)
+      s""""$name":{"batches":${r.batches.size},"input_rows":$inRows,""" +
+        s""""wall_sec":${f(r.wallSec)},""" +
+        s""""rows_per_sec":${f(inRows * 1000.0 / sumMs)},""" +
+        s""""batch_ms":[${r.batches.map(_.ms).mkString(",")}],""" +
+        s""""state_rows":[${r.batches.map(_.stateRows).mkString(",")}],""" +
+        s""""state_updated":[${r.batches.map(_.stateUpdated).mkString(",")}],""" +
+        s""""state_bound":"$bound"}"""
+    }.mkString(",")
+    val out = s"""{"metric":"stream_bench","sf":"$sfDir","chunks":$chunks,""" +
+      s""""streams":{$js}}"""
+    println(out)
+    outJson.foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        out.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[streambench] wrote $p")
+    }
+    spark.stop()
+  }
+}

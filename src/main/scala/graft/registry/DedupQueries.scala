@@ -74,6 +74,26 @@ private[graft] object DedupQueries {
     "q_dedup_embedding" -> ((s, dir) =>
       graft.functions.Similarity.labelBlockedNearDup(
         Tables.load(s, dir, "embeddings"), 0.4)),
+    // ABOVE-the-noise-floor operating point (round-12: the other half
+    // of the labelBlockedNearDup contract, measured): t = 0.7 at
+    // d = 64 is z = t·√d = 5.6σ into the random-cosine null — the
+    // chance tail is gone and output is TRUE-DUP-proportional. The
+    // fixture's vectors are pure noise (max within-label cos 0.475),
+    // so true dups are PLANTED deterministically: every 50th vector
+    // gets a copy (id + 1e9, same label) with component 1 zeroed —
+    // cos(v, v') = √(1 − x₁²) ≈ 0.99, identically derivable by the
+    // oracle. Expected output = exactly the planted pairs: |corpus|/50
+    // rows, LINEAR in corpus where t=0.4's output is quadratic.
+    "q_dedup_embedding_hi" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+      val planted = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000000L))
+        .withColumn("embedding",
+          concat(array(lit(0.0f)), slice(col("embedding"), 2, 1000000)))
+      graft.functions.Similarity.labelBlockedNearDup(
+        emb.unionByName(planted), 0.7)
+    }),
     // one-call semantic dedup: near-dup pairs → components → survivors
     "q_semantic_dedup" -> ((s, dir) =>
       graft.functions.Similarity.semanticDedup(
@@ -268,6 +288,20 @@ private[graft] object DedupQueries {
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id)
       WHERE cos >= 0.4
+    """,
+    "q_dedup_embedding_hi" -> s"""
+      WITH aug AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000000, label,
+               list_prepend(CAST(0.0 AS FLOAT), embedding[2:])
+        FROM embeddings WHERE vec_id % 50 = 0)
+      SELECT vec_a, vec_b, cos FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ${duckCos("a.embedding", "b.embedding")} AS cos
+        FROM aug a JOIN aug b
+          ON a.label = b.label AND a.vec_id < b.vec_id)
+      WHERE cos >= 0.7
     """,
     "q_semantic_dedup" -> s"""
       WITH RECURSIVE pairs AS (

@@ -12,7 +12,7 @@ class RegistrySpec extends AnyFunSuite {
   test("no duplicate query names across registries (merge is lossless)") {
     // SparkEntry.querySeq's require() throws on duplicates; force it
     val qs = SparkEntry.queries
-    assert(qs.size == 256, s"expected 256 queries, got ${qs.size}")
+    assert(qs.size == 257, s"expected 257 queries, got ${qs.size}")
   }
 
   test("every query has exactly one oracle and every oracle a query") {
