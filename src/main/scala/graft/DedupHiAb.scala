@@ -50,7 +50,11 @@ object DedupHiAb {
     val notes = scala.collection.mutable.LinkedHashMap[String, String]()
     def time(name: String)(body: => String): Unit = {
       val t0 = System.nanoTime()
-      val note = body
+      // a guard fire (labelBlockedNearDup's maxBlock at sf100 block
+      // sizes) is a RESULT to record, not a crash
+      val note = try body catch { case e: Throwable =>
+        "guard: " + String.valueOf(e.getMessage)
+          .replaceAll("[\"\\n\\r]", " ").take(160) }
       val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1000
       best(name) = best.get(name).fold(sec)(math.min(_, sec))
       notes(name) = note

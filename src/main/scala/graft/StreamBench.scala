@@ -65,7 +65,9 @@ object StreamBench {
       val width = (mx - mn) / chunks + 1
       (0 until chunks).foreach { i =>
         val tmp = root.resolve(s"${tag}_tmp$i")
-        pinned.filter((col(orderCol) - mn).cast("long") / width === i)
+        // integer div (Column./ is double division and would drop
+        // every row whose quotient isn't exactly i)
+        pinned.filter(expr(s"($orderCol - ${mn}L) div ${width}L") === i)
           .coalesce(1).write.parquet(tmp.toString)
         val part = new java.io.File(tmp.toString).listFiles()
           .filter(_.getName.endsWith(".parquet")).head
