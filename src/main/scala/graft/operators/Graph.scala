@@ -77,13 +77,16 @@ object CoOccurrence {
               "basket ', basket, ' outside [0, 2^31) — the packed-pair " +
               "path cannot represent them; use weightedGeneric'))"))
             .otherwise(col("items")))
+      // pack/unpack as pure BITWISE ops (shiftleft | y; shiftright /
+      // mask): identical to u·2³² + v on the guarded range, but with
+      // no ANSI overflow checks in the per-pair hot path
       s.select(explode(expr(
           s"flatten(transform(items, (x, i) -> " +
           s"transform(slice(items, i + 2, size(items)), " +
-          s"y -> bigint(x) * $Pack + bigint(y))))")).as("p"))
+          s"y -> shiftleft(bigint(x), 32) | bigint(y))))")).as("p"))
         .groupBy("p").agg(count(lit(1)).as("w"))
-        .select(expr(s"p div $Pack").cast(itemType).as("u"),
-                expr(s"p % $Pack").cast(itemType).as("v"), col("w"))
+        .select(expr("shiftright(p, 32)").cast(itemType).as("u"),
+                expr(s"p & ${Pack - 1}").cast(itemType).as("v"), col("w"))
     }
   }
 
