@@ -264,6 +264,13 @@ object ScaleSweep {
     // page cache and the session-cached shared stages, which is the
     // steady-state a pipeline actually sees.
     val passes = sys.env.getOrElse("SPARK_GRAFT_SWEEP_PASSES", "1").toInt
+    // SPARK_GRAFT_GC_PER_QUERY=1: System.gc() between queries — dead
+    // localCheckpoint blocks from iterative/pinning queries are only
+    // released once the ContextCleaner sees their plans collected, and
+    // at a 17 GB fixture the accumulation from heavy predecessors
+    // (cc_path rounds, curation pins) can OOM a later aggregation
+    // that would run fine alone (the Bench gcPause lesson, per-query)
+    val gcPerQuery = sys.env.get("SPARK_GRAFT_GC_PER_QUERY").contains("1")
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -272,6 +279,7 @@ object ScaleSweep {
     for (pass <- 1 to passes) {
       suite.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (!failures.contains(name)) {
+          if (gcPerQuery) { System.gc(); Thread.sleep(200) }
           val t0 = System.nanoTime()
           try {
             val n = fn(spark, sfDir).count()

@@ -45,13 +45,18 @@ object MarketBasket {
     val totals = sets.agg(count(lit(1)).as("n_baskets"))
     val itemCnt = sets.select(explode(col("items")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("item_cnt"))
-    // pairs explode map-side from each sorted set (C(b,2) per basket,
-    // already item_a < item_b) — no self-join
-    val pairs = sets.select(explode(expr(
-        "flatten(transform(items, (x, i) -> " +
-        "transform(slice(items, i + 2, size(items)), " +
-        "y -> named_struct('u', x, 'v', y))))")).as("p"))
-      .groupBy(col("p.u").as("item_a"), col("p.v").as("item_b"))
+    // pairs via the posting self-join off the materialized sets
+    // (round-12, the CoOccurrence lesson measured at sf10: the struct
+    // HOF emission pays an interpreted named_struct allocation per
+    // C(b,2) pair — 37.2 s vs the join's 23.1 s on the same input;
+    // string items can't take the packed-BIGINT path, so the join
+    // form is the generic winner). The sorted-set explode keeps the
+    // checkpointed sets' partitioning, and a.item < b.item preserves
+    // the canonical item_a < item_b emission
+    val posting = sets.select(col("basket"), explode(col("items")).as("item"))
+    val pairs = posting.as("a").join(posting.as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
       .agg(count(lit(1)).as("pair_cnt"))
     pairs
       .crossJoin(broadcast(totals))
