@@ -32,7 +32,9 @@ object Bench {
     // one broken query doesn't hide the others' numbers).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def run1(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try fn(spark, sfDir).count()
+      // scoped: release the query's own checkpoints at its end (the
+      // deterministic sibling of gcPause below — see CheckpointScope)
+      try graft.operators.CheckpointScope.scoped { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
         errors.getOrElseUpdate(name, s"${e.getClass.getName}: ${e.getMessage}")
       }
@@ -97,9 +99,11 @@ object Bench {
     val incrJson =
       if (only.isDefined) ""
       else replayPart("incremental_replay")(
-        incrementalReplay(spark, sfDir)) +
+        graft.operators.CheckpointScope.scoped(
+          incrementalReplay(spark, sfDir))) +
         replayPart("incremental_neardup_replay")(
-          incrementalNeardupReplay(spark, sfDir))
+          graft.operators.CheckpointScope.scoped(
+            incrementalNeardupReplay(spark, sfDir)))
     // The harness that invokes this bench keeps only the LAST ~2000
     // chars of stdout, and sbt appends its own ~72-char success line
     // after ours — so the one-line contract JSON must fit in ~1850

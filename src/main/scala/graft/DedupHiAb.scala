@@ -51,10 +51,13 @@ object DedupHiAb {
     def time(name: String)(body: => String): Unit = {
       val t0 = System.nanoTime()
       // a guard fire (labelBlockedNearDup's maxBlock at sf100 block
-      // sizes) is a RESULT to record, not a crash
-      val note = try body catch { case e: Throwable =>
-        "guard: " + String.valueOf(e.getMessage)
-          .replaceAll("[\"\\n\\r]", " ").take(160) }
+      // sizes) is a RESULT to record, not a crash — but only NonFatal:
+      // an OOM mid-A/B must crash the run, not masquerade as a guard
+      // line in the artifact (round-13, ADVICE)
+      val note = try body catch {
+        case scala.util.control.NonFatal(e) =>
+          "guard: " + String.valueOf(e.getMessage)
+            .replaceAll("[\"\\n\\r]", " ").take(160) }
       val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1000
       best(name) = best.get(name).fold(sec)(math.min(_, sec))
       notes(name) = note

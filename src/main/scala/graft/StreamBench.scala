@@ -45,6 +45,11 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ui.retainedExecutions", "10")
+      // recentProgress is a ring buffer (default 100): with more
+      // chunks than that the EARLIEST batches silently fall out and
+      // input_rows/rows_per_sec understate the run (round-13, ADVICE)
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        (chunks + 16).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -29,8 +29,11 @@ object Verify {
     // visibly not clean.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     suite.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // scoped: release the query's own checkpoints once its parquet
+      // is written (see CheckpointScope — session caches are exempt)
+      try graft.operators.CheckpointScope.scoped {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name") }
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getName}: ${e.getMessage}"
         failures(name) = msg

@@ -77,12 +77,15 @@ object Bpe {
             rounds: Int): (DataFrame, DataFrame) = {
     var words = graft.operators.LoopCheckpoint(wordTable(docs, textCol))
     val merges = Seq.newBuilder[DataFrame]
+    // words rolls (round r dead once r+1 lands); the 1-row best frames
+    // all survive into the merge table, so they never roll
+    val roll = new graft.operators.LoopCheckpoint.Rolling
     for (r <- 0 until rounds) {
       val best = graft.operators.LoopCheckpoint(
         pairCounts(words).orderBy(col("n").desc, col("pair").asc).limit(1)
           .select(lit(r).as("round"), col("pair"), col("n")))
       merges += best
-      words = graft.operators.LoopCheckpoint(
+      words = roll.next(
         words.join(broadcast(best.select(col("pair").as("_bp"))),
                    lit(true), "left")
           .select(col("w"),

@@ -56,6 +56,7 @@ object Curation {
       .filter(col("doc_id") === col("_keep"))
       .select("doc_id", "text", "n_tokens")
       .localCheckpoint()
+      .transform { d => graft.operators.CheckpointScope.register(d); d }
     // 4: near-dup clustering over LSH candidates; keep each
     // component's min id. Shared pairs restrict to the survivors
     // (per-doc signatures make the restriction exact — see scaladoc).

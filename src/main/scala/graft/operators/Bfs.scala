@@ -43,6 +43,7 @@ object Bfs {
     val sym = canon.union(canon.select(col("v"), col("u")))
       .repartition(col("u"))
       .localCheckpoint(eager = true)
+    CheckpointScope.register(sym) // released with the owning query
 
     var dist = sources.toDF("node").distinct()
       .select(col("node"), lit(0).as("dist"))
@@ -81,14 +82,19 @@ object Bfs {
       .groupBy("u", "v").agg(min("cost").as("cost"))
       .repartition(col("u"))
       .localCheckpoint(eager = true)
+    CheckpointScope.register(sym) // released with the owning query
     var dist = sources.toDF("node").distinct()
       .select(col("node"), lit(0L).as("cost"))
       .localCheckpoint(eager = true)
+    // rolling: unlike boundedDistances (whose result unions EVERY
+    // round's frontier), each relaxation round fully replaces the
+    // previous cost table — round r is dead once r+1's cut lands
+    val roll = new LoopCheckpoint.Rolling
     for (_ <- 1 to rounds) {
       val relaxed = dist.join(sym, dist("node") === sym("u"))
         .select(sym("v").as("node"),
                 (dist("cost") + sym("cost")).as("cost"))
-      dist = LoopCheckpoint(
+      dist = roll.next(
         dist.union(relaxed)
           .groupBy("node").agg(min("cost").as("cost")))
     }

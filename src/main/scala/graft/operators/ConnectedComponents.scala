@@ -101,13 +101,17 @@ object ConnectedComponents {
         .union(viaPtr.withColumn("_old", nullOld))
         .groupBy("node").agg(min("label").as("label"), max("_old").as("_old"))
     }
+    // rolling release: round r's labels are dead once round r+1's cut
+    // is durable (the initial `labels` frame is NOT rolled — edgeNodes
+    // still reads it for the singleton anti-join after the loop)
+    val roll = new LoopCheckpoint.Rolling
     while (!done && iter < maxIter) {
       // one round per materialization: an unrolled 2-rounds-per-
       // checkpoint variant was measured SLOWER at local scale (the
       // deeper 8-stage DAG outweighs the saved checkpoint/probe jobs)
       val seeded = labels.select(col("node"), col("label"),
                                  col("label").as("_old"))
-      val next = LoopCheckpoint(propagate(seeded))
+      val next = roll.next(propagate(seeded))
       done = next.filter(col("label") =!= col("_old")).isEmpty
       labels = next.select("node", "label")
       iter += 1

@@ -85,6 +85,13 @@ object GlobalOrder {
     * purges entries whose context has stopped (their blocks died with
     * the context; dropping the map entry releases the reference). */
   private[graft] val GatePinCap = 8
+  /** Aggregate bound ACROSS sessions (round-13, ADVICE): sessions from
+    * `spark.newSession()` share one LIVE context, so the isStopped
+    * purge never fires for them — a server minting short-lived
+    * sessions would otherwise hold GatePinCap frames per session
+    * without bound. Beyond this total, the OLDEST session's oldest
+    * pin is evicted (unpersist never affects correctness). */
+  private[graft] val GlobalPinCap = GatePinCap * 4
   private val gatePins = new java.util.LinkedHashMap[
     org.apache.spark.sql.SparkSession, java.util.ArrayDeque[DataFrame]]()
   /** Test hook: the live pin FIFO for `spark` (copied). */
@@ -112,15 +119,26 @@ object GlobalOrder {
             gatePins.put(spark, dq)
           }
           dq.addLast(p)
-          if (dq.size > GatePinCap) {
-            val old = dq.removeFirst()
-            // the eviction must never fail the CURRENT query — but
-            // swallow only NonFatal, re-asserting interrupts
+          // the eviction must never fail the CURRENT query — but
+          // swallow only NonFatal, re-asserting interrupts
+          def drop(old: DataFrame): Unit =
             try old.unpersist(false) catch {
               case ie: InterruptedException =>
                 Thread.currentThread().interrupt()
               case scala.util.control.NonFatal(_) => ()
             }
+          if (dq.size > GatePinCap) drop(dq.removeFirst())
+          // aggregate cap across live sessions: evict oldest-session
+          // pins first (insertion order = session age); empty deques
+          // leave the map so a long-gone session stops occupying a slot
+          var total = 0
+          gatePins.values.forEach(d => total += d.size)
+          while (total > GlobalPinCap) {
+            val it = gatePins.entrySet().iterator()
+            val oldest = it.next()
+            drop(oldest.getValue.removeFirst())
+            if (oldest.getValue.isEmpty) it.remove()
+            total -= 1
           }
         }
         (p, p.count())

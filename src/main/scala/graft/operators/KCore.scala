@@ -44,19 +44,21 @@ object KCore {
                          greatest(col("u"), col("v")).as("v")).distinct()
     val sym = canon.union(canon.select(col("v"), col("u")))
       .localCheckpoint(eager = true)
+    CheckpointScope.register(sym) // released with the owning query
     def induced(alive: Option[DataFrame]): DataFrame =
       alive.fold(sym)(a =>
         sym.join(a, Seq("u"), "left_semi")
            .join(a.select(col("u").as("v")), Seq("v"), "left_semi"))
     var alive: Option[DataFrame] = None
+    // rolling: round r's alive set is dead once round r+1's cut lands
+    val roll = new LoopCheckpoint.Rolling
     for (_ <- 1 to rounds) {
       // node-sized per-round state; it feeds both endpoint semi-joins
       // of the next round, so the checkpoint is cheaper than running
       // the degree aggregate twice
-      alive = Some(induced(alive)
+      alive = Some(roll.next(induced(alive)
         .groupBy("u").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("u")
-        .localCheckpoint(eager = true))
+        .filter(col("deg") >= k).select("u")))
     }
     induced(alive).groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }

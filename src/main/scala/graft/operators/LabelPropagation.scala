@@ -56,6 +56,7 @@ object LabelPropagation {
     // back as singletons if the consumer needs totality)
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
+    val roll = new LoopCheckpoint.Rolling // round r dead once r+1 lands
     for (_ <- 1 to rounds) {
       val votes = sym
         .join(labels.withColumnRenamed("node", "u"), "u")
@@ -65,7 +66,7 @@ object LabelPropagation {
       // is lexicographic, so max(struct(cnt, -label)) is (max count,
       // then min label) — map-side combinable where a row_number
       // window would sort every node's vote list
-      labels = LoopCheckpoint(
+      labels = roll.next(
         votes.groupBy("node")
           .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
           .select(col("node"), (-col("m.neg")).as("label")))

@@ -64,7 +64,9 @@ private[graft] object LoopCheckpoint {
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try p.checkpoint(true) finally p.unpersist(false)
       }
-    GraftSqlBridge.dropCarriedStats(pinned)
+    val out = GraftSqlBridge.dropCarriedStats(pinned)
+    CheckpointScope.register(out)
+    out
   }
 
   /** Pin for ONE-SHOT frames (a relation built once and consumed by a
@@ -78,6 +80,34 @@ private[graft] object LoopCheckpoint {
     * must not throw on a query that never loops. Stats are dropped the
     * same way (a one-shot pin can still feed a join tree whose
     * estimate the carried origin stats would distort). */
-  def once(df: DataFrame): DataFrame =
-    GraftSqlBridge.dropCarriedStats(df.localCheckpoint(true))
+  def once(df: DataFrame): DataFrame = {
+    val out = GraftSqlBridge.dropCarriedStats(df.localCheckpoint(true))
+    CheckpointScope.register(out)
+    out
+  }
+
+  /** Rolling cut for LOOP-CARRIED state: checkpoints the new round,
+    * then immediately releases the PREVIOUS round's blocks — dead the
+    * moment the new eager cut is durable, because the loop variable
+    * was their only consumer (GraphX Pregel's unpersist discipline,
+    * for DataFrame loops). Without this, every round of every
+    * iterative operator in a session squats in block-manager storage
+    * until a driver GC lets the ContextCleaner notice — the pile-up
+    * that OOM'd the round-12 single-JVM sf100 sweep
+    * ([[CheckpointScope]]). Runs even inside a retained session-cache
+    * build: a cached artifact needs its FINAL round only.
+    *
+    * NOT for loops whose RESULT references every round (BFS's dist
+    * union of per-hop frontiers, RandomWalk's walk-corpus union) —
+    * those frames stay live until the consuming query finishes and
+    * are the enclosing [[CheckpointScope]]'s to release. */
+  final class Rolling {
+    private var prev: Option[DataFrame] = None
+    def next(df: DataFrame): DataFrame = {
+      val pinned = LoopCheckpoint(df)
+      prev.foreach(CheckpointScope.release)
+      prev = Some(pinned)
+      pinned
+    }
+  }
 }

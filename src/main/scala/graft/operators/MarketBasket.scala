@@ -42,6 +42,7 @@ object MarketBasket {
     // the materialized sets, not the source
     val sets = CoOccurrence.sets(items, basketCol, itemCol)
       .localCheckpoint(eager = true)
+    CheckpointScope.register(sets) // released with the owning query
     val totals = sets.agg(count(lit(1)).as("n_baskets"))
     val itemCnt = sets.select(explode(col("items")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("item_cnt"))

@@ -37,6 +37,7 @@ object PageRank {
       .union(e.select(col("v").as("node"))).distinct()
       .localCheckpoint()
     var pr = nodes.withColumn("pr", lit(1000000L))
+    val roll = new LoopCheckpoint.Rolling // round r dead once r+1 lands
     for (_ <- 1 to iters) {
       val contrib = e
         .join(pr.withColumnRenamed("node", "u"), "u")
@@ -46,7 +47,7 @@ object PageRank {
                       Seq("node"), "left")
         .select(col("node"),
                 (lit(150000L) + coalesce(col("s"), lit(0L))).as("pr"))
-      pr = LoopCheckpoint(pr)
+      pr = roll.next(pr)
     }
     pr
   }

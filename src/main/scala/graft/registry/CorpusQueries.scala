@@ -142,7 +142,7 @@ private[graft] object CorpusQueries {
         .select(col("doc_id"), explode(array_distinct(
           graft.functions.TextAnalysis.shingles(col("text"), 3))).as("g"))
         .distinct()
-        .localCheckpoint(eager = true)
+        .transform(graft.operators.CheckpointScope.pin(_))
       var covered: Option[org.apache.spark.sql.DataFrame] = None
       var pickedIds: Seq[Long] = Nil
       val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()

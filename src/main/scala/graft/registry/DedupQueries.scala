@@ -91,7 +91,10 @@ private[graft] object DedupQueries {
         .withColumn("vec_id", col("vec_id") + lit(1000000000L))
         .withColumn("embedding",
           concat(array(lit(0.0f)), slice(col("embedding"), 2, 1000000)))
-      graft.functions.Similarity.labelBlockedNearDup(
+      // round-13: routed — exact kernel while blocks fit the guard
+      // bound (every gate scale: oracle rows unchanged), k-means cells
+      // above it (sf100's ~200k blocks), where the kernel would refuse
+      graft.functions.Similarity.nearDupAuto(
         emb.unionByName(planted), 0.7)
     }),
     // one-call semantic dedup: near-dup pairs → components → survivors

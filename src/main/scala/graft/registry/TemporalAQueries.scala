@@ -177,7 +177,7 @@ private[graft] object TemporalAQueries {
         .withColumn("out_n", sum("n").over(Window.partitionBy("src")))
         .withColumn("p_ppm", expr("n * 1000000 div out_n"))
         .select("src", "dst", "p_ppm")
-        .localCheckpoint(eager = true) // ≤ |states|² rows, reused 3×
+        .transform(graft.operators.CheckpointScope.pin(_)) // ≤ |states|² rows, reused 3×
       val states = p.select(col("src").as("state")).distinct()
       val nStates = states.agg(count(lit(1)).as("k"))
       var v = states.crossJoin(broadcast(nStates))

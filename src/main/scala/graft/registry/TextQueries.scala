@@ -101,7 +101,7 @@ private[graft] object TextQueries {
           "filter(zip_with(ch, slice(ch, 2, size(ch) - 1), " +
           "(a, b) -> concat(a, b)), x -> x is not null)")).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
-        .localCheckpoint(eager = true)
+        .transform(graft.operators.CheckpointScope.pin(_))
       g.crossJoin(broadcast(g.agg(sum("n").as("total"))))
         .filter(col("n") * 1000 >= col("total"))
         .select(col("pair"), col("n"))
@@ -138,7 +138,7 @@ private[graft] object TextQueries {
           "filter(zip_with(t, slice(t, 2, size(t) - 1), " +
           "(a, b) -> concat(a, ' ', b)), x -> x is not null)")).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
-        .localCheckpoint(eager = true)
+        .transform(graft.operators.CheckpointScope.pin(_))
       val uni = bg
         .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
         .agg(sum("n").as("n_w1"))
@@ -200,7 +200,7 @@ private[graft] object TextQueries {
           "x -> x != '')").as("t"))
       val uni = toks.select(explode(col("t")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
-        .localCheckpoint(eager = true)
+        .transform(graft.operators.CheckpointScope.pin(_))
       val bg = toks.filter(size(col("t")) >= 2)
         .select(explode(expr(
           "filter(zip_with(t, slice(t, 2, size(t) - 1), " +

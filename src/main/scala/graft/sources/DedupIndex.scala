@@ -97,6 +97,18 @@ object DedupIndex {
     * over (stored ∖ shadowed ids) ∪ delta (spec-pinned). */
   def pairsWithDelta(spark: SparkSession, path: String, delta: DataFrame,
                      idCol: String, textCol: String): DataFrame = {
+    // PRECONDITION (round-13, ADVICE): one row per id in the delta.
+    // Shadowing resolves delta-vs-STORED conflicts (newest segment
+    // wins), but two rows for one id WITHIN the delta have no defined
+    // order — both texts would be signed and stale pairs emitted,
+    // silently breaking the full-rebuild equivalence. There is no
+    // ordering column here to pick "newest" from, so the caller must
+    // collapse re-deliveries first; fail loudly instead of guessing.
+    // One delta-proportional aggregate — cheap next to the signing.
+    require(delta.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).isEmpty,
+      s"pairsWithDelta: delta holds multiple rows for one $idCol — " +
+        "collapse re-deliveries to the newest row per id before calling")
     val m = manifest(spark, path).select("n", "k", "bands").head()
     val deltaSigs = graft.operators.LoopCheckpoint.once(
       graft.functions.Dedup.docBandSignatures(

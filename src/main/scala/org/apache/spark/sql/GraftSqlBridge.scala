@@ -52,6 +52,18 @@ object GraftSqlBridge {
       case _ => df
     }
 
+  /** The checkpointed RDD behind an (eagerly) checkpointed frame, if
+    * its plan is a `LogicalRDD` — the handle
+    * `graft.operators.CheckpointScope` uses to release dead checkpoint
+    * blocks deterministically instead of waiting for a driver GC to
+    * reach the ContextCleaner's weak references. */
+  def checkpointRdd(ds: Dataset[_])
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    ds.queryExecution.analyzed match {
+      case l: execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
   /** Raise a proper `AnalysisException` (the constructors are
     * `private[sql]`) for invalid arguments to graft's injected SQL
     * functions — function-builder validation errors should surface at

@@ -67,6 +67,25 @@ class DedupIndexSpec extends SparkSpec {
       "doc_id", "text", path))
   }
 
+  test("pairsWithDelta refuses a delta with duplicate ids (round-13: " +
+       "no defined newest-wins order WITHIN one delta)") {
+    val d = docs(11L, 60)
+    val path = tmp("dupdelta")
+    DedupIndex.build(d, "doc_id", "text", path)
+    val delta = Seq((7L, "alpha beta gamma delta"),
+                    (7L, "alpha beta gamma zeta"),
+                    (500L, "eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.pairsWithDelta(spark, path, delta, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("multiple rows"),
+      s"error must name the duplicate-id precondition: ${e.getMessage}")
+    // and the collapsed form of the same delta goes through
+    val ok = delta.groupBy("doc_id").agg(max("text").as("text"))
+    DedupIndex.pairsWithDelta(spark, path, ok, "doc_id", "text").count()
+  }
+
   test("pairsWithDelta == full rebuild over (stored \\ shadowed) + delta") {
     val main = docs(7L, 120)
     val path = tmp("delta")

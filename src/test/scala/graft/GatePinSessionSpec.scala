@@ -47,4 +47,27 @@ class GatePinSessionSpec extends SparkSpec {
     assert(aPins.forall(_.storageLevel != StorageLevel.NONE),
       "surviving session-A pins must still be persisted")
   }
+
+  test("aggregate cap across sessions (round-13): many short-lived " +
+       "sessions over one live context cannot pin without bound") {
+    // mint enough sessions at the per-session cap to overflow the
+    // global bound; every session shares the suite's live context, so
+    // the isStopped purge never fires — exactly the server shape the
+    // aggregate cap exists for
+    val sessions = (1 to GlobalOrder.GlobalPinCap / GlobalOrder.GatePinCap + 2)
+      .map(_ => spark.newSession())
+    sessions.zipWithIndex.foreach { case (s, si) =>
+      (1 to GlobalOrder.GatePinCap).foreach(i => gate(s, si * 100 + i))
+    }
+    val total = sessions.map(GlobalOrder.gatePinSnapshot(_).size).sum +
+      GlobalOrder.gatePinSnapshot(spark).size
+    assert(total <= GlobalOrder.GlobalPinCap,
+      s"aggregate pins $total exceed GlobalPinCap " +
+        s"${GlobalOrder.GlobalPinCap}")
+    // the NEWEST session keeps its full FIFO — eviction starts at the
+    // oldest session's oldest pin
+    assert(GlobalOrder.gatePinSnapshot(sessions.last).size ==
+      GlobalOrder.GatePinCap,
+      "newest session's pins must be untouched by the aggregate cap")
+  }
 }
