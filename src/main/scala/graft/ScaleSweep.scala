@@ -33,9 +33,12 @@ import org.apache.spark.sql.functions._
   *     threshold in the suite — while keeping word counts and
   *     document structure; embeddings get a replica-keyed component
   *     sign-flip pattern (unit norm preserved, expected cosine ≈ 0).
-  *     No collisions at ANY copy count: this is the mode for sf10+,
-  *     where near-dup volume must grow data-proportionally, not as
-  *     (copies)².
+  *     No collisions at ANY copy count WITHIN one level: this is the
+  *     mode for sf10+, where near-dup volume must grow
+  *     data-proportionally, not as (copies)². STACKED subst levels
+  *     (sf10 → sf100) must pass distinct `levelSalt`s — the embedding
+  *     flips commute, so same-key levels cancel pairwise into
+  *     identical-twin replicas (the levelSalt note in `main`).
   *
   * The driver ships sf0.001/0.01/0.1 only (TESTDATA.md, read-only);
   * this writes to a scratch dir for the scale sweep. Usage:
@@ -46,6 +49,17 @@ object ScaleFixture {
     val Array(srcDir, outDir) = args.take(2)
     val copies = if (args.length > 2) args(2).toInt else 10
     val mode = if (args.length > 3) args(3) else "rotate"
+    // levelSalt (arg 5, default 0 = the historical unsalted key, which
+    // keeps sf1/sf10 fixtures byte-identical to earlier rounds): MUST
+    // be distinct per STACKED subst level. The embedding sign-flip
+    // pattern is keyed only by (replica, component); flips commute, so
+    // two subst levels with the SAME key cancel pairwise — replica
+    // (j, i) of level 2 equals replica (i, j): at 100 copies that is
+    // C(10,2) = 45 identical-twin classes = ~1.8M exact-duplicate
+    // vector pairs, measured on the round-13 sf100 fixture before this
+    // salt existed. Text rewrites never cancel (their key includes the
+    // level-offset doc_id).
+    val levelSalt = if (args.length > 4) args(4).toLong else 0L
     require(mode == "rotate" || mode == "subst", s"unknown mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -181,11 +195,17 @@ object ScaleFixture {
             slice(col("embedding"), 1, i))
         case "subst" =>
           // replica-keyed sign-flip pattern per component: unit norm
-          // preserved exactly, expected cosine vs any other replica ≈ 0
+          // preserved exactly, expected cosine vs any other replica ≈ 0.
+          // levelSalt = 0 keeps the historical key (sf1/sf10 artifact
+          // comparability); stacked levels MUST pass distinct salts or
+          // the commuting flips cancel into identical-twin replicas
+          // (see the levelSalt note above)
           zip_with(
             col("embedding"),
             sequence(lit(0), size(col("embedding")) - 1),
-            (v, k) => when(pmod(xxhash64(lit(i), k), lit(2)) === 0,
+            (v, k) => when(pmod(
+              if (levelSalt == 0L) xxhash64(lit(i), k)
+              else xxhash64(lit(i), k, lit(levelSalt)), lit(2)) === 0,
               -v).otherwise(v))
       }
       d.withColumn("vec_id", col("vec_id") + lit(i * vecS))
@@ -317,6 +337,8 @@ object ScaleSweep {
             rows(name) = n
             if (pass == passes)
               println(f"[sweep] OK   $name%-28s rows=$n%-10d ${times(name)}%.1fs")
+            else
+              println(f"[sweep] p$pass   $name%-28s rows=$n%-10d $sec%.1fs")
           } catch { case e: Throwable =>
             val msg = s"${e.getClass.getSimpleName}: " +
               String.valueOf(e.getMessage).take(200)
