@@ -63,11 +63,18 @@ object AssocAb {
         .agg(count(lit(1)).as("pair_cnt"))
     }
 
+    // the r14 form: flat NUL-joined string per pair, map-side, no join
+    def concatHof(): DataFrame =
+      CoOccurrence.pairCountsFromSets(sets)
+        .select(col("u").as("item_a"), col("v").as("item_b"),
+          col("w").as("pair_cnt"))
+
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
     for (pass <- 1 to passes) {
-      Seq("struct_hof" -> structHof _, "posting_join" -> postingJoin _)
+      Seq("struct_hof" -> structHof _, "posting_join" -> postingJoin _,
+          "concat_hof" -> concatHof _)
         .foreach { case (name, f) =>
           val t0 = System.nanoTime()
           val n = graft.operators.CheckpointScope.scoped { f().count() }

@@ -38,6 +38,28 @@ object Bench {
       catch { case e: Throwable =>
         errors.getOrElseUpdate(name, s"${e.getClass.getName}: ${e.getMessage}")
       }
+    // prebuild (round-14, the ScaleSweep convention folded in): the
+    // session's shared dedup artifacts (persisted DedupIndex pair
+    // relation + component labeling) are built and timed BEFORE the
+    // warmup pass and recorded as their own JSON keys — the build is a
+    // nightly-index job, and without this stage its cost lands inside
+    // whichever consumer the untimed warmup ran first, invisibly
+    val prebuild = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (only.isEmpty) {
+      def staged(tag: String)(body: => Long): Unit =
+        try {
+          val t0 = System.nanoTime()
+          body
+          prebuild(tag) = (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          errors.getOrElseUpdate(s"prebuild_$tag",
+            s"${e.getClass.getName}: ${e.getMessage}")
+        }
+      staged("dedup_index_pairs") {
+        QueryHelpers.lshPairsFor(spark, sfDir).count() }
+      staged("dedup_components") {
+        QueryHelpers.dedupComponentsFor(spark, sfDir).count() }
+    }
     suite.foreach { case (name, fn) => run1(name, fn) } // untimed warmup
     // two timed passes, min per query: single-pass numbers on a shared
     // 32-thread box swing ±50% from GC/scheduler noise; min-of-2 is the
@@ -129,8 +151,12 @@ object Bench {
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) =>
         jstr(k) + ":" + jstr(v.take(120)) }.mkString("{", ",", "}")
+    val pbJson =
+      if (prebuild.isEmpty) ""
+      else ",\"prebuild\":" + prebuild.map { case (k, v) =>
+        "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"$loadJson$errJson$incrJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"$loadJson$errJson$incrJson$pbJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -138,7 +164,7 @@ object Bench {
     val budget = 1850
     val sorted = results.toSeq.sortBy(-_._2)
     val fixedFor = (n: Int, omittedSec: Double) =>
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":,"queries_omitted":$n,"omitted_sec":${fmt(omittedSec)},"n_errors":${errors.size},"full":"bench_full.json","sf":"$sfDir"$loadJson$incrJson}""".length + 2
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":,"queries_omitted":$n,"omitted_sec":${fmt(omittedSec)},"n_errors":${errors.size},"full":"bench_full.json","sf":"$sfDir"$loadJson$incrJson$pbJson}""".length + 2
     // strict slowest-prefix: stop at the first entry that doesn't fit,
     // so the omitted set is exactly the fastest tail
     val kept = scala.collection.mutable.ArrayBuffer[String]()
@@ -156,7 +182,7 @@ object Bench {
     val omitted = sorted.drop(keptN)
     val omittedSec = omitted.map(_._2).sum
     val compactQs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,"queries_omitted":${omitted.size},"omitted_sec":${fmt(omittedSec)},"n_errors":${errors.size},"full":"bench_full.json","sf":"$sfDir"$loadJson$incrJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,"queries_omitted":${omitted.size},"omitted_sec":${fmt(omittedSec)},"n_errors":${errors.size},"full":"bench_full.json","sf":"$sfDir"$loadJson$incrJson$pbJson}""")
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (name, msg) =>

@@ -53,14 +53,23 @@ object ScaleFixture {
     // keeps sf1/sf10 fixtures byte-identical to earlier rounds): MUST
     // be distinct per STACKED subst level. The embedding sign-flip
     // pattern is keyed only by (replica, component); flips commute, so
-    // two subst levels with the SAME key cancel pairwise — replica
-    // (j, i) of level 2 equals replica (i, j): at 100 copies that is
-    // C(10,2) = 45 identical-twin classes = ~1.8M exact-duplicate
-    // vector pairs, measured on the round-13 sf100 fixture before this
-    // salt existed. Text rewrites never cancel (their key includes the
-    // level-offset doc_id).
-    val levelSalt = if (args.length > 4) args(4).toLong else 0L
+    // two subst levels with the SAME key cancel pairwise — per base
+    // vector, the 45 off-diagonal classes {(i,j),(j,i)} give 45 twin
+    // pairs AND the 10 diagonal replicas (i,i) all cancel to the
+    // identity flip (one 10-member class, 45 more pairs): 90 pairs ×
+    // 20k sf100 base vectors ≈ 1.8M exact-duplicate pairs, measured on
+    // the round-13 fixture before this salt existed. Text rewrites
+    // never cancel (their key includes the level-offset doc_id).
+    val levelSalt = if (args.length > 4) args(4).toLongOption.getOrElse(
+      sys.error(s"levelSalt (arg 5) must be an integer, got '${args(4)}'"))
+      else 0L
     require(mode == "rotate" || mode == "subst", s"unknown mode $mode")
+    // a salt passed with rotate would be silently ignored (only the
+    // subst embedding key uses it) — fail loudly like the hot-knob
+    // validations below, before any parquet is written
+    require(levelSalt == 0L || mode == "subst",
+      s"levelSalt=$levelSalt is only meaningful with mode=subst; " +
+        "rotate ignores it")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -291,6 +300,15 @@ object ScaleSweep {
     // (cc_path rounds, curation pins) can OOM a later aggregation
     // that would run fine alone (the Bench gcPause lesson, per-query)
     val gcPerQuery = sys.env.get("SPARK_GRAFT_GC_PER_QUERY").contains("1")
+    // SPARK_GRAFT_NO_SCOPE=1: run queries WITHOUT the CheckpointScope
+    // release — the round-14 A/B knob for adjudicating what
+    // deterministic per-query block release costs (pass-2 timings no
+    // longer ride pass-1's leftover checkpoint blocks) vs what it buys
+    // (the single-JVM sf100 sweep). Measurement-only: a long sweep
+    // without scoping re-exposes the round-12 block-pile-up OOM.
+    val noScope = sys.env.get("SPARK_GRAFT_NO_SCOPE").contains("1")
+    def runScoped[T](body: => T): T =
+      if (noScope) body else graft.operators.CheckpointScope.scoped(body)
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -329,8 +347,7 @@ object ScaleSweep {
             // the deterministic form of the GC knob above, and the
             // round-13 fix for the accumulated-block OOM that killed
             // the round-12 single-JVM sf100 run
-            val n = graft.operators.CheckpointScope.scoped {
-              fn(spark, sfDir).count() }
+            val n = runScoped { fn(spark, sfDir).count() }
             val sec = math.rint((System.nanoTime() - t0) / 1e6) / 1000
             if (pass == 1) cold(name) = sec
             times(name) = times.get(name).fold(sec)(math.min(_, sec))
@@ -386,7 +403,7 @@ object ScaleSweep {
       // bootstrap vs delta so delta-proportionality is measured
       val incrNd =
         if (only.isDefined) ""
-        else try "," + graft.operators.CheckpointScope.scoped(
+        else try "," + runScoped(
           Bench.incrementalNeardupReplay(spark, sfDir))
         catch { case e: Throwable =>
           println(s"[sweep] incremental_neardup replay failed: $e"); "" }
@@ -396,7 +413,8 @@ object ScaleSweep {
         else prebuild.map { case (k, v) => s""""$k":$v""" }
           .mkString(""""prebuild":{""", ",", "},")
       val js = s"""{"metric":"sweep_total","value":$total,"unit":"sec",""" +
-        s""""sf":"$sfDir","ansi":true,$pjson"n_queries":${suite.size},""" +
+        s""""sf":"$sfDir","ansi":true,"scoped":${!noScope},""" +
+        s"""$pjson"n_queries":${suite.size},""" +
         s""""skipped":[$skipped],""" +
         s""""n_clean":${suite.size - failures.size},"passes":$passes,""" +
         s""""loadavg":$load,""" +

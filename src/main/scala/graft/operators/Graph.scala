@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   *     pairs — 134.1 s vs 28.5 s at sf10 (min-of-2, 357k edges
   *     identical). Range outside [0, 2³¹) fails loudly (O(1) check on
   *     the sorted array's ends) pointing at [[weightedGeneric]].
+  *   - STRING items: pairs explode map-side as ONE separator-joined
+  *     string per pair (round-14 — the q_assoc_rules sf100 lever: the
+  *     posting self-join this replaces sort-merged two corpus-sized
+  *     posting sides per execution, and that sort spilled at decade 3;
+  *     a NUL-joined concat is a single UTF8 byte-copy per pair, no
+  *     join, no sort, and the pair count aggregation collapses to the
+  *     distinct-pair domain map-side). Items containing U+0000 fail
+  *     loudly (the separator would be ambiguous) pointing at
+  *     [[weightedGeneric]].
   *   - any other item type: [[weightedGeneric]] — postings re-derived
   *     map-side from the SAME basket-keyed exchange (explode of the
   *     aggregated sets, so the self-join on `basket` reuses the
@@ -45,7 +54,7 @@ object CoOccurrence {
     * heavy domains should threshold upstream (df caps, stopgrams) —
     * that is a semantic decision the operator must not make silently.
     */
-  private def guarded(sets: DataFrame, maxBasket: Int): DataFrame =
+  private[operators] def guarded(sets: DataFrame, maxBasket: Int): DataFrame =
     sets.withColumn("items",
       when(size(col("items")) > maxBasket,
         expr(s"raise_error(concat('CoOccurrence: basket ', basket, " +
@@ -62,31 +71,76 @@ object CoOccurrence {
                itemCol: String, maxBasket: Int = 100000): DataFrame = {
     import org.apache.spark.sql.types._
     val itemType = items.schema(itemCol).dataType
-    val integral =
-      Seq(ByteType, ShortType, IntegerType, LongType).contains(itemType)
-    if (!integral) weightedGeneric(items, basketCol, itemCol, maxBasket)
-    else {
-      val s = guarded(sets(items, basketCol, itemCol), maxBasket)
-        // O(1) range guard on the SORTED array's two ends — outside
-        // [0, 2^31) the packed key would collide/overflow silently,
-        // exactly the class of corruption that must fail loudly
-        .withColumn("items",
+    val joinPath = itemType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => false
+      case _ => true
+    }
+    if (joinPath) weightedGeneric(items, basketCol, itemCol, maxBasket)
+    else pairCountsFromSets(guarded(sets(items, basketCol, itemCol), maxBasket))
+  }
+
+  /** Unordered in-basket pair counts `(u, v, w)` with `u < v`, emitted
+    * MAP-SIDE off already-aggregated sorted sets (the [[sets]] shape:
+    * `basket`, `items`) — the no-join, no-sort pair stage both
+    * [[weighted]] and [[MarketBasket]] run. The emission encodes each
+    * pair as ONE flat value so the per-pair cost inside the
+    * (interpreted) higher-order transform is a primitive op, never a
+    * struct allocation, and the following count aggregation collapses
+    * to the distinct-pair domain before its exchange:
+    *
+    *   - integral items: packed BIGINT `u·2³² | v` (bitwise — no ANSI
+    *     overflow checks in the hot path); ids outside [0, 2³¹) fail
+    *     loudly via an O(1) check on the sorted array's ends;
+    *   - string items: `concat(u, NUL, v)` — one UTF8 byte-copy per
+    *     pair; items containing U+0000 fail loudly (ambiguous split).
+    *
+    * Output `u`/`v` keep the element type. */
+  def pairCountsFromSets(s: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val elemType = s.schema("items").dataType
+      .asInstanceOf[ArrayType].elementType
+    elemType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val g = s.withColumn("items",
+          // O(1) range guard on the SORTED array's two ends — outside
+          // [0, 2^31) the packed key would collide/overflow silently,
+          // exactly the class of corruption that must fail loudly
           when(element_at(col("items"), 1) < 0L ||
                element_at(col("items"), -1) > MaxItem,
-            expr("raise_error(concat('CoOccurrence.weighted: item ids in " +
+            expr("raise_error(concat('CoOccurrence: item ids in " +
               "basket ', basket, ' outside [0, 2^31) — the packed-pair " +
               "path cannot represent them; use weightedGeneric'))"))
             .otherwise(col("items")))
-      // pack/unpack as pure BITWISE ops (shiftleft | y; shiftright /
-      // mask): identical to u·2³² + v on the guarded range, but with
-      // no ANSI overflow checks in the per-pair hot path
-      s.select(explode(expr(
-          s"flatten(transform(items, (x, i) -> " +
-          s"transform(slice(items, i + 2, size(items)), " +
-          s"y -> shiftleft(bigint(x), 32) | bigint(y))))")).as("p"))
-        .groupBy("p").agg(count(lit(1)).as("w"))
-        .select(expr("shiftright(p, 32)").cast(itemType).as("u"),
-                expr(s"p & ${Pack - 1}").cast(itemType).as("v"), col("w"))
+        g.select(explode(expr(
+            s"flatten(transform(items, (x, i) -> " +
+            s"transform(slice(items, i + 2, size(items)), " +
+            s"y -> shiftleft(bigint(x), 32) | bigint(y))))")).as("p"))
+          .groupBy("p").agg(count(lit(1)).as("w"))
+          .select(expr("shiftright(p, 32)").cast(elemType).as("u"),
+                  expr(s"p & ${Pack - 1}").cast(elemType).as("v"), col("w"))
+      case StringType =>
+        val Sep = "\u0000"
+        val g = s.withColumn("items",
+          when(exists(col("items"), x => instr(x, Sep) > 0),
+            expr("raise_error(concat('CoOccurrence: an item string in " +
+              "basket ', basket, ' contains U+0000 — the concat pair " +
+              "path cannot separate it; use weightedGeneric'))"))
+            .otherwise(col("items")))
+        g.select(explode(flatten(transform(col("items"), (x, i) =>
+            transform(slice(col("items"), i + lit(2), size(col("items"))),
+              y => concat(x, lit(Sep), y))))).as("p"))
+          .groupBy("p").agg(count(lit(1)).as("w"))
+          .select(substring_index(col("p"), Sep, 1).as("u"),
+                  substring_index(col("p"), Sep, -1).as("v"), col("w"))
+      case _ =>
+        // non-flat-encodable element type: posting self-join off the
+        // sets (the basket-keyed exchange is already behind us)
+        val posting = s.select(col("basket"), explode(col("items")).as("item"))
+        posting.as("a").join(posting.as("b"),
+            col("a.basket") === col("b.basket") &&
+              col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("u"), col("b.item").as("v"))
+          .agg(count(lit(1)).as("w"))
     }
   }
 

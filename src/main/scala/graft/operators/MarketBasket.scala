@@ -46,19 +46,17 @@ object MarketBasket {
     val totals = sets.agg(count(lit(1)).as("n_baskets"))
     val itemCnt = sets.select(explode(col("items")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("item_cnt"))
-    // pairs via the posting self-join off the materialized sets
-    // (round-12, the CoOccurrence lesson measured at sf10: the struct
-    // HOF emission pays an interpreted named_struct allocation per
-    // C(b,2) pair — 37.2 s vs the join's 23.1 s on the same input;
-    // string items can't take the packed-BIGINT path, so the join
-    // form is the generic winner). The sorted-set explode keeps the
-    // checkpointed sets' partitioning, and a.item < b.item preserves
-    // the canonical item_a < item_b emission
-    val posting = sets.select(col("basket"), explode(col("items")).as("item"))
-    val pairs = posting.as("a").join(posting.as("b"),
-        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
-      .agg(count(lit(1)).as("pair_cnt"))
+    // pairs emitted map-side off the materialized sets as flat packed
+    // values — [[CoOccurrence.pairCountsFromSets]] (round-14: the
+    // posting self-join this replaces sort-merged two corpus-sized
+    // posting sides and spilled at the sf100 decade; the flat-value
+    // HOF pays one primitive op per C(b,2) pair, no join, no sort,
+    // and the count collapses to the distinct-pair domain before its
+    // exchange). The r12 struct-HOF lesson still holds — the win here
+    // comes from emitting a PACKED BIGINT (integral items) or one
+    // NUL-joined string (string items), never a per-pair struct
+    val pairs = CoOccurrence.pairCountsFromSets(sets)
+      .select(col("u").as("item_a"), col("v").as("item_b"), col("w").as("pair_cnt"))
     pairs
       .crossJoin(broadcast(totals))
       // relative support gate — scale-invariant, applied before the

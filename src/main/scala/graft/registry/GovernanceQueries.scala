@@ -420,17 +420,19 @@ private[graft] object GovernanceQueries {
     //      each layout's order; stats and the prune test are the
     //      standard zone-map arithmetic ----
     "q_scan_pruning" -> ((s, dir) => {
-      // pin the 3-col projection ONCE (eager checkpoint — its blocks
-      // are ContextCleaner-released when the plan dies, unlike a
-      // persist with no unpersist, which leaked an entry per bench
-      // pass): both layouts' numberings, the bounds aggregate, and the
-      // cardinality gate all read the same pinned blocks instead of
-      // rescanning orders four times
-      val o = graft.operators.LoopCheckpoint.once(
-        Tables.load(s, dir, "orders")
-          .select(col("o_custkey"), col("o_orderkey"),
-            expr("cast(datediff(o_orderdate, date'1970-01-01') as bigint)")
-              .as("day")))
+      // NO pin (round-14): with GlobalOrder's literal-bounds numbering
+      // every consumer of this 3-col projection — both layouts'
+      // numberings, the bounds aggregate, the cardinality gate — is a
+      // key-pruned parquet re-scan, which the page cache makes cheap.
+      // The r13 eager checkpoint of this frame held ~4 GB of block
+      // storage against the window sorts' execution memory and was
+      // one of the two pins that killed the 8 g sf100 run; rescans
+      // are the distributed-right shape (a cluster re-reads pruned
+      // columns; it does not hold a fact table hostage in storage)
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          expr("cast(datediff(o_orderdate, date'1970-01-01') as bigint)")
+            .as("day"))
       val nOrders = o.count()
       val bounds = o.agg(min("o_custkey").as("mn"), max("o_custkey").as("mx"))
         .select(expr("mn + (mx - mn) * 4 div 10").as("lo"),

@@ -12,6 +12,21 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Decompose a sort column (`col.desc`, `asc_nulls_last(...)`, …)
+    * into (bare key column, ascending?, nullsFirst?). `None` when the
+    * column carries no sort direction — callers apply `orderBy`'s
+    * asc-nulls-first default. Works on the LAZY Column node (a plain
+    * `expression(c)` hands back an unconverted `ColumnNodeExpression`
+    * wrapper that no catalyst `SortOrder` pattern can see). */
+  def sortOrderOf(c: Column): Option[(Column, Boolean, Boolean)] =
+    c.node match {
+      case internal.SortOrder(child, dir, nullOrd, _) =>
+        Some((Column(child),
+          dir == internal.SortOrder.Ascending,
+          nullOrd == internal.SortOrder.NullsFirst))
+      case _ => None
+    }
+
   /** Wrap a (resolved) logical plan as a DataFrame — how graft's custom
     * logical operators (e.g. `graft.plans.AsOfJoinPlan`) re-enter the
     * public Dataset API. */

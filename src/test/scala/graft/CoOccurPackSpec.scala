@@ -67,12 +67,24 @@ class CoOccurPackSpec extends SparkSpec {
     assert(ok == Set((-5L, 3L, 1L), (4L, 9L, 1L)))
   }
 
-  test("string items route through the generic path") {
-    val items = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (2L, "c"))
-      .toDF("basket", "item")
+  test("string items take the concat path and match the generic join") {
+    val items = Seq((1L, "a x"), (1L, "b,y"), (2L, "a x"), (2L, "b,y"),
+        (2L, "c")).toDF("basket", "item")
     val got = CoOccurrence.weighted(items, "basket", "item")
       .as[(String, String, Long)].collect().toSet
-    assert(got == Set(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
+    assert(got == Set(("a x", "b,y", 2L), ("a x", "c", 1L), ("b,y", "c", 1L)))
+    val gen = CoOccurrence
+      .weightedGeneric(items, "basket", "item")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == gen)
+  }
+
+  test("a NUL inside an item string fails loudly, naming the fallback") {
+    val items = Seq((1L, "a"), (1L, "b\u0000c")).toDF("basket", "item")
+    val e = intercept[Exception] {
+      CoOccurrence.weighted(items, "basket", "item").collect()
+    }
+    assert(e.getMessage.contains("weightedGeneric"))
   }
 
   test("hub-basket guard still fires on the packed path") {

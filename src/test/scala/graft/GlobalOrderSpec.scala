@@ -170,4 +170,136 @@ class GlobalOrderSpec extends SparkSpec {
     assert(GlobalOrder.withRunningSum(df, Seq(col("k")), col("v"), "c")
       .count() == 0)
   }
+
+  // ------------------------------------------------------------------
+  // bounds strategy (round 14): literal split points + bisect pid —
+  // the pin-free plan. Differentials against both the window AND the
+  // legacy checkpoint strategy, plus the physical guarantees the
+  // design leans on.
+  // ------------------------------------------------------------------
+
+  private def withStrategy[T](s: String)(body: => T): T = {
+    val key = "spark.graft.globalorder.strategy"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, s)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("bounds and checkpoint strategies number identically") {
+    val df = fixture(4000, 11)
+    def run() = GlobalOrder.withRowNumber(
+        df, Seq(col("v").desc, col("k")), "rn", 8)
+      .select("k", "rn").as[(Long, Long)].collect().toMap
+    val b = withStrategy("bounds")(run())
+    val c = withStrategy("checkpoint")(run())
+    assert(b == c)
+  }
+
+  test("bounds strategy honors explicit null orderings") {
+    val rows = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, null), (2L, 5L), (3L, null), (4L, 1L), (5L, 9L), (6L, 5L),
+      (7L, null), (8L, 0L))
+    val df = rows.toDF("k", "v").repartition(3)
+    for (sort <- Seq(col("v").asc_nulls_last, col("v").desc_nulls_first,
+                     col("v").asc_nulls_first, col("v").desc_nulls_last)) {
+      val got = GlobalOrder.withRank(df, Seq(sort), "rk", 4)
+        .select("k", "rk").as[(Long, Long)].collect().toMap
+      val want = df.withColumn("rk",
+          rank().over(Window.orderBy(sort)).cast("long"))
+        .select("k", "rk").as[(Long, Long)].collect().toMap
+      assert(got == want, s"sort $sort")
+    }
+  }
+
+  test("bounds strategy on string keys matches the window") {
+    val r = new scala.util.Random(13)
+    val df = (0 until 3000)
+      .map(i => (i.toLong, s"w${r.nextInt(50)}%03d")).toDF("k", "s")
+      .repartition(7)
+    val got = GlobalOrder.withRowNumber(df, Seq(col("s"), col("k")), "rn", 8)
+      .select("k", "rn").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("s"), col("k"))).cast("long"))
+      .select("k", "rn").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("degenerate all-equal sort key still numbers correctly") {
+    val df = (0 until 1000).map(i => (i.toLong, 7L)).toDF("k", "v")
+      .repartition(5)
+    val got = GlobalOrder.withRank(df, Seq(col("v")), "rk", 8)
+      .select("rk").as[Long].collect()
+    assert(got.forall(_ == 1L), "all ties must share global rank 1")
+  }
+
+  test("bounds strategy registers NO checkpoint pins on cheap inputs") {
+    // leaf-rooted input (no repartition/join/agg): must stay pin-free
+    val r = new scala.util.Random(17)
+    val df = (0 until 3000).map(i => (i.toLong, r.nextInt(40).toLong))
+      .toDF("k", "v")
+    graft.operators.CheckpointScope.scoped {
+      GlobalOrder.withRowNumber(df, Seq(col("v"), col("k")), "rn", 8).count()
+      assert(graft.operators.CheckpointScope.pendingCount == 0,
+        "pin-free plan must not register checkpoint frames")
+    }
+    withStrategy("checkpoint") {
+      graft.operators.CheckpointScope.scoped {
+        GlobalOrder.withRowNumber(df, Seq(col("v"), col("k")), "rn", 8).count()
+        assert(graft.operators.CheckpointScope.pendingCount == 1,
+          "positive control: legacy strategy pins the ranged frame")
+      }
+    }
+  }
+
+  test("bounds strategy pins a DERIVED input exactly once") {
+    // aggregate input: re-evaluating it per consumer (sample, shuffle
+    // feed, offsets) would re-run the aggregation — ranged pins it
+    val df = fixture(3000, 18).groupBy("v")
+      .agg(count(lit(1)).as("n"))
+    graft.operators.CheckpointScope.scoped {
+      val got = GlobalOrder.withRowNumber(df, Seq(col("n"), col("v")), "rn", 8)
+      got.count()
+      assert(graft.operators.CheckpointScope.pendingCount == 1,
+        "derived input must be pinned once")
+      // and the numbering over the pinned frame is still correct
+      val want = df.withColumn("rn",
+          row_number().over(Window.orderBy(col("n"), col("v"))).cast("long"))
+        .select("v", "rn").as[(Long, Long)].collect().toMap
+      assert(got.select("v", "rn").as[(Long, Long)].collect().toMap == want)
+    }
+  }
+
+  test("placeSlots lands every range in its own physical partition") {
+    // the slot table promises pmod(murmur3(v_j), p) = j under
+    // repartition's hash — verified against the EXECUTED placement so
+    // a hash-function drift in Spark fails here, not as silent skew
+    val p = 8
+    val slots = GlobalOrder.placeSlots(p, p)
+    assert(slots.distinct.length == p)
+    val placed = slots.toSeq.toDF("place")
+      .repartition(p, col("place"))
+      .select(col("place"), spark_partition_id().as("part"))
+      .as[(Int, Int)].collect().toMap
+    assert(placed.values.toSet.size == p,
+      s"slot collision: $placed")
+    slots.zipWithIndex.foreach { case (v, j) =>
+      assert(placed(v) == j, s"slot $v must land in partition $j")
+    }
+  }
+
+  test("bounds numbering balances ranges across tasks") {
+    // 40k rows, 8 ranges: no physical partition may hold more than
+    // ~3x its fair share (the sampled bounds + slot placement promise)
+    val df = fixture(40000, 19)
+    val got = GlobalOrder.withRowNumber(df, Seq(col("v"), col("k")), "rn", 8)
+    val byPart = got.select(spark_partition_id().as("p"))
+      .groupBy("p").count().as[(Int, Long)].collect()
+    // numbering output partitioning reflects the range shuffle
+    val max = byPart.map(_._2).max
+    assert(max <= 3 * (40000 / 8),
+      s"range imbalance: ${byPart.mkString(",")}")
+  }
 }
