@@ -40,7 +40,15 @@ object StreamBench {
     val outJson = args.drop(1).headOption
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "12").toInt
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb swaps the state store to the
+    // off-heap RocksDB provider (the documented 100-TB deployment
+    // provider — heap-backed state competes with execution memory at
+    // scale); default keeps the heap provider for A/B comparability
+    // with the round-12 sf1 artifact. Recorded in the artifact JSON.
+    val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "default")
+    require(provider == "default" || provider == "rocksdb",
+      s"SPARK_GRAFT_STATE_PROVIDER must be default|rocksdb, got '$provider'")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -51,7 +59,10 @@ object StreamBench {
       .config("spark.sql.streaming.numRecentProgressUpdates",
         (chunks + 16).toString)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (provider == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
@@ -172,7 +183,7 @@ object StreamBench {
         s""""state_bound":"$bound"}"""
     }.mkString(",")
     val out = s"""{"metric":"stream_bench","sf":"$sfDir","chunks":$chunks,""" +
-      s""""streams":{$js}}"""
+      s""""state_provider":"$provider","streams":{$js}}"""
     println(out)
     outJson.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
