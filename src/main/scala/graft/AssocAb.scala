@@ -69,6 +69,20 @@ object AssocAb {
         .select(col("u").as("item_a"), col("v").as("item_b"),
           col("w").as("pair_cnt"))
 
+    // optional: args(2) = a directory to dump each form's formatted
+    // plan into (<dir>/<form>.plan.txt) — the round-14 plans/ artifact
+    // recipe, so the "posting join -> map-side concat" claim is
+    // reproducible from this harness alone
+    args.drop(2).headOption.foreach { planDir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(planDir))
+      Seq("struct_hof" -> structHof _, "posting_join" -> postingJoin _,
+          "concat_hof" -> concatHof _).foreach { case (name, f) =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$planDir/$name.plan.txt"),
+          f().queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      }
+    }
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     val counts = scala.collection.mutable.LinkedHashMap[String, Long]()

@@ -138,6 +138,17 @@ object GlobalOrder {
   private def gated(df: DataFrame, bound: Option[Long]): (DataFrame, Long) =
     bound match {
       case Some(n) => (df, n)
+      // scan-rooted (or already cached/checkpointed) input: re-evaluation
+      // is a column-pruned scan, so the gate needs NO pin — one count
+      // job over the pruned scan (parquet row-group counts) decides the
+      // branch, and whichever branch runs re-reads the scan for free.
+      // Persisting here would be a REGRESSION at scale: MEMORY_AND_DISK
+      // of a 150M-row fact projection is exactly the block churn the
+      // round-14 literal-bounds rewrite deleted from the bounds path.
+      // (Derived inputs keep the persist below — for them the pin IS
+      // the cache the query's sibling aggregates hit, the round-11
+      // measurement the q_abc_class call site records.)
+      case None if reEvalCheap(df) => (df, df.count())
       case None =>
         val spark = df.sparkSession
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -647,6 +658,58 @@ object GlobalOrder {
         Window.partitionBy(groupCols.map(col): _*).orderBy(sortCols: _*))
         .cast("long"))
     else withGroupedRowNumber(src, groupCols, sortCols, out, parts)
+  }
+
+  /** [[withGroupedRank]] with the small-relation fast path. */
+  def withGroupedRankAuto(df: DataFrame, groupCols: Seq[String],
+                          sortCols: Seq[Column], out: String,
+                          bound: Option[Long] = None,
+                          parts: Int = 0): DataFrame = {
+    val (src, n) = gated(df, bound)
+    if (n <= smallThreshold(df.sparkSession))
+      src.withColumn(out, rank().over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(sortCols: _*))
+        .cast("long"))
+    else withGroupedRank(src, groupCols, sortCols, out, parts)
+  }
+
+  /** [[withRunningSums]] with the small-relation fast path (same
+    * duplicate/collision validation on both branches; the plain window
+    * computes every prefix in the one sort the distributed form pays a
+    * range shuffle for). */
+  def withRunningSumsAuto(df: DataFrame, sortCols: Seq[Column],
+                          sums: Seq[(Column, String)],
+                          bound: Option[Long] = None,
+                          parts: Int = 0): DataFrame = {
+    require(sums.nonEmpty, "need at least one (valueCol, out) sum")
+    require(sums.map(_._2).distinct.size == sums.size,
+      s"duplicate output names in sums: ${sums.map(_._2).mkString(", ")} — " +
+        "the withColumn fold would silently clobber the earlier sum")
+    sums.map(_._2).find(df.columns.contains).foreach { o =>
+      throw new IllegalArgumentException(
+        s"running-sum output name '$o' already exists in the input — " +
+          "it would silently replace the input column; rename one")
+    }
+    val (src, n) = gated(df, bound)
+    if (n <= smallThreshold(df.sparkSession)) {
+      val w = Window.orderBy(sortCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sums.foldLeft(src) { case (d, (v, o)) =>
+        d.withColumn(o, sum(v).over(w)) }
+    } else withRunningSums(src, sortCols, sums, parts)
+  }
+
+  /** [[withGroupedRunningSum]] with the small-relation fast path. */
+  def withGroupedRunningSumAuto(df: DataFrame, groupCols: Seq[String],
+                                sortCols: Seq[Column], valueCol: Column,
+                                out: String, bound: Option[Long] = None,
+                                parts: Int = 0): DataFrame = {
+    val (src, n) = gated(df, bound)
+    if (n <= smallThreshold(df.sparkSession))
+      src.withColumn(out, sum(valueCol).over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(sortCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    else withGroupedRunningSum(src, groupCols, sortCols, valueCol, out, parts)
   }
 
   /** Per-group running sum of `valueCol` over `sortCols`

@@ -107,12 +107,15 @@ private[graft] object BusinessQueries {
       // numbering (the dimension is fact-table-independent but still
       // grows with the business; three single-partition sorts was the
       // WindowExec scale trap); quartile code = (rank−1)·4 div n,
-      // ties broken by custkey so higher code = better on every axis
+      // ties broken by custkey so higher code = better on every axis.
+      // Auto-gated (round-14): below the threshold three tiny plain
+      // windows beat three distributed stage taxes; the first gate's
+      // persist of `per` is also the cache the n_cust aggregate hits
       def code(c: String) =
         expr(s"(cast(rk_$c as bigint) - 1) * 4 div n_cust")
-      graft.operators.GlobalOrder.withRowNumber(
-          graft.operators.GlobalOrder.withRowNumber(
-            graft.operators.GlobalOrder.withRowNumber(
+      graft.operators.GlobalOrder.withRowNumberAuto(
+          graft.operators.GlobalOrder.withRowNumberAuto(
+            graft.operators.GlobalOrder.withRowNumberAuto(
               per, Seq(col("last_day"), col("o_custkey")), "rk_last_day"),
             Seq(col("freq"), col("o_custkey")), "rk_freq"),
           Seq(col("monetary"), col("o_custkey")), "rk_monetary")

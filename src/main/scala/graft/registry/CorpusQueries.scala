@@ -81,7 +81,10 @@ private[graft] object CorpusQueries {
     //      window tasks — GlobalOrder's grouped form keeps the
     //      cumulative walk P-way parallel ----
     "q_systematic_sample" -> ((s, dir) =>
-      graft.operators.GlobalOrder.withGroupedRunningSum(
+      // auto-gated (round-14): the input is a scan projection, so the
+      // gate is one pruned count; below the threshold the plain grouped
+      // window walks the cumulative weight in one tiny sort
+      graft.operators.GlobalOrder.withGroupedRunningSumAuto(
           Tables.load(s, dir, "documents")
             .select(col("doc_id"), col("lang"),
               graft.functions.TextAnalysis.tokenCount(col("text"))
@@ -196,7 +199,9 @@ private[graft] object CorpusQueries {
         .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
           .as("rev"))
       val tot = per.agg(sum("rev").as("total_rev"))
-      graft.operators.GlobalOrder.withRunningSum(
+      // auto-gated (round-14): the gate persist of `per` is also the
+      // cache the total-revenue aggregate hits
+      graft.operators.GlobalOrder.withRunningSumAuto(
           per, Seq(col("o_custkey")), col("rev"), "cum")
         .crossJoin(broadcast(tot))
         .withColumn("stride", expr("total_rev div 500"))
@@ -219,7 +224,11 @@ private[graft] object CorpusQueries {
     //      marks negatives too easy to train on ----
     "q_neg_sample" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val idx = graft.operators.GlobalOrder.withRowNumber(
+      // auto-gated (round-14): scan-projection input — the gate is one
+      // pruned count, and below the threshold each of idx's consumers
+      // re-reads a tiny plain window instead of re-paying the
+      // distributed numbering's shuffle
+      val idx = graft.operators.GlobalOrder.withRowNumberAuto(
           docs.select(col("doc_id"), col("source")),
           Seq(col("doc_id")), "__rn")
         .withColumn("i", col("__rn") - lit(1L)).drop("__rn")

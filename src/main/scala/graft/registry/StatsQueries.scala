@@ -164,8 +164,11 @@ private[graft] object StatsQueries {
         .groupBy(col("c_nationkey"), col("c_custkey"))
         .agg(count(lit(1)).as("x"))
       // grouped distributed numbering: 25 nations over the customer
-      // population is a 25-task window funnel at scale
-      graft.operators.GlobalOrder.withGroupedRowNumber(
+      // population is a 25-task window funnel at scale. Auto-gated
+      // (round-14): below the threshold the plain grouped window wins
+      // by the distributed form's fixed stage tax; the gate persist is
+      // also the cache the downstream aggregate hits
+      graft.operators.GlobalOrder.withGroupedRowNumberAuto(
           perCust, Seq("c_nationkey"), Seq(col("x"), col("c_custkey")), "i")
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n"), sum("x").as("sx"),
@@ -185,7 +188,12 @@ private[graft] object StatsQueries {
         .select(col("o_orderkey"), col("o_orderpriority"),
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
       val totals = base.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
-      graft.operators.GlobalOrder.withGroupedRank(
+      // auto-gated (round-14): 5 priorities over the order population is
+      // the 5-task window funnel at scale; below the threshold the plain
+      // grouped window skips the distributed form's fixed stage tax.
+      // `base` is a scan projection, so the gate is one pruned count —
+      // no pin on either branch
+      graft.operators.GlobalOrder.withGroupedRankAuto(
           base, Seq("o_orderpriority"), Seq(col("cents")), "rk")
         .join(broadcast(totals), "o_orderpriority")
         .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
@@ -200,8 +208,10 @@ private[graft] object StatsQueries {
         .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
           .as("rev"))
       // global rank over the 1-row-per-customer relation WITHOUT the
-      // single-partition window (unbounded at 100 TB customer counts)
-      val ranked = graft.operators.GlobalOrder.withRowNumber(
+      // single-partition window (unbounded at 100 TB customer counts).
+      // Auto-gated (round-14): the gate persist of `per` is also the
+      // cache the `tot` aggregate below hits
+      val ranked = graft.operators.GlobalOrder.withRowNumberAuto(
         per, Seq(col("rev").desc, col("o_custkey")), "rk")
       val tot = per.agg(sum("rev").as("total_rev"),
                         count(lit(1)).as("n_cust"))
@@ -223,7 +233,8 @@ private[graft] object StatsQueries {
           .as("rev"))
       val tot = per.agg(count(lit(1)).as("n_cust"),
                         sum("rev").as("total_rev"))
-      graft.operators.GlobalOrder.withRowNumber(
+      // auto-gated (round-14): same shape as q_pareto_8020 above
+      graft.operators.GlobalOrder.withRowNumberAuto(
           per, Seq(col("rev"), col("o_custkey")), "rk")
         .crossJoin(broadcast(tot))
         .withColumn("decile", expr("(rk - 1) * 10 div n_cust"))
@@ -375,8 +386,10 @@ private[graft] object StatsQueries {
         .agg(sum("is_f").as("cf"), sum(expr("1 - is_f")).as("co"))
       // distinct cents are corpus-proportional — distributed prefix
       // sums, not the single-partition window; BOTH cumulatives ride
-      // one ranged pass (chaining would re-range-shuffle the support)
-      val cum = graft.operators.GlobalOrder.withRunningSums(
+      // one ranged pass (chaining would re-range-shuffle the support).
+      // Auto-gated (round-14): the pooled support is an aggregate, so
+      // the gate persist doubles as its cache for both branches
+      val cum = graft.operators.GlobalOrder.withRunningSumsAuto(
           byV, Seq(col("cents")),
           Seq((col("cf"), "cum_f"), (col("co"), "cum_o")))
         .select("cum_f", "cum_o")
@@ -399,7 +412,8 @@ private[graft] object StatsQueries {
           when(col("event_type") === "click", 1L).otherwise(0L).as("is_a"))
       val byV = e.groupBy("v")
         .agg(sum("is_a").as("ca"), count(lit(1)).as("ct"))
-      val ranked = graft.operators.GlobalOrder.withRunningSum(
+      // auto-gated (round-14): distinct support values gate the branch
+      val ranked = graft.operators.GlobalOrder.withRunningSumAuto(
           byV, Seq(col("v")), col("ct"), "cum_ct")
         .withColumn("before", col("cum_ct") - col("ct"))
       val tot = e.agg(sum("is_a").as("n_a"),
@@ -488,9 +502,15 @@ private[graft] object StatsQueries {
           col("o_orderdate"))
       // two TOTAL orders over the raw fact table — the distributed
       // numbering, chained (each is its own range shuffle; the
-      // single-partition alternative sorts 15M rows on one core TWICE)
-      graft.operators.GlobalOrder.withRowNumber(
-          graft.operators.GlobalOrder.withRowNumber(
+      // single-partition alternative sorts 15M rows on one core TWICE).
+      // Auto-gated (round-14): below the threshold the two plain
+      // windows share one tiny sort each instead of paying the
+      // distributed form's fixed stage tax twice; `o` is a scan
+      // projection, so the outer gate is a pruned count, and the inner
+      // result's gate persist replaces the pin the distributed form
+      // would have taken on it anyway
+      graft.operators.GlobalOrder.withRowNumberAuto(
+          graft.operators.GlobalOrder.withRowNumberAuto(
             o, Seq(col("cents"), col("o_orderkey")), "rx"),
           Seq(col("o_orderdate"), col("o_orderkey")), "ry")
         .agg(count(lit(1)).as("n"),

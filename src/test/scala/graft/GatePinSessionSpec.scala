@@ -17,9 +17,11 @@ class GatePinSessionSpec extends SparkSpec {
 
   private def gate(s: org.apache.spark.sql.SparkSession, tag: Int): Unit = {
     import s.implicits._
+    // the aggregate makes the input DERIVED: bound=None then forces the
+    // persist+count gate (round-14's no-pin path takes leaf/projection
+    // inputs through a bare count instead — see GlobalOrderAutoSpec)
     val df = (0 until 64).map(i => (i.toLong + tag * 1000L, i.toLong))
-      .toDF("k", "v")
-    // bound=None forces the persist+count gate
+      .toDF("k", "v").groupBy("k").agg(sum("v").as("v"))
     GlobalOrder.withRowNumberAuto(df, Seq(col("v"), col("k")), "rn").count()
   }
 

@@ -152,6 +152,81 @@ class GlobalOrderAutoSpec extends SparkSpec {
     }
   }
 
+  test("withGroupedRankAuto equal on both branches (gap semantics)") {
+    val r = new scala.util.Random(8)
+    val df = (0 until 600).map(i =>
+      (i.toLong, s"g${r.nextInt(3)}", r.nextInt(8).toLong)) // tie-heavy
+      .toDF("k", "g", "v").repartition(5)
+    val want = df.withColumn("rk",
+        rank().over(Window.partitionBy("g").orderBy(col("v"))).cast("long"))
+      .select("k", "rk").as[(Long, Long)].collect().toSeq.sorted
+    for (t <- Seq(10L, 100000L)) withThreshold(t) {
+      val out = GlobalOrder.withGroupedRankAuto(df, Seq("g"), Seq(col("v")), "rk")
+      assert(hasJoin(out) == (t == 10L))
+      assert(out.select("k", "rk").as[(Long, Long)].collect().toSeq.sorted
+        == want, s"threshold=$t")
+    }
+  }
+
+  test("withRunningSumsAuto equal on both branches, validations on both") {
+    val df = fixture(400, 9)
+    val w = Window.orderBy(col("v"), col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("c1", sum(col("v")).over(w))
+      .withColumn("c2", sum(col("v") * 2).over(w))
+      .select("k", "c1", "c2").as[(Long, Long, Long)].collect().toSet
+    for (t <- Seq(10L, 100000L)) withThreshold(t) {
+      val out = GlobalOrder.withRunningSumsAuto(df, Seq(col("v"), col("k")),
+        Seq((col("v"), "c1"), (col("v") * 2, "c2")))
+      assert(hasJoin(out) == (t == 10L))
+      assert(out.select("k", "c1", "c2").as[(Long, Long, Long)]
+        .collect().toSet == want, s"threshold=$t")
+      // the small branch must reject bad output names exactly like the
+      // distributed one — the validation runs before the gate
+      intercept[IllegalArgumentException] {
+        GlobalOrder.withRunningSumsAuto(df, Seq(col("v")),
+          Seq((col("v"), "c"), (col("v") + 1, "c")))
+      }
+      intercept[IllegalArgumentException] {
+        GlobalOrder.withRunningSumsAuto(df, Seq(col("v")),
+          Seq((col("v"), "v")))
+      }
+    }
+  }
+
+  test("withGroupedRunningSumAuto equal on both branches") {
+    val r = new scala.util.Random(10)
+    val df = (0 until 600).map(i =>
+      (i.toLong, s"g${r.nextInt(3)}", r.nextInt(40).toLong))
+      .toDF("k", "g", "v").repartition(5)
+    val want = df.withColumn("cum",
+        sum(col("v")).over(Window.partitionBy("g").orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    for (t <- Seq(10L, 100000L)) withThreshold(t) {
+      val out = GlobalOrder.withGroupedRunningSumAuto(
+        df, Seq("g"), Seq(col("k")), col("v"), "cum")
+      assert(hasJoin(out) == (t == 10L))
+      assert(out.select("k", "cum").as[(Long, Long)].collect().toMap == want,
+        s"threshold=$t")
+    }
+  }
+
+  test("gate takes NO pin on a re-evaluable input (round-14)") {
+    // LocalRelation is a leaf: re-evaluation is free, so the gate must
+    // decide via a bare count — persisting a scan-rooted fact
+    // projection at 100 TB would be the exact block churn the
+    // literal-bounds rewrite deleted
+    val df = (0 until 300).map(i => (i.toLong, (i % 7).toLong)).toDF("k", "v")
+    val before = GlobalOrder.gatePinSnapshot(spark).size
+    withThreshold(1000) {
+      val out = GlobalOrder.withRowNumberAuto(df, Seq(col("v"), col("k")), "rn")
+      assert(out.count() == 300)
+    }
+    assert(GlobalOrder.gatePinSnapshot(spark).size == before,
+      "re-evaluable input must not enter the gate-pin FIFO")
+  }
+
   test("withRunningSums rejects duplicate and colliding output names") {
     val df = fixture(50, 7)
     intercept[IllegalArgumentException] {
