@@ -334,6 +334,26 @@ object ScaleSweep {
       staged("dedup_components") {
         QueryHelpers.dedupComponentsFor(spark, sfDir).count() }
     }
+    // flush a partial artifact after every query (marked
+    // "in_progress": true; the final write at the end is unchanged and
+    // unmarked) — a multi-hour sf100 sweep that dies at query 58 of 60
+    // must leave its 57 measured rows on disk, not vanish (round-14:
+    // the first widened-sweep attempt lost 35 minutes of timings to a
+    // GCLocker-starvation OOM with nothing written)
+    def flushPartial(pass: Int): Unit = outJson.foreach { p =>
+      val qjson = times.toSeq.sortBy(-_._2)
+        .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val fjson = failures.toSeq
+        .map { case (k, v) => s""""$k":"${v.replaceAll("[\"\\\\\\n\\r\\t]", " ")}"""" }
+        .mkString(",")
+      val js = s"""{"metric":"sweep_total","in_progress":true,""" +
+        s""""pass":$pass,"sf":"$sfDir","ansi":true,""" +
+        s""""n_queries":${suite.size},"n_timed":${times.size},""" +
+        s""""queries":{$qjson},"failures":{$fjson}}"""
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p + ".partial"),
+        js.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    }
     val t00 = System.nanoTime()
     for (pass <- 1 to passes) {
       suite.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -366,6 +386,7 @@ object ScaleSweep {
             times.remove(name); cold.remove(name); rows.remove(name)
             println(s"[sweep] FAIL $name $msg")
           }
+          flushPartial(pass)
         }
       }
     }
