@@ -104,6 +104,16 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ")
       s""","loadavg":[${parts(0)},${parts(1)},${parts(2)}]"""
     } catch { case _: Throwable => "" }
+    // Self-identification (round-15, the driver's scaling probe asked):
+    // the artifact echoes the parallelism it actually ran with — the
+    // SPARK_GRAFT_CPUS value it put in `master`/`shuffle.partitions`
+    // and the context's resulting defaultParallelism — so a consumer
+    // can verify the knob was honored instead of inferring it from
+    // per-query ratios that are latency-floor-bound at small SF.
+    val cpusJson =
+      if (cpus.forall(_.isDigit) && cpus.nonEmpty) cpus else "\"" + cpus + "\""
+    val idJson =
+      s""","cpus":$cpusJson,"parallelism":${spark.sparkContext.defaultParallelism}"""
     // Incremental-vs-batch replay (skipped under SPARK_GRAFT_ONLY):
     // separate keys, NOT added to the query total — it measures a
     // different execution model (streaming state maintenance) against
@@ -156,7 +166,7 @@ object Bench {
       else ",\"prebuild\":" + prebuild.map { case (k, v) =>
         "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"$loadJson$errJson$incrJson$pbJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"$loadJson$idJson$errJson$incrJson$pbJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -164,7 +174,7 @@ object Bench {
     val budget = 1850
     val sorted = results.toSeq.sortBy(-_._2)
     val fixedFor = (n: Int, omittedSec: Double) =>
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":,"queries_omitted":$n,"omitted_sec":${fmt(omittedSec)},"n_errors":${errors.size},"full":"bench_full.json","sf":"$sfDir"$loadJson$incrJson$pbJson}""".length + 2
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":,"queries_omitted":$n,"omitted_sec":${fmt(omittedSec)},"n_errors":${errors.size},"full":"bench_full.json","sf":"$sfDir"$loadJson$idJson$incrJson$pbJson}""".length + 2
     // strict slowest-prefix: stop at the first entry that doesn't fit,
     // so the omitted set is exactly the fastest tail
     val kept = scala.collection.mutable.ArrayBuffer[String]()
@@ -182,7 +192,7 @@ object Bench {
     val omitted = sorted.drop(keptN)
     val omittedSec = omitted.map(_._2).sum
     val compactQs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,"queries_omitted":${omitted.size},"omitted_sec":${fmt(omittedSec)},"n_errors":${errors.size},"full":"bench_full.json","sf":"$sfDir"$loadJson$incrJson$pbJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,"queries_omitted":${omitted.size},"omitted_sec":${fmt(omittedSec)},"n_errors":${errors.size},"full":"bench_full.json","sf":"$sfDir"$loadJson$idJson$incrJson$pbJson}""")
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (name, msg) =>

@@ -340,19 +340,41 @@ object ScaleSweep {
     // must leave its 57 measured rows on disk, not vanish (round-14:
     // the first widened-sweep attempt lost 35 minutes of timings to a
     // GCLocker-starvation OOM with nothing written)
+    // full JSON string escaping — exception messages carry newlines
+    // (AnalysisException plan context), backslashes, and occasionally
+    // other control chars (ESC, \f); one definition serves both the
+    // per-query partial flush and the final write, so the crash-
+    // forensics artifact is exactly as parseable as the clean one
+    // (round-15 ADVICE: the flush's old replaceAll missed controls
+    // below 0x20 other than \n\r\t)
+    def jstr(v: String): String = v.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     def flushPartial(pass: Int): Unit = outJson.foreach { p =>
       val qjson = times.toSeq.sortBy(-_._2)
         .map { case (k, v) => s""""$k":$v""" }.mkString(",")
       val fjson = failures.toSeq
-        .map { case (k, v) => s""""$k":"${v.replaceAll("[\"\\\\\\n\\r\\t]", " ")}"""" }
+        .map { case (k, v) => s""""$k":"${jstr(v)}"""" }
         .mkString(",")
       val js = s"""{"metric":"sweep_total","in_progress":true,""" +
         s""""pass":$pass,"sf":"$sfDir","ansi":true,""" +
         s""""n_queries":${suite.size},"n_timed":${times.size},""" +
         s""""queries":{$qjson},"failures":{$fjson}}"""
+      // the flush must never fail the sweep — but swallow only
+      // NonFatal (an OOM on the write path must still kill the run),
+      // re-asserting interrupts so a cancelled sweep still cancels
       try java.nio.file.Files.write(java.nio.file.Paths.get(p + ".partial"),
         js.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case _: Throwable => () }
+      catch {
+        case ie: InterruptedException => Thread.currentThread().interrupt()
+        case scala.util.control.NonFatal(_) => ()
+      }
     }
     val t00 = System.nanoTime()
     for (pass <- 1 to passes) {
@@ -400,19 +422,6 @@ object ScaleSweep {
         .map { case (k, v) => s""""$k":$v""" }.mkString(",")
       val rjson = rows.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString(",")
-      // full JSON string escaping — exception messages carry newlines
-      // (AnalysisException plan context) and backslashes, and a raw
-      // control char would make the artifact unparseable exactly in
-      // the failing runs where it must be machine-read
-      def jstr(v: String): String = v.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
       val fjson = failures.toSeq
         .map { case (k, v) => s""""$k":"${jstr(v)}"""" }
         .mkString(",")
@@ -443,6 +452,12 @@ object ScaleSweep {
         s""""failures":{$fjson}$incrNd}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         js.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // the in-progress sibling is superseded the moment the final
+      // artifact lands — leaving it would let globbing consumers
+      // double-count the run or mistake it for a live one
+      try java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(p + ".partial"))
+      catch { case scala.util.control.NonFatal(_) => () }
       println(s"[sweep] wrote $p")
     }
     spark.stop()

@@ -774,12 +774,22 @@ object Similarity {
     * by vec_id — the greedy trajectory is bit-identical on any engine.
     *
     * Scale shape: one |corpus| scan scores relevance (broadcast query
-    * vector), top-`pool` bounds everything after; the pairwise matrix
-    * and the k greedy rounds run on ≤ pool² = 400 rows. The greedy
-    * loop is inherently sequential in k — unrolled here exactly like
-    * the k-means Lloyd iterations, NOT collect()ed. */
+    * vector), top-`pool` bounds everything after. Everything post-pool
+    * is ≤ pool rows, so the k greedy rounds run as ONE `aggregate()`
+    * higher-order function over the collected pool on a single row —
+    * the pairwise dots are recomputed inside the fold (pool² ≤ 400
+    * 64-dim integer dots, microseconds) instead of materializing a
+    * pair relation. The round-14 unrolled-join form paid ~160
+    * Exchanges / 2 eager checkpoints of fixed stage latency for the
+    * same ≤400-row computation; the fold is sequential in k exactly
+    * like the greedy contract itself. Every comparison stays integer
+    * (sums of products of ints ≤ 127² over 64 dims — exact in double,
+    * cast to long), ties break by vec_id: the trajectory is
+    * bit-identical to the unrolled form (differential-tested against
+    * a plain-Scala greedy in EmbedQuantSpec). */
   def mmrSelect(emb: DataFrame, queryId: Long, pool: Int,
                 k: Int): DataFrame = {
+    require(k >= 1, s"mmrSelect needs k >= 1, got $k")
     val q = quantizedEmbeddings(emb)
     def idot(a: Column, b: Column): Column = dotFused(a, b).cast("long")
     val qv = q.filter(col("vec_id") === queryId)
@@ -789,29 +799,56 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         idot(col("embedding"), col("qe")).as("rel"))
       .orderBy(col("rel").desc, col("vec_id")).limit(pool)
-      .localCheckpoint(eager = true) // consumed k+1 times; 20 rows
-    val pairs = cand.select(col("vec_id").as("a"), col("embedding").as("ea"))
-      .crossJoin(broadcast(
-        cand.select(col("vec_id").as("b"), col("embedding").as("eb"))))
-      .filter(col("a") =!= col("b"))
-      .select(col("a"), col("b"), idot(col("ea"), col("eb")).as("sim"))
-      .localCheckpoint(eager = true) // pool² − pool rows
-    var out = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
-      .select(col("vec_id"), col("rel"), lit(0L).as("redundancy"),
-        lit(1L).as("rank"))
-    for (r <- 2 to k) {
-      val red = pairs
-        .join(out.select(col("vec_id").as("b")), Seq("b"))
-        .groupBy(col("a").as("vec_id")).agg(max("sim").as("redundancy"))
-      val next = cand
-        .join(out.select("vec_id"), Seq("vec_id"), "left_anti")
-        .join(red, Seq("vec_id"))
-        .orderBy((col("rel") - col("redundancy")).desc, col("vec_id"))
-        .limit(1)
-        .select(col("vec_id"), col("rel"), col("redundancy"),
-          lit(r.toLong).as("rank"))
-      out = out.unionByName(next)
-    }
-    out.select(col("rank"), col("vec_id"), col("rel"), col("redundancy"))
+    // integer dot inside the fold: same values as the DotProduct
+    // expression (order-free — every partial sum is an integer < 2^53)
+    def hdot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d),
+        (acc, x) => acc + x).cast("long")
+    // collect the pool to one row, sorted by (rel DESC, vec_id ASC) so
+    // position 0 is always the greedy's next-best under the tiebreak
+    val byRel = (l: Column, r: Column) =>
+      when(l("rel") > r("rel"), -1).when(l("rel") < r("rel"), 1)
+        .when(l("vec_id") < r("vec_id"), -1)
+        .when(l("vec_id") > r("vec_id"), 1).otherwise(0)
+    val pooled = cand.agg(array_sort(
+      collect_list(struct(col("vec_id").as("vec_id"), col("rel").as("rel"),
+        col("embedding").as("emb"))), byRel).as("cands"))
+    val cands = col("cands")
+    // rank-1 pick: head of the sorted pool (empty pool → empty arrays)
+    val sel0 = transform(slice(cands, 1, 1), c =>
+      struct(lit(1L).as("rank"), c("vec_id").as("vec_id"),
+        c("rel").as("rel"), lit(0L).as("red"), c("emb").as("emb")))
+    val rem0 = slice(cands, lit(2), greatest(size(cands) - 1, lit(0)))
+    val selected =
+      if (k == 1) sel0
+      else aggregate(
+        sequence(lit(2), lit(k)),
+        struct(sel0.as("sel"), rem0.as("rem")),
+        (st, r) => {
+          // redundancy of each remaining candidate vs the selected set
+          val scored = transform(st("rem"), c =>
+            struct(c("vec_id").as("vec_id"), c("rel").as("rel"),
+              c("emb").as("emb"),
+              array_max(transform(st("sel"),
+                s => hdot(c("emb"), s("emb")))).as("red")))
+          // argmax of (rel − redundancy), tie by vec_id asc
+          val best = get(array_sort(scored, (l, rr) =>
+            when(l("rel") - l("red") > rr("rel") - rr("red"), -1)
+              .when(l("rel") - l("red") < rr("rel") - rr("red"), 1)
+              .when(l("vec_id") < rr("vec_id"), -1)
+              .when(l("vec_id") > rr("vec_id"), 1).otherwise(0)), lit(0))
+          when(best.isNull, st).otherwise(struct(
+            concat(st("sel"), array(struct(r.cast("long").as("rank"),
+              best("vec_id").as("vec_id"), best("rel").as("rel"),
+              best("red").as("red"), best("emb").as("emb")))).as("sel"),
+            filter(st("rem"),
+              c => c("vec_id") =!= best("vec_id")).as("rem")))
+        },
+        st => st("sel"))
+    pooled.select(explode(selected).as("pick"))
+      .select(col("pick")("rank").as("rank"),
+        col("pick")("vec_id").as("vec_id"),
+        col("pick")("rel").as("rel"),
+        col("pick")("red").as("redundancy"))
   }
 }

@@ -376,12 +376,23 @@ object GlobalOrder {
     * key-pruned offset aggregate) — free over a scan or a cached
     * frame, but a join/aggregate/window input would re-run per
     * consumer, so [[ranged]] pins those once (one-shot, released with
-    * the owning query by [[CheckpointScope]]). */
+    * the owning query by [[CheckpointScope]]).
+    *
+    * Also requires every node's expressions DETERMINISTIC: a
+    * re-evaluable plan here is consumed by several jobs (sample,
+    * shuffle feed, offsets — and in the *Auto gate, the count and
+    * then whichever branch runs), and a nondeterministic
+    * Project/Filter (rand(), sample-style predicates) would hand each
+    * consumer a different row set. Those fall back to the persist/pin
+    * path, which snapshots one row set for everyone (round-15 ADVICE;
+    * every current call site is deterministic — this is a guard for
+    * future callers). */
   private def reEvalCheap(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     df.queryExecution.withCachedData.collectFirst {
       case p if !p.isInstanceOf[LeafNode] && !p.isInstanceOf[Project] &&
                 !p.isInstanceOf[Filter] && !p.isInstanceOf[SubqueryAlias] => p
+      case p if !p.expressions.forall(_.deterministic) => p
     }.isEmpty
   }
 
@@ -592,10 +603,13 @@ object GlobalOrder {
   // bit-identical values and the same column types (LongType).
   //
   // `bound`: caller-supplied row-count bound when one is provable
-  // (skips the gate entirely); `None` pins the input once and counts
-  // the materialized blocks — both branches then consume the pinned
-  // frame, so the gate costs one count over cached data, never a
-  // recompute.
+  // (skips the gate entirely). `None` splits on the input's shape
+  // (see gated()): a re-evaluable input — deterministic per-row
+  // operators over leaves — takes the NO-PIN path (one bare count
+  // over the pruned scan decides; whichever branch runs re-reads the
+  // scan for free), while a derived input is pinned once and counted
+  // (the pin doubles as the cache the query's sibling aggregates hit,
+  // and both branches consume the pinned frame).
   // ------------------------------------------------------------------
 
   /** [[withRowNumber]] with the small-relation fast path. */

@@ -48,13 +48,22 @@ private[graft] object BusinessQueries {
       val w = Window.partitionBy("p_brand", "period")
         .orderBy(col("rev").desc, col("p_partkey"))
       val ranked = rev.withColumn("rk", row_number().over(w))
-      ranked.filter(col("period") === "early")
-        .select(col("p_brand"), col("p_partkey"), col("rk").as("rk_early"))
-        .join(ranked.filter(col("period") === "late")
-          .select(col("p_brand"), col("p_partkey"), col("rk").as("rk_late")),
-          Seq("p_brand", "p_partkey"))
-        .select(col("p_brand"), col("p_partkey"), col("rk_early"),
-          col("rk_late"), (col("rk_early") - col("rk_late")).as("delta"))
+      // early/late pairing as a conditional pivot, not a self-join: the
+      // `ranked` subtree referenced twice re-ran the lineitem⋈part
+      // aggregation per side (two full fact scans) and then paid a
+      // sort-merge join; each (brand, partkey) has at most one row per
+      // period, so max(when(period=…)) over ONE pass is the identical
+      // inner-join pairing (both-periods-present ⇔ both pivots
+      // non-null). coalesce after the filter restores the join's
+      // non-null output schema.
+      ranked.groupBy(col("p_brand"), col("p_partkey"))
+        .agg(max(when(col("period") === "early", col("rk"))).as("__e"),
+             max(when(col("period") === "late", col("rk"))).as("__l"))
+        .filter(col("__e").isNotNull && col("__l").isNotNull)
+        .select(col("p_brand"), col("p_partkey"),
+          coalesce(col("__e"), lit(0)).as("rk_early"),
+          coalesce(col("__l"), lit(0)).as("rk_late"),
+          coalesce(col("__e") - col("__l"), lit(0)).as("delta"))
     }),
 
     // ---- deterministic experiment assignment: salted-hash 50/50
@@ -263,18 +272,27 @@ private[graft] object BusinessQueries {
             .as("cents"),
           col("l_quantity").cast("long").as("qty"))
       val yrs = li.agg(min("yr").as("y0"), max("yr").as("y1"))
-      val uv = li.crossJoin(broadcast(yrs))
+      // base/current unit values as ONE conditional aggregation, not a
+      // self-joined pair of filters over a shared groupBy: the `uv`
+      // subtree referenced twice re-ran the fact aggregation per side
+      // (two more full scans on top of the yrs scan) and paid a
+      // sort-merge join. Each (brand, partkey) has at most one y0 row
+      // and one y1 row, so per-year conditional sums in a single pass
+      // compute the identical unit values, and both-years-present is
+      // exactly "both conditional sums non-null". The same yr===y0 /
+      // yr=!=y0 predicates keep the single-year edge case (y0=y1 →
+      // empty result) bit-identical.
+      li.crossJoin(broadcast(yrs))
         .filter(col("yr") === col("y0") || col("yr") === col("y1"))
-        .groupBy("brand", "l_partkey", "yr", "y0")
-        .agg(sum("cents").as("c"), sum("qty").as("q"))
-        .withColumn("uv_milli", expr("c * 1000 div q"))
-      val base = uv.filter(col("yr") === col("y0"))
-        .select(col("brand"), col("l_partkey"),
-          col("uv_milli").as("uv0"), col("q").as("q0"))
-      val cur = uv.filter(col("yr") =!= col("y0"))
-        .select(col("brand"), col("l_partkey"),
-          col("uv_milli").as("uv1"))
-      base.join(cur, Seq("brand", "l_partkey"))
+        .groupBy("brand", "l_partkey")
+        .agg(sum(when(col("yr") === col("y0"), col("cents"))).as("c0"),
+          sum(when(col("yr") === col("y0"), col("qty"))).as("q0"),
+          sum(when(col("yr") =!= col("y0"), col("cents"))).as("c1"),
+          sum(when(col("yr") =!= col("y0"), col("qty"))).as("q1"))
+        .filter(col("q0").isNotNull && col("q1").isNotNull)
+        .select(col("brand"),
+          expr("c0 * 1000 div q0").as("uv0"), col("q0"),
+          expr("c1 * 1000 div q1").as("uv1"))
         .groupBy("brand")
         .agg(count(lit(1)).as("n_parts"),
           sum(expr("uv1 * q0")).as("num"),

@@ -154,4 +154,37 @@ class EmbedQuantSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toVector
     assert(got == expected)
   }
+
+  // round-15: the greedy collapsed from unrolled per-round joins into
+  // one aggregate() fold over the collected pool — pin the edge cases
+  // the fold's null-guard handles and the plan collapse itself
+  test("mmrSelect single-row fold: short pool stops early, missing " +
+       "query id yields empty, plan has no per-round exchanges") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.load(spark, dir, "embeddings")
+    // pool of 3 candidates but k=5: ranks 1..3 only (greedy runs dry)
+    val short = Similarity.mmrSelect(emb.filter(col("vec_id") < 4), 0L, 3, 5)
+      .orderBy("rank")
+      .select("rank", "vec_id", "rel", "redundancy")
+      .as[(Long, Long, Long, Long)].collect().toVector
+    assert(short.map(_._1) == Vector(1L, 2L, 3L))
+    assert(short.head._4 == 0L, "rank-1 redundancy is 0")
+    // no row with vec_id == queryId: empty result, not a crash
+    assert(Similarity.mmrSelect(emb.filter(col("vec_id") < 4), 99L, 3, 5)
+      .count() == 0L)
+    // k=1 skips the fold entirely and yields just the relevance argmax
+    val k1 = Similarity.mmrSelect(emb, 0L, 20, 1)
+      .select("rank", "redundancy").as[(Long, Long)].collect().toVector
+    assert(k1 == Vector((1L, 0L)))
+    // the collapse is structural: everything post-pool is one row, so
+    // the whole plan holds a handful of exchanges (the unrolled form
+    // carried ~160) and no eager checkpoints (no ExistingRDD pins)
+    val plan = Similarity.mmrSelect(emb, 0L, 20, 5)
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?m)^\\s*[+:]?[- ]*(Broadcast)?Exchange".r
+      .findAllIn(plan).size
+    assert(exchanges <= 10, s"plan should stay collapsed, got $exchanges:\n$plan")
+    assert(!plan.contains("Scan ExistingRDD"),
+      "no checkpoint pins in the collapsed plan")
+  }
 }

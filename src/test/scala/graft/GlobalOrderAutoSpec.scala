@@ -227,6 +227,26 @@ class GlobalOrderAutoSpec extends SparkSpec {
       "re-evaluable input must not enter the gate-pin FIFO")
   }
 
+  test("gate pins a nondeterministic input instead of re-evaluating it " +
+       "(round-15 ADVICE)") {
+    // a rand()-derived projection re-evaluated per consumer would hand
+    // the count and the chosen branch different row sets — the gate
+    // must take the persist path (snapshot once) for it
+    val df = (0 until 300).map(i => (i.toLong, (i % 7).toLong)).toDF("k", "v")
+      .withColumn("r", rand(7))
+    withThreshold(1000) {
+      val out = GlobalOrder.withRowNumberAuto(df, Seq(col("v"), col("k")), "rn")
+      assert(out.count() == 300)
+    }
+    // the FIFO may already be at cap from earlier gates — the signal is
+    // that the NEWEST pin is this frame (its schema carries the rand
+    // column), i.e. the gate snapshotted it instead of re-evaluating
+    val pins = GlobalOrder.gatePinSnapshot(spark)
+    assert(pins.nonEmpty && pins.last.columns.sameElements(
+      Array("k", "v", "r")),
+      "nondeterministic input must take the persist/pin path")
+  }
+
   test("withRunningSums rejects duplicate and colliding output names") {
     val df = fixture(50, 7)
     intercept[IllegalArgumentException] {
