@@ -62,6 +62,15 @@ object NeardupAb {
     pairs.write.format("noop").mode("overwrite").save()
     println("=== delta-3 candidate-pair plan (executed) ===")
     println(pairs.queryExecution.executedPlan.toString.take(6000))
+    // the survivor scan KeyedUpsert.upsert now builds: literal
+    // partition filter over the touched buckets — the plan must show
+    // PartitionFilters pruning untouched bucket directories
+    val survScan = spark.read.parquet(store)
+      .filter(col(graft.sources.KeyedUpsert.BucketCol)
+        .isin(Integer.valueOf(0), Integer.valueOf(3)))
+    survScan.write.format("noop").mode("overwrite").save()
+    println("=== survivor-scan shape (literal touched-bucket prune) ===")
+    println(survScan.queryExecution.executedPlan.toString.take(2500))
     spark.stop()
   }
 }

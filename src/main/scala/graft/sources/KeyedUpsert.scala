@@ -76,9 +76,21 @@ object KeyedUpsert {
     // Survivors: rows in touched buckets whose key is NOT updated.
     // Reads the live table; the live table is not modified until the
     // staging write below has fully committed.
+    //
+    // The touched-bucket set is collected to the driver — ≤ numBuckets
+    // ints, O(buckets) never O(rows), the same bounded-sketch class as
+    // GlobalOrder's bounds sample — and applied as a LITERAL partition
+    // filter. The previous broadcast-join form relied on dynamic
+    // partition pruning firing against the store scan; when it did not
+    // (plan-dependent), a 0.1% upsert READ the whole table to rewrite
+    // 0.1% of it. A literal In() prunes at the file index
+    // deterministically: the survivor scan now lists and reads ONLY
+    // the touched bucket directories (round-15; plan shows
+    // PartitionFilters: [_bucket IN (...)]).
     val touched = news.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).sorted
     val survivors = spark.read.parquet(path)
-      .join(broadcast(touched), BucketCol)
+      .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
       .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
     survivors.unionByName(news)
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
