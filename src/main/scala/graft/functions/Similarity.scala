@@ -706,21 +706,28 @@ object Similarity {
     val dims = 64
     val spark = emb.sparkSession
     import spark.implicits._
-    val planeDf = broadcast(
-      (for (p <- 0 until planes * bands; d <- 0 until dims) yield (p, d))
-        .toDF("p", "d")
-        .withColumn("w",
-          Dedup.md5Hash60(concat_ws("_", col("p"), col("d"))) % 2001 - 1000))
-    val quantized = emb.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("d", "x")))
-      .withColumn("q", round(col("x").cast("double") * 1000).cast("long"))
-    quantized.join(planeDf, "d")
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("q") * col("w")).as("dot"))
-      .select(col("vec_id"), expr(s"p div $planes").as("band"),
-              col("p"), when(col("dot") > 0, 1L).otherwise(0L).as("bit"))
-      .groupBy("vec_id", "band")
-      .agg(expr(s"sum(shiftleft(bit, cast(p % $planes as int))) AS bucket"))
+    // Round-15 shape change: the previous posexplode→join(planeDf)→
+    // groupBy(vec_id,p)→groupBy(vec_id,band) pipeline pushed
+    // |V|·planes·dims rows through a partial aggregate and TWO hash
+    // exchanges — the sf100 sweep read 20.1× across the sf10→sf100
+    // decade (partial-agg degradation at |V|·planes groups, guide §5).
+    // The value is a pure per-row function of the embedding, so it now
+    // runs as ONE projection through the compiled
+    // [[expressions.HyperplaneBuckets]] kernel (the SimHash60
+    // precedent; a pure higher-order-function fold was measured
+    // SLOWER than the aggregation at sf100 — HOFs are interpreted).
+    // Only the `bands` output rows are exploded; zero joins, zero
+    // aggregation. Quantization, weights, and every integer sum are
+    // bit-identical to the aggregate form (spec-pinned in
+    // EmbedQuantSpec against an independent recomputation).
+    val _ = dims // dims is fixed inside the kernel (64)
+    val buckets = org.apache.spark.sql.GraftSqlBridge.column(
+      expressions.HyperplaneBuckets(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("embedding")),
+        planes, bands))
+    emb.select(col("vec_id"), posexplode(buckets).as(Seq("band", "bucket")))
+      .select(col("vec_id"), col("band").cast("long").as("band"),
+        col("bucket"))
   }
 
   /** IVF coarse centroids: element-wise mean per label, each component
